@@ -1,0 +1,92 @@
+"""Thin table-catalog abstraction.
+
+The reference's parquet exporter writes each payload type as its own
+partitioned parquet table (`crates/otap/src/parquet_exporter.rs:1-60`,
+`parquet_exporter/partition.rs:33-85`). At production scale the rebuild
+targets Iceberg (atomic commits, hidden partitioning, snapshot-based
+incremental reads); this sandbox has no Iceberg jars, so ``Catalog``
+abstracts the table layer over plain parquet directories with the same
+API shape. Swapping ``format`` to ``iceberg`` when the runtime has the
+jars is the only change needed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Catalog:
+    """Named tables rooted at a directory (parquet) or an Iceberg catalog."""
+
+    spark: SparkSession
+    root: str
+    format: str = "parquet"
+    write_options: dict[str, str] = field(default_factory=dict)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        # A parquet dir written by spark always contains a _SUCCESS marker.
+        return os.path.isdir(p) and (
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            or any(f.endswith(".parquet") for f in os.listdir(p))
+        )
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.format(self.format).load(self.path(name))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        sort_within_partitions: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> None:
+        """Write a table; optional partitioning + in-partition sort.
+
+        ``sort_within_partitions`` mirrors the reference's
+        sort-for-compression (rows sorted by resource/scope before encoding,
+        `go/pkg/otel/logs/arrow/optimizer.go:44-115`) and doubles as the
+        stable-ordering guarantee for the transcripts invariant.
+        ``max_records_per_file`` is the batch-split analog
+        (`rust/otel-arrow-rust/src/otap/groups.rs:108-131`).
+        """
+        if sort_within_partitions:
+            df = df.sortWithinPartitions(*sort_within_partitions)
+        writer = df.write.format(self.format).mode(mode)
+        for k, v in self.write_options.items():
+            writer = writer.option(k, v)
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(self.path(name))
+
+    def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]) -> None:
+        """Dynamic partition overwrite — the idempotent-resume write primitive.
+
+        Iceberg's overwrite-by-filter equivalent; on parquet we use Spark's
+        dynamic partitionOverwriteMode so re-running a failed slice replaces
+        only the partitions it owns (never blind-append on retry).
+        """
+        (
+            df.write.format(self.format)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .save(self.path(name))
+        )
+
+    def drop(self, name: str) -> None:
+        p = self.path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)

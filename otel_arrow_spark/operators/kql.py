@@ -1,0 +1,123 @@
+"""KQL-subset tabular operators as thin DataFrame combinators.
+
+The reference parses KQL into an IR of tabular expressions and interprets
+them row-at-a-time (`rust/experimental/query_engine/kql-parser/src/
+tabular_expressions.rs`; engine `engine-recordset/src/engine.rs`). Here each
+tabular operator is a declarative DataFrame transformation, so Catalyst
+replaces both the IR optimizer (constant folding,
+`expressions/src/pipeline_expression.rs:75-88`) and the interpreter with an
+optimized, codegen'd physical plan — filters push to the scan, projections
+prune columns.
+
+Parity map (reference parse rule → this function):
+  where    tabular_expressions.rs:327-349  → where()
+  extend   tabular_expressions.rs:20-46    → extend()
+  project  tabular_expressions.rs:47-115   → project()
+  project-keep    :116-190                 → project_keep()
+  project-away    :191-265                 → project_away()
+  project-rename  :266-326                 → project_rename()
+  summarize       :350-490                 → summarize()
+"""
+
+from __future__ import annotations
+
+from fnmatch import fnmatch
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_col(e: Column | str) -> Column:
+    return e if isinstance(e, Column) else F.expr(e)
+
+
+def where(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """KQL ``where`` — keep rows matching the predicate."""
+    return df.filter(_to_col(predicate))
+
+
+def discard(df: DataFrame, predicate: Column | str) -> tuple[DataFrame, DataFrame]:
+    """Discard-with-capture: (kept, dropped) — the engine's partition of a
+    record set into included vs dropped (`expressions/src/data_expressions.rs:57-60`,
+    bridge `engine-recordset-otlp-bridge/src/bridge.rs:38-100`)."""
+    p = _to_col(predicate)
+    return df.filter(~p), df.filter(p)
+
+
+def extend(df: DataFrame, **cols: Column | str) -> DataFrame:
+    """KQL ``extend`` — add computed columns."""
+    return df.withColumns({k: _to_col(v) for k, v in cols.items()})
+
+
+def project(df: DataFrame, *cols: Column | str, **computed: Column | str) -> DataFrame:
+    """KQL ``project`` — keep named columns plus computed assignments."""
+    sel = [_to_col(c) if isinstance(c, Column) else F.col(c) for c in cols]
+    sel += [_to_col(v).alias(k) for k, v in computed.items()]
+    return df.select(*sel)
+
+
+def project_keep(df: DataFrame, *patterns: str) -> DataFrame:
+    """KQL ``project-keep`` — keep columns matching names or ``*`` wildcards."""
+    keep = [c for c in df.columns if any(fnmatch(c, p) for p in patterns)]
+    return df.select(*keep)
+
+
+def project_away(df: DataFrame, *patterns: str) -> DataFrame:
+    """KQL ``project-away`` — drop columns matching names/wildcards."""
+    drop = [c for c in df.columns if any(fnmatch(c, p) for p in patterns)]
+    return df.drop(*drop)
+
+
+def project_rename(df: DataFrame, **renames: str) -> DataFrame:
+    """KQL ``project-rename`` — ``new_name=old_name`` pairs."""
+    return df.withColumnsRenamed({old: new for new, old in renames.items()})
+
+
+def summarize(
+    df: DataFrame,
+    by: list[Column | str] | None = None,
+    cardinality_limit: int | None = None,
+    **aggs: Column,
+) -> DataFrame:
+    """KQL ``summarize`` — hash aggregation over group-by expressions.
+
+    ``aggs`` values are aggregate Columns (``F.count``, ``F.sum``…), keyed by
+    output alias — matching the engine's Summary aggregations
+    (`expressions/src/summary/summary_data_expression.rs:9-75`).
+
+    ``cardinality_limit`` opts into the reference's hard group cap
+    (default 8192 there, `engine-recordset/src/engine.rs:25-38`,
+    `summaries.rs:52-56`): excess groups are dropped deterministically
+    (highest-hash first). Spark's hash agg spills instead of dropping, so
+    the default here is NO cap — pass a limit only when replicating
+    reference semantics exactly.
+    """
+    keys = [_to_col(c).alias(f"_k{i}") if isinstance(c, str) and not c.isidentifier() else _to_col(c)
+            for i, c in enumerate(by or [])]
+    agged = df.groupBy(*keys).agg(*[v.alias(k) for k, v in aggs.items()])
+    if cardinality_limit is not None:
+        key_names = agged.columns[: len(keys)]
+        ranked = agged.withColumn(
+            "_grank",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                    F.xxhash64(*[F.col(k) for k in key_names])
+                )
+            ),
+        )
+        agged = ranked.filter(F.col("_grank") <= cardinality_limit).drop("_grank")
+    return agged
+
+
+def bin_(col: Column | str, width: str) -> Column:
+    """KQL ``bin(ts, 1h)`` → event-time bucket.
+
+    Time widths map to ``date_trunc``/``window``; numeric widths to
+    ``floor(x/w)*w`` (math IR `expressions/src/scalars/math_scalar_expression.rs:13`).
+    """
+    c = _to_col(col)
+    unit_map = {"1h": "hour", "1d": "day", "1m": "minute", "1s": "second"}
+    if width in unit_map:
+        return F.date_trunc(unit_map[width], c)
+    w = float(width)
+    return F.floor(c / F.lit(w)) * F.lit(w)

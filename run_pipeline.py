@@ -1,0 +1,79 @@
+"""spark-submit entry point for the transcript pipeline.
+
+Usage:
+    spark-submit --py-files otel_arrow_spark.zip run_pipeline.py \
+        --input /data/fixtures --output /data/out [--resume] [--n-slices 16]
+
+If ``--input`` has no transcripts.parquet and ``--gen-rows N`` is given,
+a deterministic fixture is generated first (seed 42).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="dir with transcripts/tool_catalog/role_catalog parquet")
+    ap.add_argument("--output", required=True, help="output catalog root")
+    ap.add_argument("--gen-rows", type=int, default=0, help="generate fixture of N rows if missing")
+    ap.add_argument("--n-slices", type=int, default=8, help="checkpoint slices (resume granularity)")
+    ap.add_argument("--resume", action="store_true", help="skip slices already completed")
+    ap.add_argument("--fail-on-slice", type=int, default=None, help="inject failure (testing)")
+    args = ap.parse_args(argv)
+
+    from otel_arrow_spark.catalog import Catalog
+    from otel_arrow_spark.fixtures import write_fixture_tables
+    from otel_arrow_spark.lineage import CheckpointedPipeline
+    from otel_arrow_spark.pipeline import build_pipeline
+    from otel_arrow_spark.session import get_spark
+
+    tpath = os.path.join(args.input, "transcripts.parquet")
+    if not os.path.exists(tpath):
+        if not args.gen_rows:
+            print(f"error: {tpath} missing and --gen-rows not given", file=sys.stderr)
+            return 2
+        write_fixture_tables(args.input, args.gen_rows)
+
+    spark = get_spark(app_name="otel-arrow-pipeline")
+    t0 = time.time()
+    transcripts = spark.read.parquet(tpath)
+    tools = spark.read.parquet(os.path.join(args.input, "tool_catalog.parquet"))
+    roles = spark.read.parquet(os.path.join(args.input, "role_catalog.parquet"))
+
+    catalog = Catalog(spark, args.output)
+    if not args.resume:
+        # fresh run: clear ledger + sink so counts are for this input only
+        ledger = os.path.join(args.output, "_lineage.jsonl")
+        if os.path.exists(ledger):
+            os.remove(ledger)
+    runner = CheckpointedPipeline(catalog, n_slices=args.n_slices)
+    fingerprint = f"{tpath}:{os.path.getmtime(tpath)}"
+    state = runner.run(
+        transcripts, tools, roles, input_fingerprint=fingerprint,
+        fail_on_slice=args.fail_on_slice,
+    )
+
+    result = build_pipeline(transcripts, tools, roles)
+    counts = {r["sink"]: r["n_rows"] for r in result.sink_counts.collect()}
+    n = sum(counts.values())
+    elapsed = time.time() - t0
+    print(json.dumps({
+        "rows": n,
+        "sink_counts": counts,
+        "slices_ran": state["ran"],
+        "slices_skipped": state["skipped"],
+        "elapsed_sec": round(elapsed, 2),
+        "turns_per_sec": round(n / elapsed, 1),
+        "output": args.output,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
