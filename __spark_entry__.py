@@ -1,38 +1,504 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over the
+driver-provided parquet tables; ``oracle_sql()`` carries the equivalent
+ANSI/DuckDB SQL. Pipeline-family queries first derive a transcripts-shaped
+table from ``events`` with a deterministic, SQL-expressible transformation
+(both engines derive it identically), then run the real package operators
+(parse/enrich/route/aggregate) on it — so the driver's oracle gate covers
+the actual pipeline code, not a test double.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# shared transcript derivation (events → transcripts shape)
+# ---------------------------------------------------------------------------
+
+# SQL fragment used verbatim by the DuckDB oracles (ANSI subset shared with
+# Spark SQL — both engines run it unchanged).
+DERIVE_SQL = """
+SELECT
+  'conv-' || lpad(CAST(user_id AS STRING), 8, '0')            AS conv_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT)
+                                                                AS turn_idx,
+  CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant'
+       WHEN 'error' THEN 'system' WHEN 'purchase' THEN 'tool' ELSE 'user' END
+                                                                AS role,
+  CASE
+    WHEN event_id % 29 = 0 THEN '?? junk ' || props
+    WHEN event_type = 'click' THEN
+      '<34>Aug 16 12:00:00 host-' || CAST(user_id % 10 AS STRING) ||
+      ' app-' || CAST(event_id % 7 AS STRING) || ': click body'
+    WHEN event_type = 'signup' THEN
+      'CEF:0|Acme|Engine|1.0|100|SignUp|' || CAST(event_id % 10 AS STRING) ||
+      '|src=host-' || CAST(user_id % 10 AS STRING) || ' act=signup'
+    ELSE
+      '<' || CAST(event_id % 192 AS STRING) || '>1 2024-01-01T00:00:00Z host-' ||
+      CAST(user_id % 10 AS STRING) || ' app-' || CAST(event_id % 7 AS STRING) ||
+      ' 1001 ' ||
+      CASE WHEN event_type = 'purchase' THEN 'tool.call'
+           WHEN value > 10 THEN 'metric.cpu' ELSE 'log.app' END ||
+      ' [kv@0 code="' || CAST(event_id % 100 AS STRING) || '"] event body'
+  END                                                           AS text,
+  CASE WHEN event_type = 'purchase'
+       THEN 'tool-' || CAST(event_id % 60 AS STRING) END       AS tool,
+  ts
+FROM events
+"""
+
+# DuckDB rendition of the parse+route logic (independent of the Spark impl;
+# patterns kept in the RE2 ∩ Java common subset).
+ORACLE_PARSED_CTE = r"""
+WITH t AS ({derive}),
+parsed AS (
+  SELECT *,
+    CASE
+      WHEN regexp_matches(text, '^<(\d{{1,3}})>1 (\S+) (\S+) (\S+) (\S+) (\S+) \[kv@0 ([^\]]*)\] (.*)$') THEN 'rfc5424'
+      WHEN regexp_matches(text, '^<(\d{{1,3}})>([A-Z][a-z]{{2}}) ([ 0-9]?\d) (\d{{2}}:\d{{2}}:\d{{2}}) (\S+) ([^:]+): (.*)$') THEN 'rfc3164'
+      WHEN regexp_matches(text, '^CEF:0\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|(.*)$') THEN 'cef'
+      ELSE 'malformed'
+    END AS format,
+    regexp_extract(text, '^<(\d{{1,3}})>', 1) AS _pri_s,
+    regexp_extract(text, '^<\d{{1,3}}>1 \S+ \S+ \S+ \S+ (\S+) ', 1) AS _v1_msgid,
+    regexp_extract(text, '^CEF:0\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|([^|]*)\|', 1) AS _cef_name
+  FROM t
+),
+routed AS (
+  SELECT *,
+    CASE WHEN format IN ('rfc5424','rfc3164') THEN CAST(_pri_s AS INT) END AS _pri,
+    CASE
+      WHEN role = 'tool' AND tool IS NOT NULL THEN 'sink_traces'
+      WHEN format = 'malformed' THEN 'sink_malformed'
+      WHEN format = 'cef'
+        OR (format = 'rfc5424' AND regexp_matches(_v1_msgid, '^metric[.:]')) THEN 'sink_metrics'
+      ELSE 'sink_logs'
+    END AS sink
+  FROM parsed
+)
+"""
+
+
+def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side derivation — same semantics as DERIVE_SQL, via Spark SQL."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(DERIVE_SQL)
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+def _tool_catalog_df(spark: SparkSession) -> DataFrame:
+    from otel_arrow_spark.fixtures import gen_tool_catalog
+
+    return spark.createDataFrame(gen_tool_catalog())
+
+
+def _role_catalog_df(spark: SparkSession) -> DataFrame:
+    from otel_arrow_spark.fixtures import gen_role_catalog
+
+    return spark.createDataFrame(gen_role_catalog())
+
+
+# ---------------------------------------------------------------------------
+# pipeline-family queries (the engine's own operators, oracle-gated)
+# ---------------------------------------------------------------------------
+
+def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns, sink_counts
+
+    routed = route_turns(parse_turns(_derived_transcripts(spark, sf_dir)))
+    return sink_counts(routed)
+
+
+def q_pipeline_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+
+    routed = route_turns(parse_turns(_derived_transcripts(spark, sf_dir)))
+    return routed.select("conv_id", "turn_idx", "sink")
+
+
+def q_pipeline_parsed_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.parse import parse_turns
+
+    parsed = parse_turns(_derived_transcripts(spark, sf_dir))
+    return parsed.select(
+        "conv_id", "turn_idx", "format", "facility", "severity",
+        "host", "app", "event_name", "body",
+    )
+
+
+def q_pipeline_counts_by_tool_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.aggregate import counts_by_sink_tool_hour
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+
+    routed = route_turns(parse_turns(_derived_transcripts(spark, sf_dir)))
+    return counts_by_sink_tool_hour(routed)
+
+
+def q_pipeline_enriched_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.enrich import enrich_turns
+    from otel_arrow_spark.parse import parse_turns
+
+    t = _derived_transcripts(spark, sf_dir)
+    enriched = enrich_turns(
+        parse_turns(t), _tool_catalog_df(spark), _role_catalog_df(spark)
+    )
+    return enriched.groupBy("tool_kind", "role_group").agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+
+
+def q_pipeline_turn_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase window rank must equal plain row_number."""
+    from otel_arrow_spark.ordering import salted_window_rank
+
+    t = _derived_transcripts(spark, sf_dir)
+    ranked = salted_window_rank(t, chunk=64)  # small chunk → multi-bucket path
+    return ranked.select("conv_id", "turn_idx", "turn_rank")
+
+
+def q_pipeline_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.aggregate import counts_by_conv
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+
+    routed = route_turns(parse_turns(_derived_transcripts(spark, sf_dir)))
+    return counts_by_conv(routed)
+
+
+# ---------------------------------------------------------------------------
+# KQL tabular/scalar operator queries over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical reference query: time-bucketed counts
+    (`rust/parquet-query-examples/examples/query_logs.rs:29-45`)."""
+    from otel_arrow_spark.operators.kql import bin_, summarize
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return summarize(
+        events,
+        by=[bin_(F.col("ts"), "1h").alias("hour"), F.col("event_type")],
+        n=F.count(F.lit(1)),
+        avg_value=F.round(F.avg("value"), 6),
+    )
+
+
+def q_events_attr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered selection (`query_logs.rs:11-27` analog): the
+    props JSON plays LOG_ATTRS; filter by extracted attribute value."""
+    (events,) = _tables(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .filter((F.col("k") >= 50) & (F.col("event_type") == "error"))
+        .select("event_id", "user_id", "k")
+    )
+
+
+def q_kql_where_extend_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.operators.kql import extend, project, where
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    out = where(li, (F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05))
+    out = extend(out, revenue=F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6))
+    return project(out, "l_orderkey", "l_linenumber", "revenue")
+
+
+def q_kql_summarize_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped summarize: the KQL hash-agg surface
+    (`summary_data_expression.rs:215-221` count/sum/avg/min/max)."""
+    from otel_arrow_spark.operators.kql import summarize, where
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    f = where(li, F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return summarize(
+        f,
+        by=[F.col("l_returnflag"), F.col("l_linestatus")],
+        sum_qty=F.sum("l_quantity"),
+        sum_base_price=F.round(F.sum("l_extendedprice"), 4),
+        avg_disc=F.round(F.avg("l_discount"), 8),
+        max_price=F.max("l_extendedprice"),
+        min_qty=F.min("l_quantity"),
+        count_order=F.count(F.lit(1)),
+    )
+
+
+def q_kql_project_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.operators.kql import project_away, project_keep, project_rename
+
+    (part,) = _tables(spark, sf_dir, "part")
+    out = project_keep(part, "p_partkey", "p_name", "p_retail*", "p_size")
+    out = project_away(out, "p_size")
+    return project_rename(out, key="p_partkey", name="p_name", price="p_retailprice")
+
+
+def q_kql_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: strlen/substring/strcat/replace/extract
+    (`text_scalar_expression.rs:7-22`)."""
+    (part,) = _tables(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+def q_kql_case_iff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalars iff/case/coalesce (`scalar_expressions.rs:26-38`)."""
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("NONE")).alias("prio"),
+    )
+
+
+def q_sampling_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zap-style sampling: first N per group per interval
+    (`crates/otap/src/debug_processor/sampling.rs:12-40`)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("event_id", "user_id", "rn")
+    )
+
+
+def q_dedup_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource/scope content-dedup analog
+    (`go/pkg/otel/logs/arrow/optimizer.go:63-106`): identical content →
+    same integer id via rank over fingerprint."""
+    (events,) = _tables(spark, sf_dir, "events")
+    fp = F.concat_ws("|", "event_type", F.col("props"))
+    w = Window.orderBy("fp")
+    return (
+        events.select(fp.alias("fp"))
+        .distinct()
+        .withColumn("resource_id", F.dense_rank().over(w))
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(100).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def q_join_parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logs ⋈ log_attrs parent-child equi-join analog
+    (`query_logs.rs:11-27`): orders=parent, lineitem=child-attrs."""
+    orders, li = _tables(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        )
+    )
+
+
+def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-enrich join chain (customer→nation→region), the
+    AttributesStore probe pattern (`attributes.go:42-79`)."""
+    cust, nation, region = _tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered parent selection as an explicit semi-join
+    (SURVEY §2.6: implicit in the reference)."""
+    cust, orders = _tables(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 200000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→route→aggregate over sf0.001-derived transcripts."""
+    return q_pipeline_counts_by_tool_hour(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+        "pipeline_routed_rows": q_pipeline_routed_rows,
+        "pipeline_parsed_fields": q_pipeline_parsed_fields,
+        "pipeline_counts_by_tool_hour": q_pipeline_counts_by_tool_hour,
+        "pipeline_enriched_by_kind": q_pipeline_enriched_by_kind,
+        "pipeline_turn_rank": q_pipeline_turn_rank,
+        "pipeline_conv_stats": q_pipeline_conv_stats,
+        "events_hourly_counts": q_events_hourly_counts,
+        "events_attr_filter": q_events_attr_filter,
+        "kql_where_extend_project": q_kql_where_extend_project,
+        "kql_summarize_q1": q_kql_summarize_q1,
+        "kql_project_ops": q_kql_project_ops,
+        "kql_scalar_strings": q_kql_scalar_strings,
+        "kql_case_iff": q_kql_case_iff,
+        "sampling_first_n": q_sampling_first_n,
+        "dedup_dense_rank": q_dedup_dense_rank,
+        "topk_orders": q_topk_orders,
+        "join_parent_child": q_join_parent_child,
+        "join_broadcast_dims": q_join_broadcast_dims,
+        "semi_join": q_semi_join,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _parsed_oracle(select: str, tail: str = "") -> str:
+    return ORACLE_PARSED_CTE.format(derive=DERIVE_SQL) + select + tail
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pipeline_sink_counts": _parsed_oracle(
+            "SELECT sink, COUNT(*) AS n_rows FROM routed GROUP BY sink"
+        ),
+        "pipeline_routed_rows": _parsed_oracle(
+            "SELECT conv_id, turn_idx, sink FROM routed"
+        ),
+        "pipeline_parsed_fields": _parsed_oracle(
+            r"""
+SELECT conv_id, turn_idx, format,
+  CASE WHEN format IN ('rfc5424','rfc3164') THEN CAST(CAST(_pri_s AS INT) // 8 AS INT) END AS facility,
+  CASE WHEN format IN ('rfc5424','rfc3164') THEN CAST(_pri_s AS INT) % 8
+       WHEN format = 'cef' THEN TRY_CAST(regexp_extract(text, '^CEF:0\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|([^|]*)\|', 1) AS INT) END AS severity,
+  CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '^<\d{1,3}>1 (\S+) (\S+)', 2)
+       WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} (\S+)', 1)
+       WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|[^|]*\|([^|]*)\|', 1) END AS host,
+  CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '^<\d{1,3}>1 \S+ \S+ (\S+)', 1)
+       WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} \S+ ([^:]+): ', 1)
+       WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|([^|]*)\|', 1) END AS app,
+  CASE WHEN format = 'rfc5424' THEN _v1_msgid
+       WHEN format = 'cef' THEN _cef_name END AS event_name,
+  CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '\[kv@0 [^\]]*\] (.*)$', 1)
+       WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} \S+ [^:]+: (.*)$', 1)
+       WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|(.*)$', 1) END AS body
+FROM routed
+"""
+        ),
+        "pipeline_counts_by_tool_hour": _parsed_oracle(
+            "SELECT sink, tool, date_trunc('hour', ts) AS hour, COUNT(*) AS n_turns "
+            "FROM routed GROUP BY 1, 2, 3"
+        ),
+        "pipeline_enriched_by_kind": _parsed_oracle(
+            """
+SELECT
+  CASE WHEN tool IS NOT NULL AND CAST(substr(tool, 6) AS INT) < 50 THEN
+    CASE CAST(substr(tool, 6) AS INT) % 5
+      WHEN 0 THEN 'search' WHEN 1 THEN 'code' WHEN 2 THEN 'browser'
+      WHEN 3 THEN 'math' ELSE 'db' END
+  END AS tool_kind,
+  CASE role WHEN 'user' THEN 'human' WHEN 'assistant' THEN 'model'
+       WHEN 'system' THEN 'control' ELSE 'machine' END AS role_group,
+  COUNT(*) AS n_turns
+FROM routed GROUP BY 1, 2
+"""
+        ),
+        "pipeline_turn_rank": "WITH t AS (" + DERIVE_SQL + ") "
+        "SELECT conv_id, turn_idx, CAST(row_number() OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS turn_rank FROM t",
+        "pipeline_conv_stats": "WITH t AS (" + DERIVE_SQL + ") "
+        "SELECT conv_id, COUNT(*) AS n_turns, COUNT(DISTINCT tool) AS n_tools, "
+        "MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM t GROUP BY conv_id",
+        "events_hourly_counts": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "
+            "ROUND(AVG(value), 6) AS avg_value FROM events GROUP BY 1, 2"
+        ),
+        "events_attr_filter": (
+            "SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
+            "FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50 "
+            "AND event_type = 'error'"
+        ),
+        "kql_where_extend_project": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue "
+            "FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05"
+        ),
+        "kql_summarize_q1": (
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 4) AS sum_base_price, "
+            "ROUND(AVG(l_discount), 8) AS avg_disc, MAX(l_extendedprice) AS max_price, "
+            "MIN(l_quantity) AS min_qty, COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "kql_project_ops": (
+            "SELECT p_partkey AS key, p_name AS name, p_retailprice AS price FROM part"
+        ),
+        "kql_scalar_strings": (
+            "SELECT p_partkey, LENGTH(p_name) AS name_len, "
+            "substr(p_name, 1, 5) AS name_head, "
+            "p_brand || '|' || p_type AS brand_type, "
+            r"regexp_extract(p_name, '^(\w+)', 1) AS first_word, "
+            "replace(p_type, ' ', '_') AS type_snake FROM part"
+        ),
+        "kql_case_iff": (
+            "SELECT o_orderkey, CASE WHEN o_totalprice > 100000 THEN 'big' "
+            "WHEN o_totalprice > 10000 THEN 'mid' ELSE 'small' END AS size_class, "
+            "COALESCE(o_orderpriority, 'NONE') AS prio FROM orders"
+        ),
+        "sampling_first_n": (
+            "SELECT event_id, user_id, rn FROM (SELECT event_id, user_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) "
+            "ORDER BY ts, event_id) AS INT) AS rn FROM events) WHERE rn <= 2"
+        ),
+        "dedup_dense_rank": (
+            "SELECT fp, CAST(dense_rank() OVER (ORDER BY fp) AS INT) AS resource_id "
+            "FROM (SELECT DISTINCT event_type || '|' || props AS fp FROM events)"
+        ),
+        "topk_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        "join_parent_child": (
+            "SELECT o_orderstatus, COUNT(*) AS n_items, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderstatus"
+        ),
+        "join_broadcast_dims": (
+            "SELECT r_name, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 6) AS avg_bal "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "semi_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000)"
+        ),
+    }
