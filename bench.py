@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with a ``noop``-format write (full
+physical execution incl. shuffles, no driver-side collect — the Spark analog
+of the reference's perf exporter terminal sink,
+``rust/otap-dataflow/crates/otap/src/perf_exporter/exporter.rs``).
+
+Extra keys (allowed): ``turns_per_sec`` for the end-to-end
+parse→enrich→route→aggregate pipeline throughput, and ``rows`` per query.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR     input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       cores for local[N] (default: all)
+  SPARK_GRAFT_BENCH_ONLY comma-separated query subset (for iterating)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_to_completion(df) -> int:
+    """Execute the full plan without materializing on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+
+    import __spark_entry__ as entrymod
+    from otel_arrow_spark.session import get_spark
+
+    spark = get_spark(app_name=f"otel-arrow-spark-bench-{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    wanted = set(only.split(",")) if only else None
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    # Warm the JVM/codegen once on a tiny query so q1 isn't charged JIT cost.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    for name, fn in qs.items():
+        if wanted is not None and name not in wanted:
+            continue
+        t0 = time.perf_counter()
+        run_to_completion(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    # End-to-end pipeline throughput (the BASELINE.json headline metric):
+    # parse → enrich → route → per-sink aggregate over the derived
+    # transcripts table, measured in turns/sec.
+    from pyspark.sql import functions as F
+
+    from otel_arrow_spark.enrich import enrich_turns
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+    from otel_arrow_spark.fixtures import gen_role_catalog, gen_tool_catalog
+
+    transcripts = entrymod._derived_transcripts(spark, sf_dir).cache()
+    n_turns = transcripts.count()  # cache + count: charge derivation separately
+    tool_cat = spark.createDataFrame(gen_tool_catalog())
+    role_cat = spark.createDataFrame(gen_role_catalog())
+
+    t0 = time.perf_counter()
+    routed = route_turns(enrich_turns(parse_turns(transcripts), tool_cat, role_cat))
+    agg = routed.groupBy("sink", "tool_kind", F.date_trunc("hour", "ts")).count()
+    run_to_completion(agg)
+    pipe_dt = time.perf_counter() - t0
+    transcripts.unpersist()
+
+    out = {
+        "metric": "headline query wall time (sum) at sf; pipeline turns/sec extra",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": cpus,
+        "pipeline_sec": round(pipe_dt, 4),
+        "pipeline_turns": n_turns,
+        "turns_per_sec": round(n_turns / pipe_dt, 1) if pipe_dt > 0 else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
