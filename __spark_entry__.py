@@ -347,6 +347,108 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data curation ops (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.dedup import dup_corpus
+
+    return dup_corpus(_docs(spark, sf_dir))
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.dedup import exact_dup_groups
+
+    return exact_dup_groups(_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.dedup import minhash_signatures
+
+    return minhash_signatures(_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.dedup import simhash
+
+    return simhash(_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.dedup import simhash_pairs
+
+    return simhash_pairs(_dup_corpus(spark, sf_dir))
+
+
+def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.similarity import brute_topk
+
+    return brute_topk(_emb(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(_emb(spark, sf_dir))
+
+
+def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.multimodal import media_byte_features
+
+    return media_byte_features(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -377,6 +479,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_parent_child": q_join_parent_child,
         "join_broadcast_dims": q_join_broadcast_dims,
         "semi_join": q_semi_join,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_byte_features": q_media_byte_features,
     }
 
 
@@ -501,4 +617,26 @@ FROM routed GROUP BY 1, 2
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000)"
         ),
+        **_dataops_oracles(),
+    }
+
+
+def _dataops_oracles() -> dict[str, str]:
+    from otel_arrow_spark.dataops import dedup, multimodal, similarity, textstats
+
+    return {
+        "text_token_counts": textstats.token_counts_oracle_sql(),
+        "text_quality": textstats.quality_features_oracle_sql(),
+        "text_lang_id": textstats.lang_id_oracle_sql(),
+        "text_fingerprint": textstats.fingerprints_oracle_sql(),
+        "dedup_exact_groups": dedup.exact_dup_groups_oracle_sql(),
+        "dedup_minhash_sigs": dedup.minhash_signatures_oracle_sql(),
+        "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),
+        "dedup_simhash": dedup.simhash_oracle_sql(),
+        "dedup_simhash_pairs": dedup.simhash_pairs_oracle_sql(),
+        "dedup_embedding_neardup": dedup.embedding_neardup_pairs_oracle_sql(),
+        "ann_brute_topk": similarity.brute_topk_oracle_sql(),
+        "ann_lsh_topk": similarity.lsh_ann_topk_oracle_sql(),
+        "media_byte_features": multimodal.media_byte_features_oracle_sql(),
     }

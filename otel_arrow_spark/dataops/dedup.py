@@ -1,0 +1,494 @@
+"""Deduplication operators for corpus curation at 100 TB scale.
+
+Five families, all shuffle-disciplined:
+
+- **exact**: one hash-groupBy on ``sha2(text)`` — map-side partial agg,
+  single shuffle on the 32-byte digest (uniform keys, no skew).
+- **MinHash + LSH**: per-row narrow signature computation, then ONE
+  shuffle on ``(band_id, band_key)`` for the bucket self-join; candidate
+  verification recomputes shingle sets on the (tiny) candidate set only.
+- **n-gram Jaccard**: blocked all-pairs for small blocks — the exact
+  verifier; LSH is the scale path that feeds it candidates.
+- **SimHash**: per-row narrow bit-vector fold (no shuffle at all), then
+  byte-banded candidate join + exact Hamming filter.
+- **embedding near-dup**: label-blocked pairwise cosine; the ANN module
+  (`similarity.py`) is the scale path.
+
+Reference analog: content-hash dedup of resources/scopes before encoding
+(`go/pkg/otel/logs/arrow/optimizer.go:63-106`); everything beyond exact
+hashing is the training-data-pipeline extension.
+
+Every public operator has a ``*_oracle_sql`` twin generating the DuckDB
+SQL the driver's gate runs side-by-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.dataops.hashing import (
+    h32, h32_sql, minhash_value, minhash_value_sql, shingles, shingles_sql,
+    words_of,
+)
+
+# ---------------------------------------------------------------------------
+# deterministic dup-injected corpus (both engines derive it identically, so
+# dedup outputs are non-trivial on the synthetic documents table)
+# ---------------------------------------------------------------------------
+
+DUP_CORPUS_SQL = r"""
+SELECT doc_id, text, lang, source FROM documents
+UNION ALL
+SELECT doc_id + 1000000, regexp_replace(text, '^\S+ \S+ ', ''), lang, source
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 2000000, text, lang, source
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ near-dups (first two words dropped) ∪ exact dups."""
+    base = docs.select("doc_id", "text", "lang", "source")
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+ \S+ ", "").alias("text"),
+        "lang", "source",
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "lang", "source"
+    )
+    return base.unionByName(near).unionByName(exact)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate groups by content hash: (text_sha, canonical_id, n_copies).
+
+    Single shuffle on the digest; partial aggregation map-side. At 100 TB
+    the digest is computed in the scan stage and the shuffle carries only
+    (digest, doc_id) — no text bytes move.
+    """
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def exact_dup_groups_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL) -> str:
+    return f"""
+WITH corpus AS ({corpus_sql})
+SELECT sha256(text) AS text_sha, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, seed, minhash): k seeded min-hash coordinates per doc.
+
+    Narrow (per-row) computation — shingle set and k folds happen inside
+    codegen; nothing shuffles.
+    """
+    sh = shingles(words_of(F.col(text_col)), n)
+    sig = F.array(*[minhash_value(sh, s) for s in range(k)])
+    return (
+        docs.select("doc_id", F.posexplode(sig).alias("seed", "minhash"))
+    )
+
+
+def minhash_signatures_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
+                                  k: int = 8, n: int = 3) -> str:
+    cols = ", ".join(
+        minhash_value_sql(shingles_sql("w", n), s) + f" AS mh_{s}"
+        for s in range(k)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {s} AS seed, mh_{s} AS minhash FROM sigs"
+        for s in range(k)
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+sigs AS (
+  SELECT doc_id, {cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+)
+{unions}
+"""
+
+
+def _band_keys(sig: Column, k: int, bands: int) -> Column:
+    """Array of per-band keys: hash of the band's signature slice."""
+    r = k // bands
+    return F.array(
+        *[
+            h32(
+                F.concat_ws(",", *[
+                    F.element_at(sig, b * r + j + 1).cast("string")
+                    for j in range(r)
+                ]),
+                f"band{b}",
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
+                      n: int = 3, tau: float = 0.5,
+                      text_col: str = "text") -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH + exact Jaccard verify.
+
+    Plan shape (the part that must survive 1000 executors):
+      1. narrow: signature + band keys per row;
+      2. ONE shuffle on (band_id, band_key) via the self-join;
+      3. distinct candidate pairs (tiny);
+      4. verify: re-join the corpus twice to recompute shingle sets for
+         candidates only, exact Jaccard, filter ≥ tau.
+    """
+    sh = shingles(words_of(F.col(text_col)), n)
+    sig = F.array(*[minhash_value(sh, s) for s in range(k)])
+    banded = docs.select(
+        "doc_id", F.posexplode(_band_keys(sig, k, bands)).alias(
+            "band_id", "band_key"
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = docs.select("doc_id", sh.alias("sh"))
+    j = _jaccard(F.col("sa.sh"), F.col("sb.sh"))
+    return (
+        cands.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def minhash_lsh_pairs_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
+                                 k: int = 8, bands: int = 4, n: int = 3,
+                                 tau: float = 0.5) -> str:
+    r = k // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {h} AS band_key FROM sigs".format(
+            b=b,
+            h=h32_sql(
+                "concat_ws(',', "
+                + ", ".join(f"mh_{b * r + j}::VARCHAR" for j in range(r))
+                + ")",
+                f"band{b}",
+            ),
+        )
+        for b in range(bands)
+    )
+    cols = ", ".join(
+        minhash_value_sql(shingles_sql("w", n), s) + f" AS mh_{s}"
+        for s in range(k)
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+sigs AS (
+  SELECT doc_id, w, {cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+),
+banded AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, {shingles_sql('w', n)} AS sh
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))
+SELECT doc_a, doc_b,
+  ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) AS jaccard
+FROM cands
+JOIN sets sa ON cands.doc_a = sa.doc_id
+JOIN sets sb ON cands.doc_b = sb.doc_id
+WHERE ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+            greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) >= {tau}
+"""
+
+
+# ---------------------------------------------------------------------------
+# blocked n-gram Jaccard (exact verifier / small-block path)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, tau: float = 0.5,
+                        block_cols: tuple[str, ...] = ("lang", "source"),
+                        text_col: str = "text") -> DataFrame:
+    """All-pairs Jaccard within blocks (same lang+source by default).
+
+    Quadratic per block — correct only when blocks are bounded; at scale
+    LSH generates the candidates instead. Block keys shuffle once.
+    """
+    sh = shingles(words_of(F.col(text_col)), n)
+    sets = docs.select("doc_id", *block_cols, sh.alias("sh"))
+    a, b = sets.alias("a"), sets.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    j = _jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(j, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def ngram_jaccard_pairs_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
+                                   n: int = 3, tau: float = 0.5) -> str:
+    return f"""
+WITH corpus AS ({corpus_sql}),
+sets AS (SELECT doc_id, lang, source, {shingles_sql('w', n)} AS sh
+         FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+               FROM corpus))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+FROM sets a JOIN sets b
+  ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            greatest(len(list_distinct(a.sh || b.sh)), 1), 6) >= {tau}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: frequency-weighted bitwise majority of word hashes.
+
+    Fully narrow — the per-word hash and the per-bit vote fold run inside
+    codegen on each row; no explode, no shuffle.
+    """
+    w = words_of(F.col(text_col))
+    hashed = F.transform(w, lambda x: h32(x))
+    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    votes = F.aggregate(
+        hashed,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            # bit positions unrolled statically: shift amounts must be
+            # literals, and unrolling keeps the whole fold in codegen
+            F.array(*[
+                F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("bigint") * 2 - 1
+                for b in range(bits)
+            ]),
+            lambda x, y: x + y,
+        ),
+    )
+    with_votes = docs.select("doc_id", votes.alias("votes"))
+    sim = sum(
+        (
+            F.when(
+                F.element_at(F.col("votes"), b + 1) > 0,
+                F.lit(1 << b).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for b in range(bits)
+        ),
+        start=F.lit(0).cast("bigint"),
+    )
+    return with_votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
+                       bits: int = SIMHASH_BITS) -> str:
+    # independent formulation: per-bit vote via list_sum over word hashes
+    vote = ", ".join(
+        f"list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) AS v{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+hashed AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), s -> {h32_sql('s')}) AS hs
+  FROM corpus
+),
+votes AS (SELECT doc_id, {vote} FROM hashed)
+SELECT doc_id, {sim} AS simhash FROM votes
+"""
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
+                  bits: int = SIMHASH_BITS,
+                  text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: byte-banded candidates + Hamming filter.
+
+    Pigeonhole banding on the 4 bytes of the 32-bit hash (a pair within
+    Hamming ≤ 3 must share one byte exactly); one shuffle on
+    (byte_idx, byte_val).
+    """
+    sims = simhash(docs, text_col, bits)
+    nbytes = bits // 8
+    banded = sims.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
+                for i in range(nbytes)
+            ])
+        ).alias("byte_idx", "byte_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.byte_idx") == F.col("b.byte_idx"))
+            & (F.col("a.byte_val") == F.col("b.byte_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
+                             max_hamming: int = 6,
+                             bits: int = SIMHASH_BITS) -> str:
+    base = simhash_oracle_sql(corpus_sql, bits)
+    nbytes = bits // 8
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS byte_idx, "
+        f"(simhash >> {8 * i}) & 255 AS byte_val FROM sims"
+        for i in range(nbytes)
+    )
+    return f"""
+WITH sims AS ({base}),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b
+  ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _to_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
+
+
+COSINE_SQL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    d = COSINE_SQL.format(a=a, b=b)
+    na = COSINE_SQL.format(a=a, b=a)
+    nb = COSINE_SQL.format(a=b, b=b)
+    return f"({d} / sqrt({na}) / sqrt({nb}))"
+
+
+def embedding_neardup_pairs(emb: DataFrame, tau: float = 0.4,
+                            block_col: str | None = "label") -> DataFrame:
+    """Pairs of embeddings with cosine ≥ tau, blocked to bound the join.
+
+    Blocking on `label` keeps the pairwise term linear in block size; at
+    100 TB the ANN path (`similarity.lsh_ann_topk`) generates candidates
+    instead of blocking.
+    """
+    cols = ["vec_id", "embedding"] + ([block_col] if block_col else [])
+    e = emb.select(*cols)
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    c = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            c.alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+
+
+def embedding_neardup_pairs_oracle_sql(tau: float = 0.4,
+                                       block_col: str | None = "label") -> str:
+    cos = cosine_sql("a.embedding", "b.embedding")
+    block = f"AND a.{block_col} = b.{block_col}" if block_col else ""
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({cos}, 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id {block}
+WHERE ROUND({cos}, 6) >= {tau}
+"""

@@ -1,0 +1,202 @@
+"""Training-data curation ops: dedup, similarity, textstats, multimodal.
+
+Oracle equivalence for these operators is driver-gated via
+``__spark_entry__.oracle_sql()``; this suite covers the invariants an
+oracle can't express (recall of LSH vs brute force, determinism across
+partitionings, non-ASCII payloads, the Arrow-batched scale paths).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def corpus(docs):
+    from otel_arrow_spark.dataops.dedup import dup_corpus
+
+    return dup_corpus(docs).cache()
+
+
+def test_exact_dedup_finds_injected_dups(corpus, docs):
+    from otel_arrow_spark.dataops.dedup import exact_dup_groups
+
+    groups = exact_dup_groups(corpus).collect()
+    n_exact = docs.filter(F.col("doc_id") % 10 == 0).count()
+    assert len(groups) == n_exact
+    assert all(g.n_copies == 2 for g in groups)
+    # canonical id is always the original (smaller) doc_id
+    assert all(g.canonical_id < 2000000 for g in groups)
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(corpus):
+    """Every injected near-dup pair above tau must be caught by LSH
+    banding (8 hashes / 4 bands → bands of 2; near-identical sets agree
+    on some band with overwhelming probability)."""
+    from otel_arrow_spark.dataops.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(corpus, tau=0.5).collect()
+    }
+    # injected exact dups (jaccard 1.0) must all be found
+    exact_pairs = {
+        (r.doc_id, r.doc_id + 2000000)
+        for r in corpus.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 1000000)
+        ).select("doc_id").collect()
+    }
+    assert exact_pairs <= pairs
+    # injected near-dups: ≥90% recall at this signature size
+    near_ids = [
+        r.doc_id
+        for r in corpus.filter(
+            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 1000000)
+        ).select("doc_id").collect()
+    ]
+    near_pairs = {(i, i + 1000000) for i in near_ids}
+    found = len(near_pairs & pairs)
+    assert found >= 0.9 * len(near_pairs)
+
+
+def test_simhash_deterministic_across_partitionings(corpus):
+    from otel_arrow_spark.dataops.dedup import simhash
+
+    a = {r.doc_id: r.simhash for r in simhash(corpus).collect()}
+    b = {
+        r.doc_id: r.simhash
+        for r in simhash(corpus.repartition(7)).collect()
+    }
+    assert a == b
+    assert all(0 <= v < (1 << 32) for v in a.values())
+
+
+def test_simhash_near_dups_are_close(docs):
+    """Dropping two words moves few simhash bits; unrelated docs differ."""
+    from otel_arrow_spark.dataops.dedup import dup_corpus, simhash
+
+    sims = {r.doc_id: r.simhash for r in simhash(dup_corpus(docs)).collect()}
+    near = [i for i in sims if 1000000 <= i < 2000000]
+    assert near
+    ham = lambda a, b: bin(a ^ b).count("1")
+    dists = [ham(sims[i], sims[i - 1000000]) for i in near]
+    assert sum(dists) / len(dists) <= 6
+
+
+def test_ann_lsh_subset_of_brute_candidates(emb):
+    """LSH top-k cosines can never exceed brute-force top-k cosines, and
+    every LSH neighbor must appear in the brute-force full ranking."""
+    from otel_arrow_spark.dataops.similarity import brute_topk, lsh_ann_topk
+
+    brute = brute_topk(emb, k=5, every=10).collect()
+    approx = lsh_ann_topk(emb, k=5, every=10).collect()
+    best = {}
+    for r in brute:
+        best.setdefault(r.q_id, r.cos)  # rank 1 first? ensure via max
+        best[r.q_id] = max(best[r.q_id], r.cos)
+    for r in approx:
+        assert r.cos <= best[r.q_id] + 1e-9
+
+
+def test_embedding_neardup_symmetric_bound(emb):
+    from otel_arrow_spark.dataops.dedup import embedding_neardup_pairs
+
+    rows = embedding_neardup_pairs(emb, tau=0.3).collect()
+    assert all(r.vec_a < r.vec_b for r in rows)
+    assert all(-1.0001 <= r.cos <= 1.0001 for r in rows)
+
+
+def test_rolling_fingerprint_equal_texts(spark):
+    from otel_arrow_spark.dataops.textstats import rolling_fingerprints_pandas
+
+    pdf = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different document body here"),
+            (4, ""),
+            (5, "héllo wörld — ünïcode bytes too"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp_roll for r in rolling_fingerprints_pandas(pdf).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    assert fps[4] == 0
+    assert fps[5] != 0
+
+
+def test_lang_id_deterministic_tiebreak(spark):
+    from otel_arrow_spark.dataops.textstats import lang_id
+
+    pdf = spark.createDataFrame(
+        [
+            (1, "the cat and the dog", "en"),
+            (2, "el perro y la casa que no se", "es"),
+            (3, "zzz qqq xxx", "??"),  # no stopword hits → und
+            (4, "de la en", "??"),  # es/fr tie → precedence picks es
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r.pred_lang for r in lang_id(pdf).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+    assert out[4] == "es"
+
+
+def test_quality_score_ranges(docs):
+    from otel_arrow_spark.dataops.textstats import quality_features
+
+    rows = quality_features(docs).collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+    assert all(0.0 <= r.punct_ratio <= 1.0 for r in rows)
+
+
+def test_multimodal_features_non_ascii(spark):
+    """byte-level features must be byte-correct, not codepoint-correct."""
+    from otel_arrow_spark.dataops.multimodal import extract_features, synth_media
+
+    pdf = spark.createDataFrame(
+        [(1, "héllo", "en", "s", 5), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.media_id: r for r in extract_features(synth_media(pdf)).collect()}
+    assert out[1].n_bytes == len("héllo".encode("utf-8"))  # 6, not 5
+    assert out[1].head_byte == ord("h")
+    assert out[2].n_bytes == 0 and out[2].head_byte == -1
+    assert out[1].byte_sum == sum("héllo".encode("utf-8"))
+
+
+def test_frame_sample_shapes(docs):
+    from otel_arrow_spark.dataops.multimodal import frame_sample, synth_media
+
+    frames = frame_sample(synth_media(docs), every_n=4)
+    rows = frames.collect()
+    assert rows, "video payloads must produce frames"
+    assert all(r.frame_idx % 4 == 0 for r in rows)
+    assert all(len(r.frame) <= 32 for r in rows)
+
+
+def test_no_shuffle_in_narrow_ops(docs):
+    """simhash / fingerprints / token counts are per-row: their physical
+    plans must not contain an Exchange."""
+    from otel_arrow_spark.dataops.dedup import simhash
+    from otel_arrow_spark.dataops.textstats import fingerprints, token_counts
+
+    for frame in (simhash(docs), fingerprints(docs), token_counts(docs)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
