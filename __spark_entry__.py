@@ -347,6 +347,61 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# attribute (EAV / map) transforms — attributes processor analog
+# ---------------------------------------------------------------------------
+
+def q_attrs_eav_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed attrs map normalized to the tall-skinny EAV table
+    (`docs/data_model.md:296-306` LOG_ATTRS analog)."""
+    from otel_arrow_spark.operators.attrs import explode_attrs
+    from otel_arrow_spark.parse import parse_turns
+
+    parsed = parse_turns(_derived_transcripts(spark, sf_dir))
+    return explode_attrs(parsed)
+
+
+def q_attrs_rename_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attributes processor rename+delete (`attributes_processor.rs:67-110`)."""
+    from otel_arrow_spark.operators.attrs import (
+        delete_keys_eav, explode_attrs, rename_keys_eav,
+    )
+    from otel_arrow_spark.parse import parse_turns
+
+    eav = explode_attrs(parse_turns(_derived_transcripts(spark, sf_dir)))
+    eav = rename_keys_eav(eav, {"code": "status_code", "src": "source_host"})
+    return delete_keys_eav(eav, ["act"])
+
+
+def q_attrs_keys_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map round-trip: explode → collect → sorted key list per turn."""
+    from otel_arrow_spark.operators.attrs import collect_attrs, explode_attrs
+    from otel_arrow_spark.parse import parse_turns
+
+    eav = explode_attrs(parse_turns(_derived_transcripts(spark, sf_dir)))
+    maps = collect_attrs(eav)
+    return maps.select(
+        "conv_id", "turn_idx",
+        F.size("attrs").alias("n_attrs"),
+        F.array_join(F.array_sort(F.map_keys("attrs")), ",").alias("keys_csv"),
+    )
+
+
+ATTRS_EAV_ORACLE = r"""
+SELECT conv_id, turn_idx, key, value FROM (
+  SELECT conv_id, turn_idx, 'code' AS key,
+         regexp_extract(text, 'code="([^"]*)"', 1) AS value
+  FROM routed WHERE format = 'rfc5424'
+  UNION ALL
+  SELECT conv_id, turn_idx, 'src', regexp_extract(text, 'src=([^ ]*)', 1)
+  FROM routed WHERE format = 'cef' AND regexp_matches(text, 'src=')
+  UNION ALL
+  SELECT conv_id, turn_idx, 'act', regexp_extract(text, 'act=([^ ]*)', 1)
+  FROM routed WHERE format = 'cef' AND regexp_matches(text, 'act=')
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # training-data curation ops (documents / embeddings tables)
 # ---------------------------------------------------------------------------
 
@@ -479,6 +534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_parent_child": q_join_parent_child,
         "join_broadcast_dims": q_join_broadcast_dims,
         "semi_join": q_semi_join,
+        "attrs_eav_rows": q_attrs_eav_rows,
+        "attrs_rename_delete": q_attrs_rename_delete,
+        "attrs_keys_summary": q_attrs_keys_summary,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -616,6 +674,23 @@ FROM routed GROUP BY 1, 2
         "semi_join": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000)"
+        ),
+        "attrs_eav_rows": _parsed_oracle(ATTRS_EAV_ORACLE),
+        "attrs_rename_delete": _parsed_oracle(
+            f"""
+SELECT conv_id, turn_idx,
+  CASE key WHEN 'code' THEN 'status_code' WHEN 'src' THEN 'source_host'
+       ELSE key END AS key,
+  value
+FROM ({ATTRS_EAV_ORACLE}) WHERE key != 'act'
+"""
+        ),
+        "attrs_keys_summary": _parsed_oracle(
+            f"""
+SELECT conv_id, turn_idx, CAST(count(*) AS INT) AS n_attrs,
+       string_agg(key, ',' ORDER BY key) AS keys_csv
+FROM ({ATTRS_EAV_ORACLE}) GROUP BY conv_id, turn_idx
+"""
         ),
         **_dataops_oracles(),
     }

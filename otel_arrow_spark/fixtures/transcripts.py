@@ -251,17 +251,29 @@ def write_fixture_tables(root: str, n_rows: int, seed: int = SEED) -> dict[str, 
             ("ts", pa.timestamp("us")),
         ]
     )
-    chunk = 1_000_000
+    # Many part files (≥64 for big fixtures) so the Spark scan gets
+    # enough input splits to feed every core — a single fat file with
+    # 1M-row row groups serializes the read stage.
+    chunk = min(1_000_000, max(n_rows // 64, 31_250))
     path = os.path.join(root, "transcripts.parquet")
-    with pq.ParquetWriter(path, schema, compression="zstd") as w:
-        done = 0
-        part = 0
-        while done < n_rows:
-            n = min(chunk, n_rows - done)
-            pdf = gen_transcripts_pdf(n, seed + part)
-            w.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False))
-            done += n
-            part += 1
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    done = 0
+    part = 0
+    while done < n_rows:
+        n = min(chunk, n_rows - done)
+        pdf = gen_transcripts_pdf(n, seed + part)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            os.path.join(path, f"part-{part:05d}.parquet"),
+            compression="zstd",
+            row_group_size=max(n // 4, 8192),
+        )
+        done += n
+        part += 1
     out["transcripts"] = path
     for name, df in [("tool_catalog", gen_tool_catalog()), ("role_catalog", gen_role_catalog())]:
         p = os.path.join(root, f"{name}.parquet")

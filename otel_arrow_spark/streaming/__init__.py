@@ -1,0 +1,15 @@
+from otel_arrow_spark.streaming.pipeline import (
+    TRANSCRIPT_SCHEMA,
+    conversation_sessions,
+    read_transcript_stream,
+    stream_pipeline,
+    windowed_sink_counts,
+)
+
+__all__ = [
+    "TRANSCRIPT_SCHEMA",
+    "conversation_sessions",
+    "read_transcript_stream",
+    "stream_pipeline",
+    "windowed_sink_counts",
+]

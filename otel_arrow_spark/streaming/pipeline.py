@@ -1,0 +1,164 @@
+"""Structured Streaming form of the parse→enrich→route pipeline.
+
+The reference is a continuous dataflow: receivers push micro-batches
+through processors to exporters, flushing on size/timer
+(`crates/otap/src/otap_batch_processor.rs:36-100`; syslog receiver
+batches 100 msgs / 100 ms, `syslog_cef_receiver.rs:40-41`). It has no
+event-time watermarks or windows (SURVEY §2.12) — wall-clock timers
+only — so Spark's processing-time triggers strictly subsume it; we add
+event-time windowed aggregation with watermarks as the scale-correct
+extension for late data.
+
+Design notes for 100 TB/day streams:
+
+- The SAME parse/enrich/route functions are reused — they are narrow
+  transformations, identical in batch and streaming plans.
+- The routed file sink is Spark's transactional file sink (checkpoint +
+  manifest → exactly-once per micro-batch), partitioned by sink.
+- The stateful sessionizer uses ``applyInPandasWithState`` (Arrow
+  batches, state pruned by timeout) — bounded memory per key, scales
+  with shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over transcript parquet (micro-batch = receiver
+    batch; `maxFilesPerTrigger` plays `MAX_BATCH_SIZE`)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    tool_catalog: DataFrame,
+    role_catalog: DataFrame,
+    available_now: bool = True,
+):
+    """parse→enrich→route as a stream; routed rows land in a partitioned,
+    transactional file sink. Returns the started StreamingQuery.
+
+    Batch/stream parity: the transformation subtree is the exact batch
+    code (narrow ops stay narrow under micro-batching), so routed-row
+    equality vs the batch pipeline holds per construction and is gated
+    in tests.
+    """
+    from otel_arrow_spark.enrich import enrich_turns
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+
+    stream = read_transcript_stream(spark, input_dir)
+    routed = route_turns(enrich_turns(parse_turns(stream), tool_catalog, role_catalog))
+    writer = (
+        routed.writeStream.format("parquet")
+        .partitionBy("sink")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_sink_counts(routed_stream: DataFrame,
+                         watermark: str = "2 hours",
+                         window: str = "1 hour") -> DataFrame:
+    """Event-time windowed per-sink counts with late-data watermark.
+
+    Append-mode-safe: a window finalizes once the watermark passes its
+    end, so each (window, sink) count is emitted exactly once.
+    """
+    return (
+        routed_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("sink"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "sink",
+            "n_turns",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("last_ts", LongType()),  # epoch micros
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("closed", StringType()),
+    ]
+)
+
+
+def conversation_sessions(transcripts: DataFrame,
+                          timeout_ms: int = 30_000) -> DataFrame:
+    """Custom stateful operator: per-conversation running session state
+    via ``applyInPandasWithState`` (Arrow-batched; the Spark analog of
+    the reference's per-node accumulator state, SURVEY §2.12).
+
+    Emits a row per conversation per trigger with the running turn count;
+    emits a final ``closed='timeout'`` row when the conversation goes
+    idle past the processing-time timeout.
+    """
+    import pandas as pd
+
+    def _update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [conv_id], "n_turns": [n], "closed": ["timeout"]}
+            )
+            return
+        n, last = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, last))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"conv_id": [conv_id], "n_turns": [n], "closed": ["open"]}
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        _update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -25,6 +25,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-slices", type=int, default=8, help="checkpoint slices (resume granularity)")
     ap.add_argument("--resume", action="store_true", help="skip slices already completed")
     ap.add_argument("--fail-on-slice", type=int, default=None, help="inject failure (testing)")
+    ap.add_argument("--bench", action="store_true",
+                    help="single-pass throughput mode: parse→enrich→route→"
+                         "sink write + counts, no checkpoint slicing")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="bench repetitions (best run reported)")
     args = ap.parse_args(argv)
 
     from otel_arrow_spark.catalog import Catalog
@@ -45,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     transcripts = spark.read.parquet(tpath)
     tools = spark.read.parquet(os.path.join(args.input, "tool_catalog.parquet"))
     roles = spark.read.parquet(os.path.join(args.input, "role_catalog.parquet"))
+
+    if args.bench:
+        return _bench(spark, args, transcripts, tools, roles)
 
     catalog = Catalog(spark, args.output)
     if not args.resume:
@@ -71,6 +79,50 @@ def main(argv: list[str] | None = None) -> int:
         "elapsed_sec": round(elapsed, 2),
         "turns_per_sec": round(n / elapsed, 1),
         "output": args.output,
+    }))
+    return 0
+
+
+def _bench(spark, args, transcripts, tools, roles) -> int:
+    """Single-pass throughput: the full dataflow incl. partitioned sink
+    write, one Spark job graph — the unit the scaling-efficiency rule
+    measures at two parallelism levels."""
+    from pyspark.sql import functions as F
+
+    from otel_arrow_spark.enrich import enrich_turns
+    from otel_arrow_spark.lineage import with_slice
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+
+    best = None
+    for rep in range(max(args.repeat, 1)):
+        t0 = time.time()
+        routed = route_turns(
+            enrich_turns(parse_turns(transcripts), tools, roles)
+        )
+        routed = with_slice(routed, args.n_slices)
+        out = os.path.join(args.output, f"routed_bench_{rep}")
+        routed.write.mode("overwrite").partitionBy("sink").parquet(out)
+        counts = {
+            r["sink"]: r["n"]
+            for r in spark.read.parquet(out)
+            .groupBy("sink")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(counts.values())
+        dt = time.time() - t0
+        if best is None or dt < best[0]:
+            best = (dt, n, counts)
+    dt, n, counts = best
+    print(json.dumps({
+        "mode": "bench",
+        "rows": n,
+        "sink_counts": counts,
+        "elapsed_sec": round(dt, 2),
+        "turns_per_sec": round(n / dt, 1),
+        "master": spark.sparkContext.master,
+        "repeats": args.repeat,
     }))
     return 0
 

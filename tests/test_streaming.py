@@ -1,0 +1,144 @@
+"""Structured Streaming pipeline: batch/stream parity, watermark windows,
+custom stateful sessionization."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(tmp_path_factory, spark, fixture_pdf):
+    root = tmp_path_factory.mktemp("stream")
+    in_dir, out_dir, ckpt = (
+        str(root / "in"), str(root / "out"), str(root / "ckpt")
+    )
+    # several input files → several micro-batch units
+    df = spark.createDataFrame(fixture_pdf).repartition(4)
+    df.write.mode("overwrite").parquet(in_dir)
+    return in_dir, out_dir, ckpt
+
+
+def test_stream_equals_batch_routing(spark, stream_dirs, catalogs, fixture_pdf):
+    from otel_arrow_spark.enrich import enrich_turns
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+    from otel_arrow_spark.streaming import stream_pipeline
+
+    in_dir, out_dir, ckpt = stream_dirs
+    tools, roles = catalogs
+    q = stream_pipeline(spark, in_dir, out_dir, ckpt, tools, roles)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = route_turns(
+        enrich_turns(
+            parse_turns(spark.read.parquet(in_dir)), tools, roles
+        )
+    )
+    s_counts = {
+        r["sink"]: r["n"]
+        for r in streamed.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    b_counts = {
+        r["sink"]: r["n"]
+        for r in batch.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert s_counts == b_counts
+    assert sum(s_counts.values()) == len(fixture_pdf)
+
+    # routed-row-set equality (conv_id, turn_idx, sink) — the reference's
+    # equivalence discipline applied to the streaming sink
+    s_rows = {
+        (r.conv_id, r.turn_idx, r.sink)
+        for r in streamed.select("conv_id", "turn_idx", "sink").collect()
+    }
+    b_rows = {
+        (r.conv_id, r.turn_idx, r.sink)
+        for r in batch.select("conv_id", "turn_idx", "sink").collect()
+    }
+    assert s_rows == b_rows
+
+
+def test_stream_resume_no_duplicates(spark, stream_dirs, catalogs):
+    """Restarting the availableNow query from the same checkpoint must be
+    a no-op (transactional file sink, no double-writes)."""
+    from otel_arrow_spark.streaming import stream_pipeline
+
+    in_dir, out_dir, ckpt = stream_dirs
+    tools, roles = catalogs
+    before = spark.read.parquet(out_dir).count()
+    q = stream_pipeline(spark, in_dir, out_dir, ckpt, tools, roles)
+    q.awaitTermination(120)
+    after = spark.read.parquet(out_dir).count()
+    assert before == after
+
+
+def test_windowed_counts_with_watermark(spark, stream_dirs, catalogs):
+    from otel_arrow_spark.enrich import enrich_turns
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+    from otel_arrow_spark.streaming import (
+        read_transcript_stream, windowed_sink_counts,
+    )
+
+    in_dir, _out, _c = stream_dirs
+    tools, roles = catalogs
+    stream = read_transcript_stream(spark, in_dir)
+    routed = route_turns(enrich_turns(parse_turns(stream), tools, roles))
+    counts = windowed_sink_counts(routed)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.sink): r.n_turns
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = route_turns(
+        enrich_turns(parse_turns(spark.read.parquet(in_dir)), tools, roles)
+    )
+    exp = {
+        (r.h, r.sink): r.n
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "sink"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == exp
+
+
+def test_stateful_sessionization(spark, stream_dirs):
+    from otel_arrow_spark.streaming import (
+        conversation_sessions, read_transcript_stream,
+    )
+
+    in_dir, _out, _c = stream_dirs
+    stream = read_transcript_stream(spark, in_dir)
+    sessions = conversation_sessions(stream)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT conv_id, max(n_turns) AS n FROM sessions "
+        "WHERE closed = 'open' GROUP BY conv_id"
+    ).collect()
+    got = {r.conv_id: r.n for r in rows}
+    exp = {
+        r.conv_id: r.n
+        for r in spark.read.parquet(in_dir)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp

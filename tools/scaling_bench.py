@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Two-level scaling-efficiency bench (north_rule evidence).
+
+Runs the identical parse→enrich→route→sink job via ``spark-submit
+--py-files`` at two parallelism levels (default local[8] vs local[32] —
+the sandbox stand-in for N vs 4N executors) over the same generated
+transcript fixture, and writes throughput + scaling efficiency to
+``BENCH/BASELINE.md`` and ``BENCH/scaling.json``.
+
+Efficiency = (tps_4N / tps_N) / (cores_4N / cores_N); north_rule demands
+≥ 0.8.
+
+Usage: python tools/scaling_bench.py [--rows 2000000] [--low 8 --high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cores: int, in_dir: str, out_dir: str, zip_path: str,
+              n_slices: int, repeat: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_MASTER=f"local[{cores}]",
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=str(max(cores * 2, 16)),
+        SPARK_GRAFT_DRIVER_MEM="48g",
+    )
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]",
+        "--driver-memory", "48g",
+        "--py-files", zip_path,
+        os.path.join(REPO, "run_pipeline.py"),
+        "--input", in_dir, "--output", out_dir,
+        "--bench", "--repeat", str(repeat), "--n-slices", str(n_slices),
+    ]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"no JSON from local[{cores}]:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--n-slices", type=int, default=64)
+    ap.add_argument("--workdir", default="/tmp/scale_bench")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    in_dir = os.path.join(args.workdir, f"in_{args.rows}")
+    tpath = os.path.join(in_dir, "transcripts.parquet")
+    if not os.path.exists(tpath):
+        from otel_arrow_spark.fixtures import write_fixture_tables
+
+        print(f"generating {args.rows}-row fixture at {in_dir} ...")
+        write_fixture_tables(in_dir, args.rows)
+
+    zip_path = os.path.join(args.workdir, "otel_arrow_spark.zip")
+    if os.path.exists(zip_path):
+        os.remove(zip_path)
+    subprocess.run(
+        ["zip", "-qr", zip_path, "otel_arrow_spark", "-x", "*.pyc"],
+        cwd=REPO, check=True,
+    )
+
+    results = {}
+    for cores in (args.low, args.high):
+        out_dir = os.path.join(args.workdir, f"out_{cores}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        r = run_level(cores, in_dir, out_dir, zip_path, args.n_slices,
+                      args.repeat)
+        r["wall_incl_startup"] = round(time.time() - t0, 1)
+        results[cores] = r
+        print(f"local[{cores}]: {r['turns_per_sec']} turns/s "
+              f"({r['elapsed_sec']}s for {r['rows']} rows)")
+
+    lo, hi = results[args.low], results[args.high]
+    speedup = hi["turns_per_sec"] / lo["turns_per_sec"]
+    eff = speedup / (args.high / args.low)
+    summary = {
+        "rows": args.rows,
+        "low_cores": args.low,
+        "high_cores": args.high,
+        "tps_low": lo["turns_per_sec"],
+        "tps_high": hi["turns_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "passes_north_rule": eff >= 0.8,
+        "sink_counts_equal": lo["sink_counts"] == hi["sink_counts"],
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump({"levels": {str(k): v for k, v in results.items()},
+                   "summary": summary}, f, indent=2)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured scaling evidence (north_rule)
+
+Same job (`run_pipeline.py --bench`: read parquet → vectorized parse →
+broadcast enrich → deterministic route → partitioned sink write → per-sink
+counts) via `spark-submit --py-files` over the identical
+{args.rows:,}-row seeded transcript fixture, at two parallelism levels
+(single-node stand-in for N vs 4N executors; no real cluster in the
+sandbox).
+
+| level | cores | turns/sec | elapsed (s) | rows |
+|---|---|---|---|---|
+| N  | {args.low} | {lo['turns_per_sec']:,} | {lo['elapsed_sec']} | {lo['rows']:,} |
+| 4N | {args.high} | {hi['turns_per_sec']:,} | {hi['elapsed_sec']} | {hi['rows']:,} |
+
+- **Speedup {args.low}→{args.high} cores:** ×{speedup:.2f}
+- **Scaling efficiency:** {eff:.3f} (north_rule requires ≥ 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'})
+- **Per-sink counts identical across levels:** {lo['sink_counts'] == hi['sink_counts']}
+  (router output is a pure function of row content, never of parallelism)
+- Per-sink counts: `{json.dumps(lo['sink_counts'])}`
+- Config: shuffle.partitions = 2×cores, AQE on, zstd parquet, best of
+  {args.repeat} repetitions (steady-state; JVM/session startup excluded).
+
+Reproduce: `python tools/scaling_bench.py --rows {args.rows}`
+""")
+    print(f"wrote BENCH/BASELINE.md (efficiency {eff:.3f})")
+    return 0 if eff >= 0.8 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
