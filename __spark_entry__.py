@@ -347,6 +347,49 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KQL text queries (string → parser → Catalyst; SURVEY §3.1)
+# ---------------------------------------------------------------------------
+
+def q_kql_text_where_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | where value > 20 and event_type !in ('signup')"
+        " | summarize n = count(), avg_v = avg(value) by event_type, h = bin(ts, 1h)"
+        " | project event_type, h, n, avg_v = round(avg_v, 6)",
+    )
+
+
+def q_kql_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return kql(
+        orders,
+        "orders | order by o_totalprice desc, o_orderkey asc | take 50"
+        " | project o_orderkey, o_totalprice",
+    )
+
+
+def q_kql_text_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (part,) = _tables(spark, sf_dir, "part")
+    return kql(
+        part,
+        "part | extend sz = iff(p_size >= 25, 'large', 'small'),"
+        " cls = case(p_retailprice > 1500, 'prem', p_retailprice > 1000, 'mid', 'base'),"
+        " tag = strcat(p_brand, ':', tostring(p_size)),"
+        " head = substring(p_name, 0, 4)"
+        " | where p_name contains 'red' or p_type startswith 'SMALL'"
+        " | project p_partkey, sz, cls, tag, head",
+    )
+
+
+# ---------------------------------------------------------------------------
 # attribute (EAV / map) transforms — attributes processor analog
 # ---------------------------------------------------------------------------
 
@@ -534,6 +577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_parent_child": q_join_parent_child,
         "join_broadcast_dims": q_join_broadcast_dims,
         "semi_join": q_semi_join,
+        "kql_text_where_summarize": q_kql_text_where_summarize,
+        "kql_text_topk": q_kql_text_topk,
+        "kql_text_scalars": q_kql_text_scalars,
         "attrs_eav_rows": q_attrs_eav_rows,
         "attrs_rename_delete": q_attrs_rename_delete,
         "attrs_keys_summary": q_attrs_keys_summary,
@@ -674,6 +720,26 @@ FROM routed GROUP BY 1, 2
         "semi_join": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000)"
+        ),
+        "kql_text_where_summarize": (
+            "SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n, "
+            "ROUND(AVG(value), 6) AS avg_v FROM events "
+            "WHERE value > 20 AND event_type NOT IN ('signup') "
+            "GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "kql_text_topk": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"
+        ),
+        "kql_text_scalars": (
+            "SELECT p_partkey, "
+            "CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS sz, "
+            "CASE WHEN p_retailprice > 1500 THEN 'prem' "
+            "WHEN p_retailprice > 1000 THEN 'mid' ELSE 'base' END AS cls, "
+            "p_brand || ':' || p_size::VARCHAR AS tag, "
+            "substr(p_name, 1, 4) AS head "
+            "FROM part WHERE contains(lower(p_name), 'red') "
+            "OR starts_with(lower(p_type), 'small')"
         ),
         "attrs_eav_rows": _parsed_oracle(ATTRS_EAV_ORACLE),
         "attrs_rename_delete": _parsed_oracle(

@@ -119,5 +119,13 @@ def bin_(col: Column | str, width: str) -> Column:
     unit_map = {"1h": "hour", "1d": "day", "1m": "minute", "1s": "second"}
     if width in unit_map:
         return F.date_trunc(unit_map[width], c)
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(d|h|m|s)", str(width))
+    if m:  # general time width: floor epoch seconds to the bucket
+        secs = int(m.group(1)) * {"d": 86400, "h": 3600, "m": 60, "s": 1}[m.group(2)]
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(c) / F.lit(secs)) * F.lit(secs)
+        )
     w = float(width)
     return F.floor(c / F.lit(w)) * F.lit(w)

@@ -1,0 +1,587 @@
+"""KQL-subset parser: query string → DataFrame logical plan.
+
+The reference parses KQL with a pest PEG grammar into an expression IR
+and interprets it row-at-a-time (`rust/experimental/query_engine/
+kql-parser/src/kql.pest`, entry rule :330-336; tabular parsers
+`tabular_expressions.rs`; IR `expressions/src`; interpreter
+`engine-recordset/src/engine.rs`). Here the parser compiles the same
+surface **directly to Catalyst expressions** — the optimizer and
+whole-stage codegen replace the IR optimizer and interpreter
+(SURVEY §3.1).
+
+Supported tabular operators (grammar refs into `tabular_expressions.rs`):
+
+    where <pred>                 (:327-349)
+    extend a = e, b = e2         (:20-46)
+    project a, b = e             (:47-115)
+    project-keep  p1, p2*        (:116-190)
+    project-away  p1, p2*        (:191-265)
+    project-rename new = old     (:266-326)
+    summarize agg() [by k1, …]   (:350-490)
+    order by c [asc|desc]        (DataFusion example analog)
+    take / limit N
+    count
+    distinct c1, …
+
+Scalar surface (kql.pest:22-47 operators, :118-208 functions):
+arithmetic, comparisons incl. case-insensitive ``=~``/``!~``, boolean
+``and/or/not()``, ``contains/has/startswith/endswith`` (+ ``_cs``
+variants), ``in/!in/in~``, ``matches regex``, ``iff/iif``, ``case``,
+``coalesce``, ``bin``, string/convert/parse/temporal/collection
+functions per the mapping table in SURVEY §2.10.
+
+Deliberately not supported (reference-absent or out of scope): joins in
+KQL text (the reference language has none), ``let`` bindings (use
+Python variables), ``dynamic()`` literals.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from fnmatch import fnmatch
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class KqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<datetime>datetime\(\s*[^)]*\))
+  | (?P<timespan>\d+(?:\.\d+)?(?:ms|d|h|m|s)\b)
+  | (?P<number>\d+\.\d+|\d+|0x[0-9a-fA-F]+)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<op>=~|!~|==|!=|<=|>=|<|>|\+|-|\*|/|%|=|\(|\)|\[|\]|,|\.)
+  | (?P<bang_ident>![a-zA-Z_][a-zA-Z0-9_]*~?)  # !in, !in~, !contains…
+  | (?P<ident>[a-zA-Z_][a-zA-Z0-9_]*~?)        # idents and in~ / =~ words
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def tokenize(s: str) -> list[Tok]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise KqlError(f"lex error at {s[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Tok(kind, m.group()))
+    out.append(Tok("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# expression parser (Pratt)
+# ---------------------------------------------------------------------------
+
+_FUNC_MAP_SIMPLE = {
+    # text (text_scalar_expression.rs:7-22)
+    "strlen": lambda a: F.length(a[0]),
+    "strcat": lambda a: F.concat(*a),
+    "replace_string": lambda a: F.replace(a[0], a[1], a[2]),
+    "extract": lambda a: F.regexp_extract(a[2], _lit_str(a[0]), _lit_int(a[1])),
+    "tolower": lambda a: F.lower(a[0]),
+    "toupper": lambda a: F.upper(a[0]),
+    "trim": lambda a: F.trim(a[1] if len(a) > 1 else a[0]),
+    "split": lambda a: F.split(a[0], _lit_str(a[1])),
+    "array_join": lambda a: F.array_join(a[0], _lit_str(a[1])),
+    # conversion (convert_scalar_expression.rs:7-24)
+    "tobool": lambda a: a[0].cast("boolean"),
+    "toint": lambda a: a[0].cast("int"),
+    "tolong": lambda a: a[0].cast("bigint"),
+    "todouble": lambda a: a[0].cast("double"),
+    "toreal": lambda a: a[0].cast("double"),
+    "tostring": lambda a: a[0].cast("string"),
+    "todatetime": lambda a: a[0].cast("timestamp"),
+    # conditional (scalar_expressions.rs:26-38)
+    "iff": lambda a: F.when(a[0], a[1]).otherwise(a[2]),
+    "iif": lambda a: F.when(a[0], a[1]).otherwise(a[2]),
+    "coalesce": lambda a: F.coalesce(*a),
+    "isnull": lambda a: a[0].isNull(),
+    "isnotnull": lambda a: a[0].isNotNull(),
+    "isempty": lambda a: a[0].isNull() | (a[0] == ""),
+    "isnotempty": lambda a: a[0].isNotNull() & (a[0] != ""),
+    "not": lambda a: ~a[0],
+    # math (math_scalar_expression.rs:7-34)
+    "floor": lambda a: F.floor(a[0]),
+    "ceiling": lambda a: F.ceil(a[0]),
+    "abs": lambda a: F.abs(a[0]),
+    "round": lambda a: F.round(a[0], _lit_int(a[1]) if len(a) > 1 else 0),
+    "exp": lambda a: F.exp(a[0]),
+    "log": lambda a: F.log(a[0]),
+    "sqrt": lambda a: F.sqrt(a[0]),
+    "pow": lambda a: F.pow(a[0], a[1]),
+    # parse (parse_scalar_expression.rs:7-14)
+    "parse_json": lambda a: F.parse_json(a[0]),
+    "extract_json": lambda a: F.get_json_object(a[1], _lit_str(a[0])),
+    # temporal (temporal_scalar_expression.rs:7-10)
+    "now": lambda a: F.current_timestamp(),
+    "startofday": lambda a: F.date_trunc("day", a[0]),
+    "startofhour": lambda a: F.date_trunc("hour", a[0]),
+    # collection (collection_scalar_expression.rs:7-13)
+    "array_concat": lambda a: F.concat(*a),
+    "array_length": lambda a: F.size(a[0]),
+    "pack_array": lambda a: F.array(*a),
+    # misc
+    "strlen_bytes": lambda a: F.octet_length(a[0]),
+    "hash_sha256": lambda a: F.sha2(a[0], 256),
+}
+
+_AGG_MAP = {
+    # summary_data_expression.rs:215-221
+    "count": lambda a: F.count(F.lit(1)) if not a else F.count(a[0]),
+    "countif": lambda a: F.count(F.when(a[0], 1)),
+    "sum": lambda a: F.sum(a[0]),
+    "avg": lambda a: F.avg(a[0]),
+    "min": lambda a: F.min(a[0]),
+    "max": lambda a: F.max(a[0]),
+    "dcount": lambda a: F.countDistinct(a[0]),
+    "make_list": lambda a: F.collect_list(a[0]),
+    "make_set": lambda a: F.array_sort(F.collect_set(a[0])),
+}
+
+def _lit_str(c: Column) -> str:
+    """Recover a literal string argument (regex patterns, delimiters)."""
+    key = id(c)
+    if key not in _LIT_VALUES:
+        raise KqlError("argument must be a string literal")
+    return _LIT_VALUES[key]
+
+
+def _lit_int(c: Column) -> int:
+    key = id(c)
+    if key not in _LIT_VALUES:
+        raise KqlError("argument must be an integer literal")
+    return int(_LIT_VALUES[key])
+
+
+_LIT_VALUES: dict[int, object] = {}
+
+
+def _mklit(v) -> Column:
+    c = F.lit(v)
+    _LIT_VALUES[id(c)] = v
+    return c
+
+
+class ExprParser:
+    """Pratt parser for KQL scalar expressions → Column."""
+
+    def __init__(self, toks: list[Tok], pos: int = 0):
+        self.toks = toks
+        self.pos = pos
+
+    def peek(self) -> Tok:
+        return self.toks[self.pos]
+
+    def next(self) -> Tok:
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, text: str) -> None:
+        t = self.next()
+        if t.text != text:
+            raise KqlError(f"expected {text!r}, got {t.text!r}")
+
+    # precedence: or < and < not < cmp < add < mul < unary
+    def parse(self) -> Column:
+        return self._or()
+
+    def _or(self) -> Column:
+        left = self._and()
+        while self.peek().text == "or":
+            self.next()
+            left = left | self._and()
+        return left
+
+    def _and(self) -> Column:
+        left = self._cmp()
+        while self.peek().text == "and":
+            self.next()
+            left = left & self._cmp()
+        return left
+
+    def _cmp(self) -> Column:
+        left = self._add()
+        t = self.peek().text
+        if t in ("==", "!=", "<", "<=", ">", ">=", "=~", "!~"):
+            self.next()
+            right = self._add()
+            if t == "==":
+                return left == right
+            if t == "!=":
+                return left != right
+            if t == "<":
+                return left < right
+            if t == "<=":
+                return left <= right
+            if t == ">":
+                return left > right
+            if t == ">=":
+                return left >= right
+            if t == "=~":  # case-insensitive equality (kql.pest:24-25)
+                return F.lower(left) == F.lower(right)
+            return F.lower(left) != F.lower(right)
+        if t in ("contains", "contains_cs", "has", "has_cs", "startswith",
+                 "endswith", "!contains", "!has"):
+            self.next()
+            right = self._add()
+            if t in ("contains", "has"):  # case-insensitive by default
+                return F.lower(left).contains(F.lower(right))
+            if t in ("contains_cs", "has_cs"):
+                return left.contains(right)
+            if t == "startswith":
+                return F.lower(left).startswith(F.lower(right))
+            if t == "endswith":
+                return F.lower(left).endswith(F.lower(right))
+            return ~F.lower(left).contains(F.lower(right))
+        if t in ("in", "in~", "!in", "!in~"):
+            self.next()
+            self.expect("(")
+            items = [self._or()]
+            while self.peek().text == ",":
+                self.next()
+                items.append(self._or())
+            self.expect(")")
+            if t == "in":
+                return left.isin(*items)
+            if t == "!in":
+                return ~left.isin(*items)
+            low = F.lower(left)
+            cond = low.isin(*[F.lower(i) for i in items])
+            return cond if t == "in~" else ~cond
+        if t == "matches":
+            self.next()
+            self.expect("regex")
+            pat = self._add()
+            return left.rlike(_lit_str(pat))
+        return left
+
+    def _add(self) -> Column:
+        left = self._mul()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            right = self._mul()
+            left = left + right if op == "+" else left - right
+        return left
+
+    def _mul(self) -> Column:
+        left = self._unary()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            right = self._unary()
+            if op == "*":
+                left = left * right
+            elif op == "/":
+                left = left / right
+            else:
+                left = left % right
+        return left
+
+    def _unary(self) -> Column:
+        t = self.peek()
+        if t.text == "-":
+            self.next()
+            return -self._unary()
+        if t.text == "not":
+            self.next()
+            self.expect("(")
+            inner = self._or()
+            self.expect(")")
+            return ~inner
+        return self._postfix()
+
+    def _postfix(self) -> Column:
+        c = self._primary()
+        while True:
+            t = self.peek().text
+            if t == "[":  # accessor a['k'] / a[0] (kql.pest:112-115)
+                self.next()
+                idx = self._or()
+                self.expect("]")
+                key = _LIT_VALUES.get(id(idx))
+                if isinstance(key, str):
+                    c = c.getItem(key)
+                elif isinstance(key, (int, float)):
+                    c = c.getItem(int(key))
+                else:
+                    c = F.element_at(c, idx)
+            elif t == ".":  # dotted path a.b
+                self.next()
+                field = self.next().text
+                c = c.getField(field)
+            else:
+                return c
+
+    def _primary(self) -> Column:
+        t = self.next()
+        if t.text == "(":
+            inner = self._or()
+            self.expect(")")
+            return inner
+        if t.kind == "number":
+            txt = t.text
+            if txt.startswith("0x"):
+                return _mklit(int(txt, 16))
+            return _mklit(float(txt) if "." in txt else int(txt))
+        if t.kind == "string":
+            return _mklit(_unquote(t.text))
+        if t.kind == "datetime":
+            inner = t.text[len("datetime("):-1].strip().strip("'\"")
+            return F.lit(inner).cast("timestamp")
+        if t.kind == "timespan":  # timespan literal 1h/5m/… (kql.pest:118-121)
+            num = float(re.match(r"[\d.]+", t.text).group())
+            unit = t.text[len(re.match(r"[\d.]+", t.text).group()):]
+            secs = {"d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 0.001}[unit]
+            c = F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(num * secs))
+            _LIT_VALUES[id(c)] = t.text  # recoverable by bin()
+            return c
+        if t.kind in ("ident", "bang_ident"):
+            name = t.text
+            if name == "true":
+                return _mklit(True)
+            if name == "false":
+                return _mklit(False)
+            if name == "null":
+                return F.lit(None)
+            if self.peek().text == "(":
+                return self._call(name)
+            return F.col(name)
+        raise KqlError(f"unexpected token {t.text!r}")
+
+    def _call(self, name: str) -> Column:
+        self.expect("(")
+        args: list[Column] = []
+        if self.peek().text != ")":
+            args.append(self._or())
+            while self.peek().text == ",":
+                self.next()
+                args.append(self._or())
+        self.expect(")")
+        lname = name.lower()
+        if lname == "case":  # case(p1, v1, …, default) (kql.pest:151-153)
+            if len(args) < 3 or len(args) % 2 == 0:
+                raise KqlError("case() needs odd ≥3 args")
+            c = F.when(args[0], args[1])
+            for i in range(2, len(args) - 1, 2):
+                c = c.when(args[i], args[i + 1])
+            return c.otherwise(args[-1])
+        if lname == "bin":  # math bin (math_scalar_expression.rs:13)
+            from otel_arrow_spark.operators.kql import bin_
+
+            w = _LIT_VALUES.get(id(args[1]))
+            if isinstance(w, (int, float)):
+                return F.floor(args[0] / F.lit(w)) * F.lit(w)
+            return bin_(args[0], str(w))
+        if lname == "strcat_delim":
+            return F.concat_ws(_lit_str(args[0]), *args[1:])
+        if lname == "substring":
+            start = _lit_int(args[1])
+            if len(args) > 2:
+                return F.substring(args[0], start + 1, _lit_int(args[2]))
+            return F.substring(args[0], start + 1, 1 << 30)
+        if lname in _FUNC_MAP_SIMPLE:
+            return _FUNC_MAP_SIMPLE[lname](args)
+        if lname in _AGG_MAP:
+            return _AGG_MAP[lname](args)
+        raise KqlError(f"unknown function {name}")
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+def parse_expr(s: str) -> Column:
+    p = ExprParser(tokenize(s))
+    c = p.parse()
+    if p.peek().kind != "eof":
+        raise KqlError(f"trailing tokens at {p.peek().text!r}")
+    return c
+
+
+# ---------------------------------------------------------------------------
+# tabular pipeline parser
+# ---------------------------------------------------------------------------
+
+def _split_pipes(q: str) -> list[str]:
+    """Split on top-level '|' (not inside quotes/parens)."""
+    parts, depth, buf, i = [], 0, [], 0
+    in_str: str | None = None
+    while i < len(q):
+        ch = q[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "\\":
+                if i + 1 < len(q):
+                    buf.append(q[i + 1])
+                    i += 1
+            elif ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "|" and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+def _split_commas(s: str) -> list[str]:
+    parts, depth, buf = [], 0, []
+    in_str: str | None = None
+    for i, ch in enumerate(s):
+        if in_str:
+            buf.append(ch)
+            if ch == in_str and (i == 0 or s[i - 1] != "\\"):
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+_ASSIGN_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=(?![=~])\s*(.+)$", re.S)
+
+
+def _parse_assignments(s: str) -> list[tuple[str | None, str]]:
+    out = []
+    for part in _split_commas(s):
+        m = _ASSIGN_RE.match(part)
+        if m:
+            out.append((m.group(1), m.group(2)))
+        else:
+            out.append((None, part))
+    return out
+
+
+def kql(df: DataFrame, query: str) -> DataFrame:
+    """Run a KQL pipeline string against a DataFrame.
+
+    The leading table name is implicit (the input DataFrame); a leading
+    bare identifier stage is accepted and ignored for compatibility with
+    full queries (``T | where …``).
+    """
+    from otel_arrow_spark.operators import kql as ops
+
+    stages = _split_pipes(query)
+    if stages and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", stages[0]):
+        stages = stages[1:]
+    for stage in stages:
+        m = re.match(r"^([a-z-]+)\s*(.*)$", stage, re.S)
+        if not m:
+            raise KqlError(f"bad stage {stage!r}")
+        op, rest = m.group(1), m.group(2).strip()
+        if op == "where":
+            df = df.filter(parse_expr(rest))
+        elif op == "extend":
+            cols = {}
+            for name, expr in _parse_assignments(rest):
+                if name is None:
+                    raise KqlError("extend needs name = expr")
+                cols[name] = parse_expr(expr)
+            df = df.withColumns(cols)
+        elif op == "project":
+            sel = []
+            for name, expr in _parse_assignments(rest):
+                c = parse_expr(expr)
+                sel.append(c.alias(name) if name else c)
+            df = df.select(*sel)
+        elif op == "project-keep":
+            pats = [p.strip() for p in rest.split(",")]
+            df = ops.project_keep(df, *pats)
+        elif op == "project-away":
+            pats = [p.strip() for p in rest.split(",")]
+            df = ops.project_away(df, *pats)
+        elif op == "project-rename":
+            renames = {}
+            for name, expr in _parse_assignments(rest):
+                if name is None:
+                    raise KqlError("project-rename needs new = old")
+                renames[name] = expr.strip()
+            df = ops.project_rename(df, **renames)
+        elif op == "summarize":
+            if " by " in rest:
+                agg_part, by_part = rest.split(" by ", 1)
+                by_items = _parse_assignments(by_part)
+            else:
+                agg_part, by_items = rest, []
+            keys = [
+                (parse_expr(e).alias(n) if n else parse_expr(e))
+                for n, e in by_items
+            ]
+            aggs = {}
+            for i, (name, expr) in enumerate(_parse_assignments(agg_part)):
+                c = parse_expr(expr)
+                aggs[name or f"agg_{i}"] = c
+            df = df.groupBy(*keys).agg(
+                *[v.alias(k) for k, v in aggs.items()]
+            )
+        elif op in ("order", "sort"):
+            rest = re.sub(r"^by\s+", "", rest)
+            cols = []
+            for part in _split_commas(rest):
+                toks = part.rsplit(None, 1)
+                if len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
+                    c = parse_expr(toks[0])
+                    cols.append(c.desc() if toks[1].lower() == "desc" else c.asc())
+                else:
+                    # KQL default sort order is descending (kql docs)
+                    cols.append(parse_expr(part).desc())
+            df = df.orderBy(*cols)
+        elif op in ("take", "limit"):
+            df = df.limit(int(rest))
+        elif op == "count":
+            df = df.agg(F.count(F.lit(1)).alias("count_"))
+        elif op == "distinct":
+            if rest == "*":
+                df = df.distinct()
+            else:
+                df = df.select(
+                    *[parse_expr(e) for _n, e in _parse_assignments(rest)]
+                ).distinct()
+        else:
+            raise KqlError(f"unknown operator {op!r}")
+    return df

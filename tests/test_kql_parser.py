@@ -1,0 +1,189 @@
+"""KQL parser: query strings must compile to the same results as the
+hand-written DataFrame plans (the reference gates its parser with
+per-operator parse tests, `kql-parser/src/tabular_expressions.rs:3184+`,
+and end-to-end included/dropped assertions,
+`engine-recordset-otlp-bridge/tests/otlp_kql_recordset.rs`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.operators.kql_parser import KqlError, kql, parse_expr
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def part(spark):
+    return spark.read.parquet(f"{SF}/part.parquet").cache()
+
+
+def same(a, b, key=None):
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb, f"{ka[:3]} != {kb[:3]} (lens {len(ka)}/{len(kb)})"
+
+
+def test_where_comparison(events):
+    got = kql(events, "events | where value > 50 and event_type == 'click'")
+    exp = events.filter((F.col("value") > 50) & (F.col("event_type") == "click"))
+    same(got, exp)
+
+
+def test_where_in_and_bang_in(events):
+    got = kql(events, "events | where event_type in ('click', 'view')")
+    exp = events.filter(F.col("event_type").isin("click", "view"))
+    same(got, exp)
+    got2 = kql(events, "events | where event_type !in ('click', 'view')")
+    exp2 = events.filter(~F.col("event_type").isin("click", "view"))
+    same(got2, exp2)
+
+
+def test_case_insensitive_ops(events):
+    got = kql(events, "events | where event_type =~ 'CLICK'")
+    exp = events.filter(F.lower("event_type") == "click")
+    same(got, exp)
+    got2 = kql(events, "events | where event_type in~ ('CLICK', 'View')")
+    assert got2.count() == events.filter(
+        F.col("event_type").isin("click", "view")
+    ).count()
+
+
+def test_contains_has_matches(part):
+    got = kql(part, "part | where p_name contains 'GREEN'")
+    exp = part.filter(F.lower("p_name").contains("green"))
+    same(got, exp)
+    got2 = kql(part, r"part | where p_name matches regex '^\w+ green'")
+    exp2 = part.filter(F.col("p_name").rlike(r"^\w+ green"))
+    same(got2, exp2)
+
+
+def test_extend_project_arith(events):
+    got = kql(
+        events,
+        "events | extend v2 = value * 2 + 1 | project event_id, v2",
+    )
+    exp = events.select(
+        "event_id", (F.col("value") * 2 + 1).alias("v2")
+    )
+    same(got, exp)
+
+
+def test_project_keep_away_rename(part):
+    got = kql(part, "part | project-keep p_partkey, p_retail* | project-rename key = p_partkey")
+    assert got.columns == ["key", "p_retailprice"]
+    got2 = kql(part, "part | project-away p_com*, p_container, p_mfgr, p_brand, p_type, p_size, p_retailprice, p_name")
+    assert got2.columns == ["p_partkey"]
+
+
+def test_summarize_by_bin(events):
+    got = kql(
+        events,
+        "events | summarize n = count(), s = sum(value), m = max(value) "
+        "by event_type, h = bin(ts, 1h)",
+    )
+    exp = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.max("value").alias("m"),
+    )
+    same(got.select("event_type", "h", "n", "s", "m"),
+         exp.select("event_type", "h", "n", "s", "m"))
+
+
+def test_summarize_dcount_numeric_bin(events):
+    got = kql(events, "events | summarize u = dcount(user_id) by b = bin(value, 25)")
+    exp = events.groupBy(
+        (F.floor(F.col("value") / F.lit(25)) * F.lit(25)).alias("b")
+    ).agg(F.countDistinct("user_id").alias("u"))
+    same(got, exp)
+
+
+def test_order_take_count(events):
+    got = kql(events, "events | order by value desc, event_id asc | take 5")
+    exp = events.orderBy(F.col("value").desc(), F.col("event_id")).limit(5)
+    assert [r.event_id for r in got.collect()] == [
+        r.event_id for r in exp.collect()
+    ]
+    n = kql(events, "events | where value > 90 | count").collect()[0]["count_"]
+    assert n == events.filter(F.col("value") > 90).count()
+
+
+def test_scalar_functions(events):
+    got = kql(
+        events,
+        "events | project event_id, "
+        "a = iff(value > 50, 'hi', 'lo'), "
+        "b = case(value > 90, 'top', value > 50, 'mid', 'rest'), "
+        "c = strcat(event_type, '-', tostring(user_id)), "
+        "d = substring(event_type, 0, 2), "
+        "e = strlen(event_type), "
+        "f = coalesce(props, '{}')",
+    )
+    exp = events.select(
+        "event_id",
+        F.when(F.col("value") > 50, "hi").otherwise("lo").alias("a"),
+        F.when(F.col("value") > 90, "top")
+        .when(F.col("value") > 50, "mid")
+        .otherwise("rest")
+        .alias("b"),
+        F.concat("event_type", F.lit("-"), F.col("user_id").cast("string")).alias("c"),
+        F.substring("event_type", 1, 2).alias("d"),
+        F.length("event_type").alias("e"),
+        F.coalesce("props", F.lit("{}")).alias("f"),
+    )
+    same(got, exp)
+
+
+def test_extract_regex_and_json(events):
+    got = kql(
+        events,
+        "events | project k = extract_json('$.k', props), "
+        "w = extract('([a-z]+)', 1, event_type)",
+    )
+    exp = events.select(
+        F.get_json_object("props", "$.k").alias("k"),
+        F.regexp_extract("event_type", "([a-z]+)", 1).alias("w"),
+    )
+    same(got, exp)
+
+
+def test_distinct(events):
+    got = kql(events, "events | distinct event_type")
+    exp = events.select("event_type").distinct()
+    same(got, exp)
+
+
+def test_datetime_literal(events):
+    got = kql(events, "events | where ts >= datetime('2026-01-01') | count")
+    exp = events.filter(F.col("ts") >= F.lit("2026-01-01").cast("timestamp")).count()
+    assert got.collect()[0]["count_"] == exp
+
+
+def test_errors():
+    with pytest.raises(KqlError):
+        parse_expr("1 +")
+    with pytest.raises(KqlError):
+        parse_expr("unknownfn(1)")
+    with pytest.raises(KqlError):
+        kql(None, "T | frobnicate x")
+
+
+def test_pipeline_filters_push_to_scan(spark):
+    """Parsed `where` on a literal column must reach the parquet scan as
+    a pushed filter — Catalyst subsumes the reference's IR optimizer."""
+    # lineitem is NOT cached by this module's fixtures — a cached read of
+    # the same path would satisfy the query from InMemoryTableScan and
+    # hide the scan-level pushdown this test asserts.
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = kql(df, "T | where l_quantity > 30 | project l_orderkey, l_quantity")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(l_quantity,30" in plan, plan
