@@ -347,6 +347,71 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sampling / marshaling / skew-safe aggregation
+# ---------------------------------------------------------------------------
+
+def q_sampling_zap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full zap semantics: first N per (group, interval), then every M-th
+    (`debug_processor/sampling.rs:12-40`)."""
+    from otel_arrow_spark.operators.sampling import zap_sample
+
+    (events,) = _tables(spark, sf_dir, "events")
+    out = zap_sample(
+        events, ["user_id"], ["ts", "event_id"], initial=2, thereafter=5
+    )
+    return out.select("event_id", "user_id", "sample_rank")
+
+
+def q_marshal_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.operators.marshal import marshal_normal
+    from otel_arrow_spark.parse import parse_turns
+
+    return marshal_normal(parse_turns(_derived_transcripts(spark, sf_dir)))
+
+
+def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation must equal a plain groupBy (oracle
+    is the plain SQL aggregate)."""
+    from otel_arrow_spark.ordering import salted_agg
+
+    t = _derived_transcripts(spark, sf_dir)
+    return salted_agg(
+        t,
+        ["conv_id"],
+        n_turns=("count", "*"),
+        max_turn=("max", "turn_idx"),
+    )
+
+
+def q_kql_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion scalar surface incl. failed casts → NULL
+    (`convert_scalar_expression.rs:7-24`; ANSI-safe via try_cast)."""
+    (events,) = _tables(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.col("value").cast("int").alias("v_int"),
+        F.col("user_id").cast("double").alias("u_dbl"),
+        F.col("event_type").try_cast("int").alias("bad_int"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_long"),
+        (F.col("value") > 50).cast("string").alias("gt_str"),
+    )
+
+
+def q_kql_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection scalars: array literals, concat, length, join, slice
+    (`collection_scalar_expression.rs:7-13`)."""
+    (part,) = _tables(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_join(F.slice(words, 1, 2), "_").alias("head2"),
+        F.size(F.concat(words, F.array(F.lit("x")))).alias("n_plus1"),
+        F.element_at(words, -1).alias("last_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # KQL text queries (string → parser → Catalyst; SURVEY §3.1)
 # ---------------------------------------------------------------------------
 
@@ -427,6 +492,28 @@ def q_attrs_keys_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("attrs").alias("n_attrs"),
         F.array_join(F.array_sort(F.map_keys("attrs")), ",").alias("keys_csv"),
     )
+
+
+# Independent DuckDB rendition of the parse stage's field extraction
+# (shared by the parsed-fields and marshaler oracles).
+PARSED_FIELDS_SQL = r"""
+SELECT conv_id, turn_idx, format,
+  CASE WHEN format IN ('rfc5424','rfc3164') THEN CAST(CAST(_pri_s AS INT) // 8 AS INT) END AS facility,
+  CASE WHEN format IN ('rfc5424','rfc3164') THEN CAST(_pri_s AS INT) % 8
+       WHEN format = 'cef' THEN TRY_CAST(regexp_extract(text, '^CEF:0\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|([^|]*)\|', 1) AS INT) END AS severity,
+  CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '^<\d{1,3}>1 (\S+) (\S+)', 2)
+       WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} (\S+)', 1)
+       WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|[^|]*\|([^|]*)\|', 1) END AS host,
+  CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '^<\d{1,3}>1 \S+ \S+ (\S+)', 1)
+       WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} \S+ ([^:]+): ', 1)
+       WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|([^|]*)\|', 1) END AS app,
+  CASE WHEN format = 'rfc5424' THEN _v1_msgid
+       WHEN format = 'cef' THEN _cef_name END AS event_name,
+  CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '\[kv@0 [^\]]*\] (.*)$', 1)
+       WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} \S+ [^:]+: (.*)$', 1)
+       WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|(.*)$', 1) END AS body
+FROM routed
+"""
 
 
 ATTRS_EAV_ORACLE = r"""
@@ -577,6 +664,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_parent_child": q_join_parent_child,
         "join_broadcast_dims": q_join_broadcast_dims,
         "semi_join": q_semi_join,
+        "sampling_zap": q_sampling_zap,
+        "marshal_normal": q_marshal_normal,
+        "skew_salted_counts": q_skew_salted_counts,
+        "kql_conversions": q_kql_conversions,
+        "kql_collections": q_kql_collections,
         "kql_text_where_summarize": q_kql_text_where_summarize,
         "kql_text_topk": q_kql_text_topk,
         "kql_text_scalars": q_kql_text_scalars,
@@ -612,26 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_routed_rows": _parsed_oracle(
             "SELECT conv_id, turn_idx, sink FROM routed"
         ),
-        "pipeline_parsed_fields": _parsed_oracle(
-            r"""
-SELECT conv_id, turn_idx, format,
-  CASE WHEN format IN ('rfc5424','rfc3164') THEN CAST(CAST(_pri_s AS INT) // 8 AS INT) END AS facility,
-  CASE WHEN format IN ('rfc5424','rfc3164') THEN CAST(_pri_s AS INT) % 8
-       WHEN format = 'cef' THEN TRY_CAST(regexp_extract(text, '^CEF:0\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|([^|]*)\|', 1) AS INT) END AS severity,
-  CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '^<\d{1,3}>1 (\S+) (\S+)', 2)
-       WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} (\S+)', 1)
-       WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|[^|]*\|([^|]*)\|', 1) END AS host,
-  CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '^<\d{1,3}>1 \S+ \S+ (\S+)', 1)
-       WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} \S+ ([^:]+): ', 1)
-       WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|([^|]*)\|', 1) END AS app,
-  CASE WHEN format = 'rfc5424' THEN _v1_msgid
-       WHEN format = 'cef' THEN _cef_name END AS event_name,
-  CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '\[kv@0 [^\]]*\] (.*)$', 1)
-       WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} \S+ [^:]+: (.*)$', 1)
-       WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|(.*)$', 1) END AS body
-FROM routed
-"""
-        ),
+        "pipeline_parsed_fields": _parsed_oracle(PARSED_FIELDS_SQL),
         "pipeline_counts_by_tool_hour": _parsed_oracle(
             "SELECT sink, tool, date_trunc('hour', ts) AS hour, COUNT(*) AS n_turns "
             "FROM routed GROUP BY 1, 2, 3"
@@ -720,6 +793,40 @@ FROM routed GROUP BY 1, 2
         "semi_join": (
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000)"
+        ),
+        "sampling_zap": (
+            "SELECT event_id, user_id, rn AS sample_rank FROM ("
+            "SELECT event_id, user_id, CAST(row_number() OVER ("
+            "PARTITION BY user_id, date_trunc('hour', ts) "
+            "ORDER BY ts, event_id) AS INT) AS rn FROM events) "
+            "WHERE rn <= 2 OR (rn - 2) % 5 = 0"
+        ),
+        "marshal_normal": _parsed_oracle(
+            f"""
+SELECT conv_id, turn_idx,
+  concat_ws(' ', format,
+            'sev=' || coalesce(severity::VARCHAR, '-'),
+            coalesce(host, '-') || '/' || coalesce(app, '-') || ':',
+            coalesce(body, '')) AS line
+FROM ({PARSED_FIELDS_SQL})
+"""
+        ),
+        "skew_salted_counts": "WITH t AS (" + DERIVE_SQL + ") "
+        "SELECT conv_id, COUNT(*) AS n_turns, MAX(turn_idx) AS max_turn "
+        "FROM t GROUP BY conv_id",
+        "kql_conversions": (
+            # DuckDB cast double→int rounds; Spark truncates — trunc() first
+            "SELECT event_id, CAST(trunc(value) AS INT) AS v_int, "
+            "CAST(user_id AS DOUBLE) AS u_dbl, "
+            "TRY_CAST(event_type AS INT) AS bad_int, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long, "
+            "CAST(value > 50 AS VARCHAR) AS gt_str FROM events"
+        ),
+        "kql_collections": (
+            "SELECT p_partkey, len(string_split(p_name, ' ')) AS n_words, "
+            "array_to_string(string_split(p_name, ' ')[1:2], '_') AS head2, "
+            "len(string_split(p_name, ' ')) + 1 AS n_plus1, "
+            "string_split(p_name, ' ')[-1] AS last_word FROM part"
         ),
         "kql_text_where_summarize": (
             "SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n, "

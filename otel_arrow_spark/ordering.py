@@ -31,6 +31,51 @@ def repartition_salted(df: DataFrame, num_partitions: int, salt_buckets: int = 8
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_col: Column | None = None,
+    salt_buckets: int = 16,
+    **aggs: tuple[str, str],
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: partial agg on (key, salt), final
+    re-agg on key. For additive aggregates (count/sum/min/max) the result
+    is identical to a direct groupBy, but no reducer ever receives a
+    whole mega-key's rows.
+
+    ``aggs``: output name → (func, input col), func in
+    {count, sum, min, max}. (avg = sum/count composed by the caller —
+    partial avgs don't re-aggregate.)
+
+    Spark's AQE skew handling covers joins; skewed *aggregation* keys
+    still need manual salting (north_rule: explicit skew handling).
+    """
+    if salt_col is not None:
+        salt = salt_col
+    else:
+        # deterministic content-derived salt (NOT rand(): retries must
+        # place rows identically): hash of all columns mod buckets
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    partial_funcs = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
+    refunc = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            *[
+                partial_funcs[fn](F.lit(1) if col == "*" else F.col(col)).alias(name)
+                for name, (fn, col) in aggs.items()
+            ]
+        )
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[
+            refunc[fn](F.col(name)).alias(name)
+            for name, (fn, _col) in aggs.items()
+        ]
+    )
+
+
 def salted_window_rank(df: DataFrame, chunk: int = 8192) -> DataFrame:
     """Two-phase skew-safe per-conversation rank (order-preserving).
 
