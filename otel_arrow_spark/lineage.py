@@ -68,6 +68,39 @@ def content_checksum(df: DataFrame) -> int:
     return int(row["s"] or 0)
 
 
+def retry_with_backoff(
+    fn,
+    max_retries: int = 3,
+    initial_s: float = 1.0,
+    multiplier: float = 2.0,
+    max_interval_s: float = 30.0,
+    max_elapsed_s: float = 120.0,
+    sleep=time.sleep,
+):
+    """Driver-side retry with exponential backoff — the job-level analog
+    of the reference's retry processor
+    (`crates/otap/src/retry_processor.rs:44-110`):
+    interval = min(max_interval, initial * multiplier^n), bounded by
+    ``max_elapsed_s``. Wrap idempotent units (slice runs) only: the
+    ledger + overwrite-by-partition sink makes a re-run an Ack-safe
+    replace, never a duplicate.
+    """
+    start = time.time()
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except Exception:
+            attempt += 1
+            elapsed = time.time() - start
+            if attempt > max_retries or elapsed >= max_elapsed_s:
+                raise
+            interval = min(max_interval_s, initial_s * multiplier ** (attempt - 1))
+            if elapsed + interval >= max_elapsed_s:
+                raise
+            sleep(interval)
+
+
 class LineageLedger:
     """Append-only per-slice ledger with atomic rewrite."""
 

@@ -1,0 +1,135 @@
+"""Chaos / property tests.
+
+The reference's fuzz discipline mutates encoded payloads and requires
+graceful errors, never panics (`docs/validation_process.md:37-45`,
+`go/pkg/otel/logs/validation_test.go:58-71`). The Spark analog: ANY text
+byte sequence must parse without job failure, land in exactly one sink,
+and pass through byte-identically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.parse import PARSED_FIELDS
+
+
+@pytest.fixture(scope="module")
+def chaos_rows():
+    return []
+
+
+TEXT = st.one_of(
+    st.text(min_size=0, max_size=200),
+    # mutated near-valid lines: valid prefix + junk
+    st.tuples(
+        st.sampled_from(
+            [
+                "<34>1 2026-01-01T00:00:00Z h a 1 m [kv@0 ",
+                "<34>Aug 16 12:00:00 host app: ",
+                "CEF:0|v|p|1|c|n|5|",
+                "<999>1 ",
+                "CEF:0|",
+            ]
+        ),
+        st.text(max_size=50),
+    ).map(lambda t: t[0] + t[1]),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(TEXT, min_size=1, max_size=40))
+def test_any_text_parses_routes_and_roundtrips(spark, texts):
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import SINKS, route_turns
+
+    rows = [
+        (f"conv-{i % 3}", i, "user", t, None, "2026-01-01 00:00:00")
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, s string"
+    ).withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+
+    routed = route_turns(parse_turns(df))
+    got = routed.select("turn_idx", "text", "sink", "format").collect()
+    # no rows lost, every row in exactly one known sink
+    assert len(got) == len(texts)
+    assert all(r.sink in SINKS for r in got)
+    # byte-exact text round trip
+    assert {(r.turn_idx, r.text) for r in got} == {
+        (i, t) for i, t in enumerate(texts)
+    }
+
+
+def test_pandas_parse_agrees_with_native_on_chaos(spark):
+    """The Arrow-vectorized parser variant must agree with the native
+    regex parser on adversarial inputs (unicode, quotes, long lines)."""
+    from otel_arrow_spark.parse import parse_turns, parse_turns_pandas
+
+    texts = [
+        "",
+        "π 雪 \t \x00ctrl",
+        '<34>1 2026-01-01T00:00:00Z h a 1 metric.x [kv@0 a="1" b="2"] body',
+        "<34>Aug  3 01:02:03 h app: msg",
+        "CEF:0|v|p|1.0|c|Name|7|src=h act=x",
+        "CEF:0|broken",
+        "<1000>1 not valid pri",
+        "x" * 5000,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    a = {r.i: tuple(r[f] for f in PARSED_FIELDS) for r in parse_turns(df).collect()}
+    b = {
+        r.i: tuple(r[f] for f in PARSED_FIELDS)
+        for r in parse_turns_pandas(df).collect()
+    }
+    assert a == b
+
+
+def test_retry_with_backoff_semantics():
+    from otel_arrow_spark.lineage import retry_with_backoff
+
+    calls, sleeps = [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("nack")
+        return "ack"
+
+    out = retry_with_backoff(
+        flaky, max_retries=5, initial_s=1.0, multiplier=2.0,
+        sleep=sleeps.append,
+    )
+    assert out == "ack"
+    assert sleeps == [1.0, 2.0]  # exponential
+
+    with pytest.raises(RuntimeError):
+        retry_with_backoff(
+            lambda: (_ for _ in ()).throw(RuntimeError("always")),
+            max_retries=2, initial_s=0.1, sleep=sleeps.append,
+        )
+
+
+def test_batch_split_concat(spark):
+    from otel_arrow_spark.operators.batching import concat_batches, split_batches
+
+    df = spark.range(10_000).repartition(2)
+    split = split_batches(df, max_rows=1000, total_rows=10_000)
+    sizes = [
+        r.n for r in split.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert max(sizes) <= 1100  # round-robin uniform within tolerance
+    merged = concat_batches(split, 2)
+    assert merged.rdd.getNumPartitions() == 2
