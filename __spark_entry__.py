@@ -536,11 +536,21 @@ SELECT conv_id, turn_idx, key, value FROM (
 # ---------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The test corpus is one small parquet file (≤3 input splits); the
+    # hash-heavy curation ops are narrow, so without a repartition they
+    # would run ~3-way parallel. A real 100 TB corpus arrives in
+    # thousands of splits — recreate that scan parallelism here.
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
