@@ -28,8 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from otel_arrow_spark.dataops.hashing import (
-    h32, h32_sql, minhash_value, minhash_value_sql, shingles, shingles_sql,
-    words_of,
+    h32, h32_sql, hashed_shingles, hashed_shingles_sql, minhash_value,
+    minhash_value_sql, shingles, shingles_sql, words_of,
 )
 
 # ---------------------------------------------------------------------------
@@ -96,25 +96,40 @@ FROM corpus GROUP BY 1 HAVING count(*) > 1
 # MinHash signatures + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
+def _with_sig(docs: DataFrame, k: int, n: int, text_col: str,
+              keep_shingles: bool = False) -> DataFrame:
+    """(doc_id[, sh], sig): SHA once per shingle (materialized column),
+    k affine minhash coordinates over it. Narrow; nothing shuffles."""
+    sh = shingles(words_of(F.col(text_col)), n)
+    base = docs.select("doc_id", sh.alias("sh"))
+    hashed = base.select(
+        "doc_id", "sh", hashed_shingles(F.col("sh")).alias("hs")
+    )
+    sig = F.array(*[minhash_value(F.col("hs"), s) for s in range(k)])
+    keep = ["doc_id"] + (["sh"] if keep_shingles else [])
+    return hashed.select(*keep, sig.alias("sig"))
+
+
 def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3,
                        text_col: str = "text") -> DataFrame:
-    """(doc_id, seed, minhash): k seeded min-hash coordinates per doc.
+    """(doc_id, seed, minhash): k min-hash coordinates per doc.
 
-    Narrow (per-row) computation — shingle set and k folds happen inside
-    codegen; nothing shuffles.
+    Narrow (per-row) computation — one SHA pass over the shingle set,
+    then k cheap affine mixes. The signature relation is persisted
+    before the explode: Generate re-evaluates its generator expression
+    per emitted row (k× the full SHA subtree, measured 8×), while the
+    persisted array explodes for free.
     """
-    sh = shingles(words_of(F.col(text_col)), n)
-    sig = F.array(*[minhash_value(sh, s) for s in range(k)])
-    return (
-        docs.select("doc_id", F.posexplode(sig).alias("seed", "minhash"))
+    sigs = _with_sig(docs, k, n, text_col).persist()
+    return sigs.select(
+        "doc_id", F.posexplode(F.col("sig")).alias("seed", "minhash")
     )
 
 
 def minhash_signatures_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
                                   k: int = 8, n: int = 3) -> str:
     cols = ", ".join(
-        minhash_value_sql(shingles_sql("w", n), s) + f" AS mh_{s}"
-        for s in range(k)
+        minhash_value_sql("hs", s) + f" AS mh_{s}" for s in range(k)
     )
     unions = " UNION ALL ".join(
         f"SELECT doc_id, {s} AS seed, mh_{s} AS minhash FROM sigs"
@@ -122,10 +137,11 @@ def minhash_signatures_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
     )
     return f"""
 WITH corpus AS ({corpus_sql}),
-sigs AS (
-  SELECT doc_id, {cols}
+hashed AS (
+  SELECT doc_id, {hashed_shingles_sql(shingles_sql('w', n))} AS hs
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
-)
+),
+sigs AS (SELECT doc_id, {cols} FROM hashed)
 {unions}
 """
 
@@ -159,10 +175,14 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
       4. verify: re-join the corpus twice to recompute shingle sets for
          candidates only, exact Jaccard, filter ≥ tau.
     """
-    sh = shingles(words_of(F.col(text_col)), n)
-    sig = F.array(*[minhash_value(sh, s) for s in range(k)])
-    banded = docs.select(
-        "doc_id", F.posexplode(_band_keys(sig, k, bands)).alias(
+    # Signature+shingles computed ONCE and persisted: the banded
+    # self-join and the verify joins would otherwise re-evaluate the
+    # whole SHA subtree on every side (Spark has no automatic CSE across
+    # self-join branches). At cluster scale this is a deliberate
+    # materialization of the (small) signature relation.
+    sigs = _with_sig(docs, k, n, text_col, keep_shingles=True).persist()
+    banded = sigs.select(
+        "doc_id", F.posexplode(_band_keys(F.col("sig"), k, bands)).alias(
             "band_id", "band_key"
         )
     )
@@ -179,7 +199,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
         )
         .distinct()
     )
-    sets = docs.select("doc_id", sh.alias("sh"))
+    sets = sigs.select("doc_id", "sh")
     j = _jaccard(F.col("sa.sh"), F.col("sb.sh"))
     return (
         cands.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -212,15 +232,15 @@ def minhash_lsh_pairs_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
         for b in range(bands)
     )
     cols = ", ".join(
-        minhash_value_sql(shingles_sql("w", n), s) + f" AS mh_{s}"
-        for s in range(k)
+        minhash_value_sql("hs", s) + f" AS mh_{s}" for s in range(k)
     )
     return f"""
 WITH corpus AS ({corpus_sql}),
-sigs AS (
-  SELECT doc_id, w, {cols}
+hashed AS (
+  SELECT doc_id, w, {hashed_shingles_sql(shingles_sql('w', n))} AS hs
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
 ),
+sigs AS (SELECT doc_id, w, {cols} FROM hashed),
 banded AS ({band_rows}),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

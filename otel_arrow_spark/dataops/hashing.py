@@ -64,13 +64,41 @@ def shingles_sql(w_expr: str, n: int = 3) -> str:
     )
 
 
-def minhash_value(sh: Column, seed: int) -> Column:
-    """Min over shingles of the seeded hash — one MinHash coordinate."""
-    return F.array_min(F.transform(sh, lambda s: h32(s, seed)))
+# MinHash coordinates: ONE SHA-256 per shingle, then k affine universal
+# hashes (a_i·h + b_i) mod p over the base value — 8× cheaper than k
+# independent SHA passes and still bit-reproducible in any SQL engine.
+MINHASH_P = (1 << 31) - 1  # Mersenne prime; a·h < 2^30 · 2^32 < 2^63
 
 
-def minhash_value_sql(sh_expr: str, seed: int) -> str:
-    return (
-        f"list_min(list_transform({sh_expr}, "
-        f"s -> {h32_sql('s', seed)}))"
+def _affine(seed: int) -> tuple[int, int]:
+    a = (seed * 2654435761 + 1) % (1 << 30) | 1
+    b = (seed * 40503 + 12345) % MINHASH_P
+    return a, b
+
+
+def minhash_value(hashed: Column, seed: int) -> Column:
+    """Min over pre-hashed shingles of the seed's affine mix.
+
+    ``hashed`` = array of :func:`h32` values (compute once, reuse for
+    every seed).
+    """
+    a, b = _affine(seed)
+    return F.array_min(
+        F.transform(hashed, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
     )
+
+
+def minhash_value_sql(hashed_expr: str, seed: int) -> str:
+    a, b = _affine(seed)
+    return (
+        f"list_min(list_transform({hashed_expr}, "
+        f"h -> (h * {a} + {b}) % {MINHASH_P}))"
+    )
+
+
+def hashed_shingles(sh: Column) -> Column:
+    return F.transform(sh, lambda s: h32(s))
+
+
+def hashed_shingles_sql(sh_expr: str) -> str:
+    return f"list_transform({sh_expr}, s -> {h32_sql('s')})"

@@ -196,13 +196,17 @@ def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     (`go/pkg/otel/logs/arrow/optimizer.go:63-106`).
     """
     sh = shingles(words_of(F.col(text_col)), n)
-    hashed = F.transform(sh, lambda s: h32(s))
-    fp_xor = F.aggregate(
-        hashed, F.lit(0).cast("bigint"), lambda acc, x: acc.bitwiseXOR(x)
+    # materialize the hashed array once — fp_min and fp_xor both consume
+    # it, and Spark does not CSE the SHA subtree across output columns
+    hashed = docs.select(
+        "doc_id", F.transform(sh, lambda s: h32(s)).alias("hashed")
     )
-    return docs.select(
+    fp_xor = F.aggregate(
+        F.col("hashed"), F.lit(0).cast("bigint"), lambda acc, x: acc.bitwiseXOR(x)
+    )
+    return hashed.select(
         "doc_id",
-        F.array_min(hashed).alias("fp_min"),
+        F.array_min(F.col("hashed")).alias("fp_min"),
         fp_xor.alias("fp_xor"),
     )
 
