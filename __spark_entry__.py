@@ -637,6 +637,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(_emb(spark, sf_dir))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.dataops.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(_emb(spark, sf_dir))
+
+
 def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_spark.dataops.multimodal import media_byte_features
 
@@ -698,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_byte_features": q_media_byte_features,
     }
 
@@ -896,5 +903,6 @@ def _dataops_oracles() -> dict[str, str]:
         "dedup_embedding_neardup": dedup.embedding_neardup_pairs_oracle_sql(),
         "ann_brute_topk": similarity.brute_topk_oracle_sql(),
         "ann_lsh_topk": similarity.lsh_ann_topk_oracle_sql(),
+        "ann_ivf_topk": similarity.ivf_ann_topk_oracle_sql(),
         "media_byte_features": multimodal.media_byte_features_oracle_sql(),
     }

@@ -127,6 +127,80 @@ def lsh_ann_topk(emb: DataFrame, nbits: int = 4, dim: int = 64,
     )
 
 
+def ivf_ann_topk(emb: DataFrame, centroid_stride: int = 100, k: int = 5,
+                 every: int = 50) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to the nearest centroid, search
+    within the query's cell.
+
+    Centroids are a deterministic corpus sample (``vec_id % stride == 1``)
+    — the reproducible stand-in for trained k-means centroids; swapping in
+    trained centroids changes only the centroid relation. The assignment
+    pass is a broadcast cross-score + argmax (N·C cosines, one narrow
+    stage); the search join then touches ~N/C candidates per query.
+    Multi-probe (nearest P cells) is the standard recall extension.
+    """
+    centroids = emb.filter(F.col("vec_id") % centroid_stride == 1).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    sim = cosine(F.col("embedding"), F.col("c_emb"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "centroid_id", sim.alias("csim"))
+        .withColumn("arank", F.row_number().over(w_assign))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+    queries = assigned.filter(_query_filter(every)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    c = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    scored = assigned.join(
+        F.broadcast(queries),
+        (F.col("q_cell") == F.col("cell")) & (F.col("q_id") != F.col("vec_id")),
+    ).select("q_id", F.col("vec_id").alias("neighbor_id"), c.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_ann_topk_oracle_sql(centroid_stride: int = 100, k: int = 5,
+                            every: int = 50) -> str:
+    csim = cosine_sql("e.embedding", "c.embedding")
+    cos = cosine_sql("q.embedding", "e.embedding")
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+           CAST(row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {csim} DESC, c.vec_id) AS INT) AS arank
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % {centroid_stride} = 1) c
+  ) WHERE arank = 1
+),
+scored AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS cos
+  FROM assigned q JOIN assigned e
+    ON q.cell = e.cell AND q.vec_id != e.vec_id
+  WHERE q.vec_id % {every} = 0
+)
+SELECT q_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def lsh_ann_topk_oracle_sql(nbits: int = 4, dim: int = 64, k: int = 5,
                             every: int = 50) -> str:
     planes = hyperplane_signs(nbits, dim)

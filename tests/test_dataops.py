@@ -111,6 +111,16 @@ def test_ann_lsh_subset_of_brute_candidates(emb):
         assert r.cos <= best[r.q_id] + 1e-9
 
 
+def test_ivf_ann_cosine_bounded_by_brute(emb):
+    from otel_arrow_spark.dataops.similarity import brute_topk, ivf_ann_topk
+
+    brute_best = {}
+    for r in brute_topk(emb, k=1, every=10).collect():
+        brute_best[r.q_id] = r.cos
+    for r in ivf_ann_topk(emb, centroid_stride=50, k=3, every=10).collect():
+        assert r.cos <= brute_best[r.q_id] + 1e-9
+
+
 def test_embedding_neardup_symmetric_bound(emb):
     from otel_arrow_spark.dataops.dedup import embedding_neardup_pairs
 
