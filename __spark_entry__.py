@@ -643,6 +643,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(_emb(spark, sf_dir))
 
 
+def q_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation flow: exact dedup → near dedup → quality gate,
+    with per-source kept/dropped accounting."""
+    from otel_arrow_spark.dataops.curation import curation_stats
+
+    return curation_stats(_dup_corpus(spark, sf_dir))
+
+
 def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_spark.dataops.multimodal import media_byte_features
 
@@ -705,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "curation_stats": q_curation_stats,
         "media_byte_features": q_media_byte_features,
     }
 
@@ -886,6 +895,12 @@ FROM ({ATTRS_EAV_ORACLE}) GROUP BY conv_id, turn_idx
     }
 
 
+def _curation_oracle() -> str:
+    from otel_arrow_spark.dataops.curation import curation_stats_oracle_sql
+
+    return curation_stats_oracle_sql()
+
+
 def _dataops_oracles() -> dict[str, str]:
     from otel_arrow_spark.dataops import dedup, multimodal, similarity, textstats
 
@@ -904,5 +919,6 @@ def _dataops_oracles() -> dict[str, str]:
         "ann_brute_topk": similarity.brute_topk_oracle_sql(),
         "ann_lsh_topk": similarity.lsh_ann_topk_oracle_sql(),
         "ann_ivf_topk": similarity.ivf_ann_topk_oracle_sql(),
+        "curation_stats": _curation_oracle(),
         "media_byte_features": multimodal.media_byte_features_oracle_sql(),
     }
