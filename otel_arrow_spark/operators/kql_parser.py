@@ -30,9 +30,14 @@ variants), ``in/!in/in~``, ``matches regex``, ``iff/iif``, ``case``,
 ``coalesce``, ``bin``, string/convert/parse/temporal/collection
 functions per the mapping table in SURVEY §2.10.
 
-Deliberately not supported (reference-absent or out of scope): joins in
-KQL text (the reference language has none), ``let`` bindings (use
-Python variables), ``dynamic()`` literals.
+Also supported: ``let name = expr;`` constant bindings (folded by
+Catalyst, mirroring the reference's constant resolution,
+`pipeline_expression.rs:75-88`), ``dynamic([...])`` array and
+``dynamic({...})`` map literals (kql.pest:126-133), timespan literals,
+``ago()``, ``between (lo .. hi)``.
+
+Deliberately not supported (reference-absent): joins in KQL text (the
+reference language has none).
 """
 
 from __future__ import annotations
@@ -60,7 +65,7 @@ _TOKEN_RE = re.compile(
   | (?P<timespan>\d+(?:\.\d+)?(?:ms|d|h|m|s)\b)
   | (?P<number>\d+\.\d+|\d+|0x[0-9a-fA-F]+)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>=~|!~|==|!=|<=|>=|<|>|\+|-|\*|/|%|=|\(|\)|\[|\]|,|\.)
+  | (?P<op>=~|!~|==|!=|<=|>=|\.\.|<|>|\+|-|\*|/|%|=|\(|\)|\[|\]|\{|\}|,|:|;|\.)
   | (?P<bang_ident>![a-zA-Z_][a-zA-Z0-9_]*~?)  # !in, !in~, !contains…
   | (?P<ident>[a-zA-Z_][a-zA-Z0-9_]*~?)        # idents and in~ / =~ words
     """,
@@ -135,6 +140,7 @@ _FUNC_MAP_SIMPLE = {
     "extract_json": lambda a: F.get_json_object(a[1], _lit_str(a[0])),
     # temporal (temporal_scalar_expression.rs:7-10)
     "now": lambda a: F.current_timestamp(),
+    "ago": lambda a: F.current_timestamp() - a[0],
     "startofday": lambda a: F.date_trunc("day", a[0]),
     "startofhour": lambda a: F.date_trunc("hour", a[0]),
     # collection (collection_scalar_expression.rs:7-13)
@@ -186,9 +192,11 @@ def _mklit(v) -> Column:
 class ExprParser:
     """Pratt parser for KQL scalar expressions → Column."""
 
-    def __init__(self, toks: list[Tok], pos: int = 0):
+    def __init__(self, toks: list[Tok], pos: int = 0,
+                 bindings: dict[str, Column] | None = None):
         self.toks = toks
         self.pos = pos
+        self.bindings = bindings or {}
 
     def peek(self) -> Tok:
         return self.toks[self.pos]
@@ -275,6 +283,14 @@ class ExprParser:
             self.expect("regex")
             pat = self._add()
             return left.rlike(_lit_str(pat))
+        if t == "between":  # x between (lo .. hi), inclusive (kql.pest)
+            self.next()
+            self.expect("(")
+            lo = self._add()
+            self.expect("..")
+            hi = self._add()
+            self.expect(")")
+            return (left >= lo) & (left <= hi)
         return left
 
     def _add(self) -> Column:
@@ -364,10 +380,48 @@ class ExprParser:
                 return _mklit(False)
             if name == "null":
                 return F.lit(None)
+            if name == "dynamic" and self.peek().text == "(":
+                return self._dynamic()
             if self.peek().text == "(":
                 return self._call(name)
+            if name in self.bindings:  # `let` constant — Catalyst folds it
+                return self.bindings[name]
             return F.col(name)
         raise KqlError(f"unexpected token {t.text!r}")
+
+    def _dynamic(self) -> Column:
+        """dynamic([..]) array / dynamic({..}) map literals
+        (kql.pest:126-133)."""
+        self.expect("(")
+        t = self.next()
+        if t.text == "[":
+            items = []
+            if self.peek().text != "]":
+                items.append(self._or())
+                while self.peek().text == ",":
+                    self.next()
+                    items.append(self._or())
+            self.expect("]")
+            out = F.array(*items)
+        elif t.text == "{":
+            kvs: list[Column] = []
+            if self.peek().text != "}":
+                while True:
+                    key = self.next()
+                    if key.kind not in ("string", "ident"):
+                        raise KqlError("dynamic map key must be string")
+                    kname = _unquote(key.text) if key.kind == "string" else key.text
+                    self.expect(":")
+                    kvs += [F.lit(kname), self._or()]
+                    if self.peek().text != ",":
+                        break
+                    self.next()
+            self.expect("}")
+            out = F.create_map(*kvs)
+        else:
+            raise KqlError("dynamic() needs [..] or {..}")
+        self.expect(")")
+        return out
 
     def _call(self, name: str) -> Column:
         self.expect("(")
@@ -412,8 +466,8 @@ def _unquote(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", body)
 
 
-def parse_expr(s: str) -> Column:
-    p = ExprParser(tokenize(s))
+def parse_expr(s: str, bindings: dict[str, Column] | None = None) -> Column:
+    p = ExprParser(tokenize(s), bindings=bindings)
     c = p.parse()
     if p.peek().kind != "eof":
         raise KqlError(f"trailing tokens at {p.peek().text!r}")
@@ -424,8 +478,8 @@ def parse_expr(s: str) -> Column:
 # tabular pipeline parser
 # ---------------------------------------------------------------------------
 
-def _split_pipes(q: str) -> list[str]:
-    """Split on top-level '|' (not inside quotes/parens)."""
+def _split_top_level(q: str, sep: str) -> list[str]:
+    """Split on a top-level separator (not inside quotes/brackets)."""
     parts, depth, buf, i = [], 0, [], 0
     in_str: str | None = None
     while i < len(q):
@@ -441,13 +495,13 @@ def _split_pipes(q: str) -> list[str]:
         elif ch in "'\"":
             in_str = ch
             buf.append(ch)
-        elif ch in "([":
+        elif ch in "([{":
             depth += 1
             buf.append(ch)
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
             buf.append(ch)
-        elif ch == "|" and depth == 0:
+        elif ch == sep and depth == 0:
             parts.append("".join(buf).strip())
             buf = []
         else:
@@ -455,6 +509,10 @@ def _split_pipes(q: str) -> list[str]:
         i += 1
     parts.append("".join(buf).strip())
     return [p for p in parts if p]
+
+
+def _split_pipes(q: str) -> list[str]:
+    return _split_top_level(q, "|")
 
 
 def _split_commas(s: str) -> list[str]:
@@ -497,14 +555,32 @@ def _parse_assignments(s: str) -> list[tuple[str | None, str]]:
     return out
 
 
+_LET_RE = re.compile(r"^\s*let\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", re.S)
+
+
 def kql(df: DataFrame, query: str) -> DataFrame:
     """Run a KQL pipeline string against a DataFrame.
 
     The leading table name is implicit (the input DataFrame); a leading
     bare identifier stage is accepted and ignored for compatibility with
-    full queries (``T | where …``).
+    full queries (``T | where …``). ``let name = expr;`` statements bind
+    constants substituted into later expressions — Catalyst's constant
+    folding then plays the reference's fold-of-let-statics
+    (`expressions/src/pipeline_expression.rs:75-88`).
     """
     from otel_arrow_spark.operators import kql as ops
+
+    bindings: dict[str, Column] = {}
+    statements = _split_top_level(query, ";")
+    for stmt in statements[:-1]:
+        m = _LET_RE.match(stmt)
+        if not m:
+            raise KqlError(f"expected `let name = expr;`, got {stmt!r}")
+        bindings[m.group(1)] = parse_expr(m.group(2), bindings)
+    query = statements[-1]
+
+    def pe(s: str) -> Column:
+        return parse_expr(s, bindings)
 
     stages = _split_pipes(query)
     if stages and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", stages[0]):
@@ -515,18 +591,18 @@ def kql(df: DataFrame, query: str) -> DataFrame:
             raise KqlError(f"bad stage {stage!r}")
         op, rest = m.group(1), m.group(2).strip()
         if op == "where":
-            df = df.filter(parse_expr(rest))
+            df = df.filter(pe(rest))
         elif op == "extend":
             cols = {}
             for name, expr in _parse_assignments(rest):
                 if name is None:
                     raise KqlError("extend needs name = expr")
-                cols[name] = parse_expr(expr)
+                cols[name] = pe(expr)
             df = df.withColumns(cols)
         elif op == "project":
             sel = []
             for name, expr in _parse_assignments(rest):
-                c = parse_expr(expr)
+                c = pe(expr)
                 sel.append(c.alias(name) if name else c)
             df = df.select(*sel)
         elif op == "project-keep":
@@ -549,12 +625,12 @@ def kql(df: DataFrame, query: str) -> DataFrame:
             else:
                 agg_part, by_items = rest, []
             keys = [
-                (parse_expr(e).alias(n) if n else parse_expr(e))
+                (pe(e).alias(n) if n else pe(e))
                 for n, e in by_items
             ]
             aggs = {}
             for i, (name, expr) in enumerate(_parse_assignments(agg_part)):
-                c = parse_expr(expr)
+                c = pe(expr)
                 aggs[name or f"agg_{i}"] = c
             df = df.groupBy(*keys).agg(
                 *[v.alias(k) for k, v in aggs.items()]
@@ -565,11 +641,11 @@ def kql(df: DataFrame, query: str) -> DataFrame:
             for part in _split_commas(rest):
                 toks = part.rsplit(None, 1)
                 if len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
-                    c = parse_expr(toks[0])
+                    c = pe(toks[0])
                     cols.append(c.desc() if toks[1].lower() == "desc" else c.asc())
                 else:
                     # KQL default sort order is descending (kql docs)
-                    cols.append(parse_expr(part).desc())
+                    cols.append(pe(part).desc())
             df = df.orderBy(*cols)
         elif op in ("take", "limit"):
             df = df.limit(int(rest))
@@ -580,7 +656,7 @@ def kql(df: DataFrame, query: str) -> DataFrame:
                 df = df.distinct()
             else:
                 df = df.select(
-                    *[parse_expr(e) for _n, e in _parse_assignments(rest)]
+                    *[pe(e) for _n, e in _parse_assignments(rest)]
                 ).distinct()
         else:
             raise KqlError(f"unknown operator {op!r}")

@@ -168,6 +168,31 @@ def test_datetime_literal(events):
     assert got.collect()[0]["count_"] == exp
 
 
+def test_let_bindings(events):
+    got = kql(
+        events,
+        "let lo = 40; let hi = lo + 20; "
+        "events | where value between (lo .. hi) | count",
+    ).collect()[0]["count_"]
+    exp = events.filter((F.col("value") >= 40) & (F.col("value") <= 60)).count()
+    assert got == exp
+
+
+def test_dynamic_literals(events):
+    got = kql(
+        events,
+        "events | where event_type in ('click','view') "
+        "| extend arr = dynamic([1, 2, 3]), m = dynamic({'a': 1, 'b': 2}) "
+        "| project event_id, n = array_length(arr), b = m['b'] | take 3",
+    ).collect()
+    assert all(r.n == 3 and r.b == 2 for r in got)
+
+
+def test_ago_is_timestamp(events):
+    out = kql(events, "events | where ts < ago(1h) | count").collect()
+    assert out[0]["count_"] >= 0
+
+
 def test_errors():
     with pytest.raises(KqlError):
         parse_expr("1 +")
