@@ -25,6 +25,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-slices", type=int, default=8, help="checkpoint slices (resume granularity)")
     ap.add_argument("--resume", action="store_true", help="skip slices already completed")
     ap.add_argument("--fail-on-slice", type=int, default=None, help="inject failure (testing)")
+    ap.add_argument("--stream", action="store_true",
+                    help="run as a Structured Streaming job (availableNow "
+                         "trigger): transactional partitioned file sink + "
+                         "checkpoint under --output")
     ap.add_argument("--bench", action="store_true",
                     help="single-pass throughput mode: parse→enrich→route→"
                          "sink write + counts, no checkpoint slicing")
@@ -53,6 +57,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.bench:
         return _bench(spark, args, transcripts, tools, roles)
+    if args.stream:
+        return _stream(spark, args, tpath, tools, roles)
 
     catalog = Catalog(spark, args.output)
     if not args.resume:
@@ -79,6 +85,37 @@ def main(argv: list[str] | None = None) -> int:
         "elapsed_sec": round(elapsed, 2),
         "turns_per_sec": round(n / elapsed, 1),
         "output": args.output,
+    }))
+    return 0
+
+
+def _stream(spark, args, tpath: str, tools, roles) -> int:
+    """Streaming form: same transformations, transactional file sink;
+    re-running against the same checkpoint is a no-op (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from otel_arrow_spark.streaming import stream_pipeline
+
+    out = os.path.join(args.output, "routed_stream")
+    ckpt = os.path.join(args.output, "checkpoint")
+    t0 = time.time()
+    q = stream_pipeline(spark, tpath, out, ckpt, tools, roles)
+    q.awaitTermination()
+    routed = spark.read.parquet(out)
+    counts = {
+        r["sink"]: r["n"]
+        for r in routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(counts.values())
+    elapsed = time.time() - t0
+    print(json.dumps({
+        "mode": "stream",
+        "rows": n,
+        "sink_counts": counts,
+        "elapsed_sec": round(elapsed, 2),
+        "turns_per_sec": round(n / elapsed, 1),
+        "output": out,
+        "checkpoint": ckpt,
     }))
     return 0
 
