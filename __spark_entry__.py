@@ -643,6 +643,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(_emb(spark, sf_dir))
 
 
+def q_kql_makeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates make_set/make_list (`_AGG_MAP`), projected
+    to a stable string for cross-engine comparison."""
+    from otel_arrow_spark.operators.kql import summarize
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    agged = summarize(
+        orders,
+        by=[F.col("o_orderstatus")],
+        prios=F.array_sort(F.collect_set("o_orderpriority")),
+        n=F.count(F.lit(1)),
+    )
+    return agged.select(
+        "o_orderstatus", F.array_join("prios", ",").alias("prios_csv"), "n"
+    )
+
+
 def q_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite curation flow: exact dedup → near dedup → quality gate,
     with per-source kept/dropped accounting."""
@@ -714,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "curation_stats": q_curation_stats,
+        "kql_makeset": q_kql_makeset,
         "media_byte_features": q_media_byte_features,
     }
 
@@ -920,5 +938,10 @@ def _dataops_oracles() -> dict[str, str]:
         "ann_lsh_topk": similarity.lsh_ann_topk_oracle_sql(),
         "ann_ivf_topk": similarity.ivf_ann_topk_oracle_sql(),
         "curation_stats": _curation_oracle(),
+        "kql_makeset": (
+            "SELECT o_orderstatus, "
+            "string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)"
+            " AS prios_csv, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+        ),
         "media_byte_features": multimodal.media_byte_features_oracle_sql(),
     }

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from otel_arrow_spark.dataops.dedup import (
     DUP_CORPUS_SQL, minhash_lsh_pairs, minhash_lsh_pairs_oracle_sql,
 )
-from otel_arrow_spark.dataops.textstats import quality_features
 
 
 def curate(corpus: DataFrame, near_tau: float = 0.8,
@@ -39,11 +38,13 @@ def curate(corpus: DataFrame, near_tau: float = 0.8,
         .distinct()
         .withColumn("_near_dup", F.lit(True))
     )
-    quality = quality_features(corpus).select("doc_id", "quality_score")
+    # quality is a narrow expression — computed inline on the ranked
+    # relation, NOT joined (a join would re-scan the corpus)
+    from otel_arrow_spark.dataops.textstats import quality_score_col
 
     out = (
-        with_rn.join(near_drop, "doc_id", "left")
-        .join(quality, "doc_id")
+        with_rn.withColumn("quality_score", quality_score_col())
+        .join(near_drop, "doc_id", "left")
         .withColumn(
             "drop_reason",
             F.when(F.col("_rn") > 1, F.lit("exact_dup"))

@@ -66,6 +66,23 @@ FROM {table}
 # quality scoring
 # ---------------------------------------------------------------------------
 
+def quality_score_col(text_col: str = "text") -> Column:
+    """The composite quality score as a bare Column — compose it inline
+    (narrow) instead of joining a separate quality relation."""
+    t = F.col(text_col)
+    w = words_of(t)
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS["en"])))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6)
+    len_sig = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    punct_sig = F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))
+    stop_sig = F.least(stop_ratio * 5, F.lit(1.0))
+    return F.round((len_sig + punct_sig + stop_sig) / 3, 6)
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword signals + a composite [0,1] score.
 

@@ -128,7 +128,7 @@ def _bench(spark, args, transcripts, tools, roles) -> int:
 
     from otel_arrow_spark.enrich import enrich_turns
     from otel_arrow_spark.lineage import with_slice
-    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.parse import parse_turns_pandas as parse_turns
     from otel_arrow_spark.router import route_turns
 
     best = None
