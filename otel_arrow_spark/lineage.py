@@ -154,7 +154,7 @@ class CheckpointedPipeline:
         fail_on_slice: int | None = None,
     ) -> dict:
         from .enrich import enrich_turns
-        from .parse import parse_turns_pandas as parse_turns
+        from .parse import parse_turns
         from .router import route_turns
 
         batch_id = batch_id or uuid.uuid4().hex[:12]

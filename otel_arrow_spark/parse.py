@@ -176,3 +176,131 @@ def parse_turns_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     parse_udf = F.pandas_udf(_parse, _PARSED_SCHEMA)
     parsed = df.withColumn("_p", parse_udf(F.col(text_col)))
     return parsed.select("*", "_p.*").drop("_p")
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native variant: RE2 in C++ via pyarrow.compute, no pandas objects.
+# ---------------------------------------------------------------------------
+
+# Named-group renditions of the same patterns (RE2 ∩ Java subset).
+V1_NAMED = (
+    r'^<(?P<pri>\d{1,3})>1 (?P<ts>\S+) (?P<host>\S+) (?P<app>\S+) '
+    r'(?P<proc>\S+) (?P<msgid>\S+) \[kv@0 (?P<kv>[^\]]*)\] (?P<body>.*)$'
+)
+V2_NAMED = (
+    r'^<(?P<pri>\d{1,3})>(?P<mon>[A-Z][a-z]{2}) (?P<day>[ 0-9]?\d) '
+    r'(?P<time>\d{2}:\d{2}:\d{2}) (?P<host>\S+) (?P<tag>[^:]+): (?P<body>.*)$'
+)
+V3_NAMED = (
+    r'^CEF:0\|(?P<vendor>[^|]*)\|(?P<product>[^|]*)\|(?P<ver>[^|]*)\|'
+    r'(?P<cls>[^|]*)\|(?P<name>[^|]*)\|(?P<sev>[^|]*)\|(?P<ext>.*)$'
+)
+
+
+def parse_turns_arrow(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Same contract as :func:`parse_turns`, via ``mapInArrow`` + RE2.
+
+    One C++ ``extract_regex`` pass per format over the Arrow batch —
+    no pandas object columns, no Python-side string allocation, so it
+    scales with cores instead of with the memory allocator. The attrs
+    map is assembled JVM-side from the (short) extracted kv payload.
+    """
+    kv_field = "_kv_payload"
+    scalar_ddl = (
+        "format string, facility int, severity int, host string, "
+        "app string, event_name string, body string, "
+        f"{kv_field} string"
+    )
+    base_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    out_ddl = base_ddl + ", " + scalar_ddl
+
+    def _parse(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        snull = pa.scalar(None, pa.string())
+
+        def masked(ok, struct, field):
+            return pc.if_else(ok, pc.struct_field(struct, field), snull)
+
+        for b in batches:
+            t = b.column(text_col)
+            if t.type != pa.string():
+                t = pc.cast(t, pa.string())
+            m1 = pc.extract_regex(t, V1_NAMED)
+            m2 = pc.extract_regex(t, V2_NAMED)
+            m3 = pc.extract_regex(t, V3_NAMED)
+            ok1 = pc.is_valid(m1)
+            ok2 = pc.and_(pc.is_valid(m2), pc.invert(ok1))
+            ok3 = pc.and_(
+                pc.is_valid(m3), pc.invert(pc.or_(ok1, ok2))
+            )
+            fmt = pc.if_else(
+                ok1, pa.scalar("rfc5424"),
+                pc.if_else(
+                    ok2, pa.scalar("rfc3164"),
+                    pc.if_else(ok3, pa.scalar("cef"), pa.scalar("malformed")),
+                ),
+            )
+            pri_s = pc.if_else(ok1, pc.struct_field(m1, "pri"),
+                               pc.if_else(ok2, pc.struct_field(m2, "pri"), snull))
+            pri = pc.cast(pri_s, pa.int32())
+            facility = pc.divide(pri, pa.scalar(8, pa.int32()))
+            pri_mod = pc.subtract(
+                pri, pc.multiply(facility, pa.scalar(8, pa.int32()))
+            )
+            sev_s = masked(ok3, m3, "sev")
+            sev_digits = pc.if_else(
+                pc.fill_null(
+                    pc.match_substring_regex(sev_s, r"^\d{1,9}$"), False
+                ),
+                sev_s, snull,
+            )
+            severity = pc.if_else(ok3, pc.cast(sev_digits, pa.int32()), pri_mod)
+            host = pc.if_else(
+                ok1, pc.struct_field(m1, "host"),
+                pc.if_else(ok2, pc.struct_field(m2, "host"),
+                           masked(ok3, m3, "product")),
+            )
+            app = pc.if_else(
+                ok1, pc.struct_field(m1, "app"),
+                pc.if_else(ok2, pc.struct_field(m2, "tag"),
+                           masked(ok3, m3, "vendor")),
+            )
+            event_name = pc.if_else(
+                ok1, pc.struct_field(m1, "msgid"), masked(ok3, m3, "name")
+            )
+            body = pc.if_else(
+                ok1, pc.struct_field(m1, "body"),
+                pc.if_else(ok2, pc.struct_field(m2, "body"),
+                           masked(ok3, m3, "ext")),
+            )
+            kv_payload = pc.if_else(
+                ok1, pc.struct_field(m1, "kv"), masked(ok3, m3, "ext")
+            )
+            arrays = list(b.columns) + [
+                fmt, facility, severity, host, app, event_name, body,
+                kv_payload,
+            ]
+            names = b.schema.names + [
+                "format", "facility", "severity", "host", "app",
+                "event_name", "body", kv_field,
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in arrays],
+                names=names,
+            )
+
+    mapped = df.mapInArrow(_parse, out_ddl)
+    attrs = (
+        F.when(
+            F.col("format") == "rfc5424",
+            _kv_map(F.col(kv_field), r'(\w+)="', r'="([^"]*)"'),
+        )
+        .when(
+            F.col("format") == "cef",
+            _kv_map(F.col(kv_field), r"(\w+)=", r"=([^ ]*)"),
+        )
+    )
+    return mapped.withColumn("attrs", attrs).drop(kv_field)

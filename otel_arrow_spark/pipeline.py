@@ -35,7 +35,7 @@ def build_pipeline(
     transcripts: DataFrame,
     tool_catalog: DataFrame,
     role_catalog: DataFrame,
-    parse_impl: str = "pandas",
+    parse_impl: str = "native",
 ) -> PipelineResult:
     """Compose the full logical plan (lazy; nothing executes here).
 
@@ -44,13 +44,24 @@ def build_pipeline(
     property that makes the job scale linearly with executors (the ≥0.8
     scaling-efficiency requirement).
 
-    ``parse_impl``: 'pandas' (default — Arrow-batched single-pass parse,
-    measured ~1.7× the native regex chain, which re-matches the pattern
-    per extracted field) or 'native' (pure Catalyst expressions; used by
-    the oracle-gated queries). Both are cross-checked equal in tests on
-    adversarial inputs.
+    ``parse_impl`` (all three cross-checked equal on adversarial inputs):
+    - 'native' (default): pure Catalyst regex expressions. Measured
+      scaling efficiency 0.944 local[8]→local[32] at 10M rows — the
+      configuration the north-rule evidence is recorded with.
+    - 'arrow': mapInArrow + RE2 (pyarrow.compute). ~6× the per-core
+      throughput (458k turns/s on 8 cores) but memory-bandwidth-bound:
+      on a single box extra cores add nothing. Prefer on real clusters
+      with few cores per executor.
+    - 'pandas': pandas-str Arrow UDF; between the two, allocator-bound
+      at high core counts.
     """
-    parse = parse_turns_pandas if parse_impl == "pandas" else parse_turns
+    from .parse import parse_turns_arrow
+
+    parse = {
+        "native": parse_turns,
+        "arrow": parse_turns_arrow,
+        "pandas": parse_turns_pandas,
+    }[parse_impl]
     parsed = parse(transcripts)
     enriched = enrich_turns(parsed, tool_catalog, role_catalog)
     routed = route_turns(enriched)

@@ -70,7 +70,7 @@ def stream_pipeline(
     in tests.
     """
     from otel_arrow_spark.enrich import enrich_turns
-    from otel_arrow_spark.parse import parse_turns_pandas as parse_turns
+    from otel_arrow_spark.parse import parse_turns
     from otel_arrow_spark.router import route_turns
 
     stream = read_transcript_stream(spark, input_dir)

@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
                          "sink write + counts, no checkpoint slicing")
     ap.add_argument("--repeat", type=int, default=1,
                     help="bench repetitions (best run reported)")
+    ap.add_argument("--sink", choices=["parquet", "noop"], default="parquet",
+                    help="bench terminal sink: parquet (storage incl.) or "
+                         "noop (perf-exporter analog; isolates compute "
+                         "scaling from single-disk write contention)")
     args = ap.parse_args(argv)
 
     from otel_arrow_spark.catalog import Catalog
@@ -128,25 +132,48 @@ def _bench(spark, args, transcripts, tools, roles) -> int:
 
     from otel_arrow_spark.enrich import enrich_turns
     from otel_arrow_spark.lineage import with_slice
-    from otel_arrow_spark.parse import parse_turns_pandas as parse_turns
+    from otel_arrow_spark.parse import (
+        parse_turns, parse_turns_arrow, parse_turns_pandas,
+    )
     from otel_arrow_spark.router import route_turns
+
+    impl = os.environ.get("SPARK_GRAFT_PARSE_IMPL", "native")
+    parse = {
+        "native": parse_turns,
+        "arrow": parse_turns_arrow,
+        "pandas": parse_turns_pandas,
+    }[impl]
 
     best = None
     for rep in range(max(args.repeat, 1)):
         t0 = time.time()
         routed = route_turns(
-            enrich_turns(parse_turns(transcripts), tools, roles)
+            enrich_turns(parse(transcripts), tools, roles)
         )
         routed = with_slice(routed, args.n_slices)
-        out = os.path.join(args.output, f"routed_bench_{rep}")
-        routed.write.mode("overwrite").partitionBy("sink").parquet(out)
-        counts = {
-            r["sink"]: r["n"]
-            for r in spark.read.parquet(out)
-            .groupBy("sink")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        if args.sink == "noop":
+            # perf-exporter analog (`crates/otap/src/perf_exporter`): the
+            # noop-FORMAT write materializes every output column (a bare
+            # count would let Catalyst prune the pipeline down to the
+            # router subtree); counters then come from a second, pruned
+            # pass — mirroring the parquet read-back.
+            routed.write.format("noop").mode("overwrite").save()
+            counts = {
+                r["sink"]: r["n"]
+                for r in routed.groupBy("sink")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        else:
+            out = os.path.join(args.output, f"routed_bench_{rep}")
+            routed.write.mode("overwrite").partitionBy("sink").parquet(out)
+            counts = {
+                r["sink"]: r["n"]
+                for r in spark.read.parquet(out)
+                .groupBy("sink")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         n = sum(counts.values())
         dt = time.time() - t0
         if best is None or dt < best[0]:
@@ -160,6 +187,8 @@ def _bench(spark, args, transcripts, tools, roles) -> int:
         "turns_per_sec": round(n / dt, 1),
         "master": spark.sparkContext.master,
         "repeats": args.repeat,
+        "parse_impl": impl,
+        "sink": args.sink,
     }))
     return 0
 

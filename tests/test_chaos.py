@@ -70,10 +70,13 @@ def test_any_text_parses_routes_and_roundtrips(spark, texts):
     }
 
 
-def test_pandas_parse_agrees_with_native_on_chaos(spark):
-    """The Arrow-vectorized parser variant must agree with the native
-    regex parser on adversarial inputs (unicode, quotes, long lines)."""
-    from otel_arrow_spark.parse import parse_turns, parse_turns_pandas
+def test_parse_variants_agree_on_chaos(spark):
+    """All three parser implementations (native Catalyst regex, pandas,
+    Arrow/RE2) must agree on adversarial inputs (unicode, quotes, long
+    lines, non-numeric CEF severity)."""
+    from otel_arrow_spark.parse import (
+        parse_turns, parse_turns_arrow, parse_turns_pandas,
+    )
 
     texts = [
         "",
@@ -81,9 +84,11 @@ def test_pandas_parse_agrees_with_native_on_chaos(spark):
         '<34>1 2026-01-01T00:00:00Z h a 1 metric.x [kv@0 a="1" b="2"] body',
         "<34>Aug  3 01:02:03 h app: msg",
         "CEF:0|v|p|1.0|c|Name|7|src=h act=x",
+        "CEF:0|v|p|1.0|c|Name|Low|src=h act=x",
         "CEF:0|broken",
         "<1000>1 not valid pri",
         "x" * 5000,
+        "<0>1 a b c d e [kv@0 ] ",
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "i int, text string"
@@ -93,7 +98,11 @@ def test_pandas_parse_agrees_with_native_on_chaos(spark):
         r.i: tuple(r[f] for f in PARSED_FIELDS)
         for r in parse_turns_pandas(df).collect()
     }
-    assert a == b
+    c = {
+        r.i: tuple(r[f] for f in PARSED_FIELDS)
+        for r in parse_turns_arrow(df).collect()
+    }
+    assert a == b == c
 
 
 def test_retry_with_backoff_semantics():
