@@ -50,8 +50,10 @@ def build_pipeline(
       configuration the north-rule evidence is recorded with.
     - 'arrow': mapInArrow + RE2 (pyarrow.compute). ~6× the per-core
       throughput (458k turns/s on 8 cores) but memory-bandwidth-bound:
-      on a single box extra cores add nothing. Prefer on real clusters
-      with few cores per executor.
+      on a single box extra cores add nothing. Experimental: intermittent
+      Python-worker crash observed at local[2] on ≥20M-row inputs
+      (connection reset, no OOM-kill; under investigation) — prefer on
+      real clusters with few cores per executor once hardened.
     - 'pandas': pandas-str Arrow UDF; between the two, allocator-bound
       at high core counts.
     """

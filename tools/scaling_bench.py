@@ -50,7 +50,7 @@ def run_level(cores: int, in_dir: str, out_dir: str, zip_path: str,
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(
-        f"no JSON from local[{cores}]:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        f"no JSON from local[{cores}]:\n{proc.stdout[-3000:]}\n{proc.stderr[-8000:]}"
     )
 
 
