@@ -45,9 +45,10 @@ def build_pipeline(
     scaling-efficiency requirement).
 
     ``parse_impl`` (all three cross-checked equal on adversarial inputs):
-    - 'native' (default): pure Catalyst regex expressions. Measured
-      scaling efficiency 0.944 local[8]→local[32] at 10M rows — the
-      configuration the north-rule evidence is recorded with.
+    - 'native' (default): pure Catalyst regex expressions. The
+      configuration the north-rule evidence is recorded with: 0.857
+      full-job scaling efficiency local[2]→local[8] at 20M rows
+      (`BENCH/BASELINE.md`).
     - 'arrow': mapInArrow + RE2 (pyarrow.compute). ~6× the per-core
       throughput (458k turns/s on 8 cores) but memory-bandwidth-bound:
       on a single box extra cores add nothing. Experimental: intermittent
