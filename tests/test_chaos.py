@@ -105,6 +105,46 @@ def test_parse_variants_agree_on_chaos(spark):
     assert a == b == c
 
 
+def test_parse_variants_agree_on_full_fixture(spark, transcripts):
+    """Three-way parser agreement over the whole randomized fixture
+    (mega-convs, unicode, long lines, junk) — not just curated strings."""
+    from otel_arrow_spark.parse import (
+        parse_turns, parse_turns_arrow, parse_turns_pandas,
+    )
+
+    def snap(df):
+        return {
+            (r.conv_id, r.turn_idx): tuple(r[f] for f in PARSED_FIELDS)
+            for r in df.select("conv_id", "turn_idx", *PARSED_FIELDS).collect()
+        }
+
+    a = snap(parse_turns(transcripts))
+    b = snap(parse_turns_pandas(transcripts))
+    c = snap(parse_turns_arrow(transcripts))
+    assert a == b == c
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    s=st.text(
+        alphabet=st.sampled_from(list("abc01 ()'\"|=<>!~+-*/,.[]{}:;xin")),
+        min_size=0, max_size=60,
+    )
+)
+def test_kql_parser_never_raises_foreign_exceptions(s):
+    """Arbitrary expression strings either parse or raise KqlError —
+    never IndexError/AttributeError/etc (the parser analog of the
+    reference's never-panic decode discipline)."""
+    from otel_arrow_spark.operators.kql_parser import KqlError, parse_expr
+
+    try:
+        parse_expr(s)
+    except KqlError:
+        pass
+    except Exception as e:  # pragma: no cover - the failure we hunt
+        raise AssertionError(f"non-KqlError {type(e).__name__} on {s!r}: {e}")
+
+
 def test_retry_with_backoff_semantics():
     from otel_arrow_spark.lineage import retry_with_backoff
 
