@@ -376,15 +376,26 @@ SELECT doc_id, {sim} AS simhash FROM votes
 """
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   bits: int = SIMHASH_BITS,
                   text_col: str = "text") -> DataFrame:
     """Near-dup pairs by SimHash: byte-banded candidates + Hamming filter.
 
-    Pigeonhole banding on the 4 bytes of the 32-bit hash (a pair within
-    Hamming ≤ 3 must share one byte exactly); one shuffle on
+    Pigeonhole banding on the 4 bytes of the 32-bit hash: a pair within
+    Hamming ≤ 3 must share at least one byte exactly, so ``max_hamming``
+    defaults to 3 — the recall bound the 4-band scheme actually
+    guarantees. Raising ``max_hamming`` above bits/bands - 1 silently
+    under-reports (pairs whose differing bits spread across every band
+    never become candidates); pass more/narrower bands instead if a
+    looser threshold with full recall is needed. One shuffle on
     (byte_idx, byte_val).
     """
+    if max_hamming >= bits // 8:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the recall guarantee of "
+            f"{bits // 8}-byte banding (bands-1 = {bits // 8 - 1}); "
+            "use a smaller threshold or narrower bands"
+        )
     sims = simhash(docs, text_col, bits)
     nbytes = bits // 8
     banded = sims.select(
@@ -418,7 +429,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6,
 
 
 def simhash_pairs_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
-                             max_hamming: int = 6,
+                             max_hamming: int = 3,
                              bits: int = SIMHASH_BITS) -> str:
     base = simhash_oracle_sql(corpus_sql, bits)
     nbytes = bits // 8

@@ -96,16 +96,15 @@ def summarize(
             for i, c in enumerate(by or [])]
     agged = df.groupBy(*keys).agg(*[v.alias(k) for k, v in aggs.items()])
     if cardinality_limit is not None:
+        # Deterministic cap without a global window: orderBy(hash).limit(cap)
+        # plans as TakeOrderedAndProject — per-partition top-K then a merge of
+        # K-row slices on the driver side of the exchange, never a single-task
+        # funnel of all groups. (Survives 100×: each task holds ≤cap rows.)
         key_names = agged.columns[: len(keys)]
-        ranked = agged.withColumn(
-            "_grank",
-            F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
-                    F.xxhash64(*[F.col(k) for k in key_names])
-                )
-            ),
+        agged = (
+            agged.orderBy(F.xxhash64(*[F.col(k) for k in key_names]))
+            .limit(cardinality_limit)
         )
-        agged = ranked.filter(F.col("_grank") <= cardinality_limit).drop("_grank")
     return agged
 
 
@@ -121,11 +120,17 @@ def bin_(col: Column | str, width: str) -> Column:
         return F.date_trunc(unit_map[width], c)
     import re as _re
 
-    m = _re.fullmatch(r"(\d+)(d|h|m|s)", str(width))
+    m = _re.fullmatch(r"(\d+(?:\.\d+)?)(ms|d|h|m|s)", str(width))
     if m:  # general time width: floor epoch seconds to the bucket
-        secs = int(m.group(1)) * {"d": 86400, "h": 3600, "m": 60, "s": 1}[m.group(2)]
+        mult = {"d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 0.001}[m.group(2)]
+        secs = float(m.group(1)) * mult
         return F.timestamp_seconds(
             F.floor(F.unix_timestamp(c) / F.lit(secs)) * F.lit(secs)
         )
-    w = float(width)
+    try:
+        w = float(width)
+    except (TypeError, ValueError):
+        from otel_arrow_spark.operators.kql_parser import KqlError
+
+        raise KqlError(f"bin(): unrecognized width {width!r}")
     return F.floor(c / F.lit(w)) * F.lit(w)

@@ -17,7 +17,9 @@ Supported tabular operators (grammar refs into `tabular_expressions.rs`):
     project-keep  p1, p2*        (:116-190)
     project-away  p1, p2*        (:191-265)
     project-rename new = old     (:266-326)
-    summarize agg() [by k1, …]   (:350-490)
+    summarize agg() [by k1, …]   (:350-490; post-summarize pipe stages
+                                  compose naturally — each stage operates
+                                  on the previous stage's DataFrame)
     order by c [asc|desc]        (DataFusion example analog)
     take / limit N
     count
@@ -30,6 +32,13 @@ variants), ``in/!in/in~``, ``matches regex``, ``iff/iif``, ``case``,
 ``coalesce``, ``bin``, string/convert/parse/temporal/collection
 functions per the mapping table in SURVEY §2.10.
 
+Accessors (`expressions/src/value_accessor.rs`; kql.pest:112-115):
+``a['k']``, ``a[0]``, dotted struct paths ``a.b``, and attached-record
+scoped paths ``resource.attributes['service.name']`` — the latter
+resolve against struct columns (see ``attach_records`` in
+`operators/attrs.py`), mirroring the reference's attached-record
+accessor resolution (`kql-parser/src/tabular_expressions.rs:350-490`).
+
 Also supported: ``let name = expr;`` constant bindings (folded by
 Catalyst, mirroring the reference's constant resolution,
 `pipeline_expression.rs:75-88`), ``dynamic([...])`` array and
@@ -38,13 +47,18 @@ Catalyst, mirroring the reference's constant resolution,
 
 Deliberately not supported (reference-absent): joins in KQL text (the
 reference language has none).
+
+Implementation note: every parse result is a ``KE`` node — a Catalyst
+Column plus, when the expression is a literal, its Python value. Literal
+arguments (regex patterns, delimiters, bin widths, accessor keys) travel
+with the expression itself, so there is no global side-table keyed by
+object identity (which could both leak and misclassify reused ids).
 """
 
 from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from fnmatch import fnmatch
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -63,7 +77,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<datetime>datetime\(\s*[^)]*\))
   | (?P<timespan>\d+(?:\.\d+)?(?:ms|d|h|m|s)\b)
-  | (?P<number>\d+\.\d+|\d+|0x[0-9a-fA-F]+)
+  | (?P<number>0[xX][0-9a-fA-F]+|\d+\.\d+|\d+)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<op>=~|!~|==|!=|<=|>=|\.\.|<|>|\+|-|\*|/|%|=|\(|\)|\[|\]|\{|\}|,|:|;|\.)
   | (?P<bang_ident>![a-zA-Z_][a-zA-Z0-9_]*~?)  # !in, !in~, !contains…
@@ -95,20 +109,56 @@ def tokenize(s: str) -> list[Tok]:
 
 
 # ---------------------------------------------------------------------------
+# expression nodes
+# ---------------------------------------------------------------------------
+
+_NOT_LIT = object()
+
+
+class KE:
+    """A parsed expression: Catalyst Column + optional literal value."""
+
+    __slots__ = ("col", "lit")
+
+    def __init__(self, col: Column, lit: object = _NOT_LIT):
+        self.col = col
+        self.lit = lit
+
+    @property
+    def is_lit(self) -> bool:
+        return self.lit is not _NOT_LIT
+
+
+def _mklit(v) -> KE:
+    return KE(F.lit(v), v)
+
+
+def _lit_str(e: KE) -> str:
+    """Recover a literal string argument (regex patterns, delimiters)."""
+    if not isinstance(e.lit, str):
+        raise KqlError("argument must be a string literal")
+    return e.lit
+
+
+def _lit_int(e: KE) -> int:
+    if not e.is_lit or isinstance(e.lit, bool) or not isinstance(e.lit, (int, float)):
+        raise KqlError("argument must be an integer literal")
+    return int(e.lit)
+
+
+# ---------------------------------------------------------------------------
 # expression parser (Pratt)
 # ---------------------------------------------------------------------------
 
+# Column-pure functions: lambdas receive plain Columns.
 _FUNC_MAP_SIMPLE = {
     # text (text_scalar_expression.rs:7-22)
     "strlen": lambda a: F.length(a[0]),
     "strcat": lambda a: F.concat(*a),
     "replace_string": lambda a: F.replace(a[0], a[1], a[2]),
-    "extract": lambda a: F.regexp_extract(a[2], _lit_str(a[0]), _lit_int(a[1])),
     "tolower": lambda a: F.lower(a[0]),
     "toupper": lambda a: F.upper(a[0]),
     "trim": lambda a: F.trim(a[1] if len(a) > 1 else a[0]),
-    "split": lambda a: F.split(a[0], _lit_str(a[1])),
-    "array_join": lambda a: F.array_join(a[0], _lit_str(a[1])),
     # conversion (convert_scalar_expression.rs:7-24)
     "tobool": lambda a: a[0].cast("boolean"),
     "toint": lambda a: a[0].cast("int"),
@@ -130,14 +180,12 @@ _FUNC_MAP_SIMPLE = {
     "floor": lambda a: F.floor(a[0]),
     "ceiling": lambda a: F.ceil(a[0]),
     "abs": lambda a: F.abs(a[0]),
-    "round": lambda a: F.round(a[0], _lit_int(a[1]) if len(a) > 1 else 0),
     "exp": lambda a: F.exp(a[0]),
     "log": lambda a: F.log(a[0]),
     "sqrt": lambda a: F.sqrt(a[0]),
     "pow": lambda a: F.pow(a[0], a[1]),
     # parse (parse_scalar_expression.rs:7-14)
     "parse_json": lambda a: F.parse_json(a[0]),
-    "extract_json": lambda a: F.get_json_object(a[1], _lit_str(a[0])),
     # temporal (temporal_scalar_expression.rs:7-10)
     "now": lambda a: F.current_timestamp(),
     "ago": lambda a: F.current_timestamp() - a[0],
@@ -165,35 +213,12 @@ _AGG_MAP = {
     "make_set": lambda a: F.array_sort(F.collect_set(a[0])),
 }
 
-def _lit_str(c: Column) -> str:
-    """Recover a literal string argument (regex patterns, delimiters)."""
-    key = id(c)
-    if key not in _LIT_VALUES:
-        raise KqlError("argument must be a string literal")
-    return _LIT_VALUES[key]
-
-
-def _lit_int(c: Column) -> int:
-    key = id(c)
-    if key not in _LIT_VALUES:
-        raise KqlError("argument must be an integer literal")
-    return int(_LIT_VALUES[key])
-
-
-_LIT_VALUES: dict[int, object] = {}
-
-
-def _mklit(v) -> Column:
-    c = F.lit(v)
-    _LIT_VALUES[id(c)] = v
-    return c
-
 
 class ExprParser:
-    """Pratt parser for KQL scalar expressions → Column."""
+    """Pratt parser for KQL scalar expressions → KE node."""
 
     def __init__(self, toks: list[Tok], pos: int = 0,
-                 bindings: dict[str, Column] | None = None):
+                 bindings: dict[str, "KE | Column"] | None = None):
         self.toks = toks
         self.pos = pos
         self.bindings = bindings or {}
@@ -203,7 +228,8 @@ class ExprParser:
 
     def next(self) -> Tok:
         t = self.toks[self.pos]
-        self.pos += 1
+        if t.kind != "eof":  # clamp at eof: repeated next() keeps returning it
+            self.pos += 1
         return t
 
     def expect(self, text: str) -> None:
@@ -212,57 +238,59 @@ class ExprParser:
             raise KqlError(f"expected {text!r}, got {t.text!r}")
 
     # precedence: or < and < not < cmp < add < mul < unary
-    def parse(self) -> Column:
+    def parse(self) -> KE:
         return self._or()
 
-    def _or(self) -> Column:
+    def _or(self) -> KE:
         left = self._and()
         while self.peek().text == "or":
             self.next()
-            left = left | self._and()
+            left = KE(left.col | self._and().col)
         return left
 
-    def _and(self) -> Column:
+    def _and(self) -> KE:
         left = self._cmp()
         while self.peek().text == "and":
             self.next()
-            left = left & self._cmp()
+            left = KE(left.col & self._cmp().col)
         return left
 
-    def _cmp(self) -> Column:
+    def _cmp(self) -> KE:
         left = self._add()
         t = self.peek().text
         if t in ("==", "!=", "<", "<=", ">", ">=", "=~", "!~"):
             self.next()
             right = self._add()
+            l, r = left.col, right.col
             if t == "==":
-                return left == right
+                return KE(l == r)
             if t == "!=":
-                return left != right
+                return KE(l != r)
             if t == "<":
-                return left < right
+                return KE(l < r)
             if t == "<=":
-                return left <= right
+                return KE(l <= r)
             if t == ">":
-                return left > right
+                return KE(l > r)
             if t == ">=":
-                return left >= right
+                return KE(l >= r)
             if t == "=~":  # case-insensitive equality (kql.pest:24-25)
-                return F.lower(left) == F.lower(right)
-            return F.lower(left) != F.lower(right)
+                return KE(F.lower(l) == F.lower(r))
+            return KE(F.lower(l) != F.lower(r))
         if t in ("contains", "contains_cs", "has", "has_cs", "startswith",
                  "endswith", "!contains", "!has"):
             self.next()
             right = self._add()
+            l, r = left.col, right.col
             if t in ("contains", "has"):  # case-insensitive by default
-                return F.lower(left).contains(F.lower(right))
+                return KE(F.lower(l).contains(F.lower(r)))
             if t in ("contains_cs", "has_cs"):
-                return left.contains(right)
+                return KE(l.contains(r))
             if t == "startswith":
-                return F.lower(left).startswith(F.lower(right))
+                return KE(F.lower(l).startswith(F.lower(r)))
             if t == "endswith":
-                return F.lower(left).endswith(F.lower(right))
-            return ~F.lower(left).contains(F.lower(right))
+                return KE(F.lower(l).endswith(F.lower(r)))
+            return KE(~F.lower(l).contains(F.lower(r)))
         if t in ("in", "in~", "!in", "!in~"):
             self.next()
             self.expect("(")
@@ -271,18 +299,19 @@ class ExprParser:
                 self.next()
                 items.append(self._or())
             self.expect(")")
+            cols = [i.col for i in items]
             if t == "in":
-                return left.isin(*items)
+                return KE(left.col.isin(*cols))
             if t == "!in":
-                return ~left.isin(*items)
-            low = F.lower(left)
-            cond = low.isin(*[F.lower(i) for i in items])
-            return cond if t == "in~" else ~cond
+                return KE(~left.col.isin(*cols))
+            low = F.lower(left.col)
+            cond = low.isin(*[F.lower(i) for i in cols])
+            return KE(cond if t == "in~" else ~cond)
         if t == "matches":
             self.next()
             self.expect("regex")
             pat = self._add()
-            return left.rlike(_lit_str(pat))
+            return KE(left.col.rlike(_lit_str(pat)))
         if t == "between":  # x between (lo .. hi), inclusive (kql.pest)
             self.next()
             self.expect("(")
@@ -290,44 +319,48 @@ class ExprParser:
             self.expect("..")
             hi = self._add()
             self.expect(")")
-            return (left >= lo) & (left <= hi)
+            return KE((left.col >= lo.col) & (left.col <= hi.col))
         return left
 
-    def _add(self) -> Column:
+    def _add(self) -> KE:
         left = self._mul()
         while self.peek().text in ("+", "-"):
             op = self.next().text
             right = self._mul()
-            left = left + right if op == "+" else left - right
+            left = KE(left.col + right.col if op == "+" else left.col - right.col)
         return left
 
-    def _mul(self) -> Column:
+    def _mul(self) -> KE:
         left = self._unary()
         while self.peek().text in ("*", "/", "%"):
             op = self.next().text
             right = self._unary()
             if op == "*":
-                left = left * right
+                left = KE(left.col * right.col)
             elif op == "/":
-                left = left / right
+                left = KE(left.col / right.col)
             else:
-                left = left % right
+                left = KE(left.col % right.col)
         return left
 
-    def _unary(self) -> Column:
+    def _unary(self) -> KE:
         t = self.peek()
         if t.text == "-":
             self.next()
-            return -self._unary()
+            inner = self._unary()
+            if inner.is_lit and isinstance(inner.lit, (int, float)) \
+                    and not isinstance(inner.lit, bool):
+                return _mklit(-inner.lit)
+            return KE(-inner.col)
         if t.text == "not":
             self.next()
             self.expect("(")
             inner = self._or()
             self.expect(")")
-            return ~inner
+            return KE(~inner.col)
         return self._postfix()
 
-    def _postfix(self) -> Column:
+    def _postfix(self) -> KE:
         c = self._primary()
         while True:
             t = self.peek().text
@@ -335,21 +368,25 @@ class ExprParser:
                 self.next()
                 idx = self._or()
                 self.expect("]")
-                key = _LIT_VALUES.get(id(idx))
+                key = idx.lit
                 if isinstance(key, str):
-                    c = c.getItem(key)
-                elif isinstance(key, (int, float)):
-                    c = c.getItem(int(key))
+                    c = KE(c.col.getItem(key))
+                elif not isinstance(key, bool) and isinstance(key, (int, float)):
+                    c = KE(c.col.getItem(int(key)))
                 else:
-                    c = F.element_at(c, idx)
-            elif t == ".":  # dotted path a.b
+                    c = KE(F.element_at(c.col, idx.col))
+            elif t == ".":  # dotted path a.b (incl. resource./scope. scoping)
                 self.next()
-                field = self.next().text
-                c = c.getField(field)
+                field = self.next()
+                if field.kind != "ident":
+                    raise KqlError(
+                        f"expected field name after '.', got {field.text!r}"
+                    )
+                c = KE(c.col.getField(field.text))
             else:
                 return c
 
-    def _primary(self) -> Column:
+    def _primary(self) -> KE:
         t = self.next()
         if t.text == "(":
             inner = self._or()
@@ -357,21 +394,20 @@ class ExprParser:
             return inner
         if t.kind == "number":
             txt = t.text
-            if txt.startswith("0x"):
+            if txt[:2].lower() == "0x":
                 return _mklit(int(txt, 16))
             return _mklit(float(txt) if "." in txt else int(txt))
         if t.kind == "string":
             return _mklit(_unquote(t.text))
         if t.kind == "datetime":
             inner = t.text[len("datetime("):-1].strip().strip("'\"")
-            return F.lit(inner).cast("timestamp")
+            return KE(F.lit(inner).cast("timestamp"))
         if t.kind == "timespan":  # timespan literal 1h/5m/… (kql.pest:118-121)
             num = float(re.match(r"[\d.]+", t.text).group())
             unit = t.text[len(re.match(r"[\d.]+", t.text).group()):]
             secs = {"d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 0.001}[unit]
-            c = F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(num * secs))
-            _LIT_VALUES[id(c)] = t.text  # recoverable by bin()
-            return c
+            col = F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(num * secs))
+            return KE(col, t.text)  # lit = "1h" — recoverable by bin()
         if t.kind in ("ident", "bang_ident"):
             name = t.text
             if name == "true":
@@ -379,17 +415,19 @@ class ExprParser:
             if name == "false":
                 return _mklit(False)
             if name == "null":
-                return F.lit(None)
+                return KE(F.lit(None))
             if name == "dynamic" and self.peek().text == "(":
                 return self._dynamic()
             if self.peek().text == "(":
                 return self._call(name)
             if name in self.bindings:  # `let` constant — Catalyst folds it
-                return self.bindings[name]
-            return F.col(name)
-        raise KqlError(f"unexpected token {t.text!r}")
+                b = self.bindings[name]
+                return b if isinstance(b, KE) else KE(b)
+            return KE(F.col(name))
+        raise KqlError(f"unexpected token {t.text!r}" if t.kind != "eof"
+                       else "unexpected end of input")
 
-    def _dynamic(self) -> Column:
+    def _dynamic(self) -> KE:
         """dynamic([..]) array / dynamic({..}) map literals
         (kql.pest:126-133)."""
         self.expect("(")
@@ -402,7 +440,7 @@ class ExprParser:
                     self.next()
                     items.append(self._or())
             self.expect("]")
-            out = F.array(*items)
+            out = F.array(*[i.col for i in items])
         elif t.text == "{":
             kvs: list[Column] = []
             if self.peek().text != "}":
@@ -412,7 +450,7 @@ class ExprParser:
                         raise KqlError("dynamic map key must be string")
                     kname = _unquote(key.text) if key.kind == "string" else key.text
                     self.expect(":")
-                    kvs += [F.lit(kname), self._or()]
+                    kvs += [F.lit(kname), self._or().col]
                     if self.peek().text != ",":
                         break
                     self.next()
@@ -421,11 +459,11 @@ class ExprParser:
         else:
             raise KqlError("dynamic() needs [..] or {..}")
         self.expect(")")
-        return out
+        return KE(out)
 
-    def _call(self, name: str) -> Column:
+    def _call(self, name: str) -> KE:
         self.expect("(")
-        args: list[Column] = []
+        args: list[KE] = []
         if self.peek().text != ")":
             args.append(self._or())
             while self.peek().text == ",":
@@ -436,28 +474,70 @@ class ExprParser:
         if lname == "case":  # case(p1, v1, …, default) (kql.pest:151-153)
             if len(args) < 3 or len(args) % 2 == 0:
                 raise KqlError("case() needs odd ≥3 args")
-            c = F.when(args[0], args[1])
+            c = F.when(args[0].col, args[1].col)
             for i in range(2, len(args) - 1, 2):
-                c = c.when(args[i], args[i + 1])
-            return c.otherwise(args[-1])
+                c = c.when(args[i].col, args[i + 1].col)
+            return KE(c.otherwise(args[-1].col))
         if lname == "bin":  # math bin (math_scalar_expression.rs:13)
             from otel_arrow_spark.operators.kql import bin_
 
-            w = _LIT_VALUES.get(id(args[1]))
-            if isinstance(w, (int, float)):
-                return F.floor(args[0] / F.lit(w)) * F.lit(w)
-            return bin_(args[0], str(w))
+            if len(args) != 2:
+                raise KqlError("bin() needs (value, width)")
+            if not args[1].is_lit:
+                raise KqlError("bin() width must be a literal")
+            w = args[1].lit
+            if not isinstance(w, bool) and isinstance(w, (int, float)):
+                return KE(F.floor(args[0].col / F.lit(w)) * F.lit(w))
+            return KE(bin_(args[0].col, str(w)))
+        # literal-argument functions (patterns, delimiters, counts)
         if lname == "strcat_delim":
-            return F.concat_ws(_lit_str(args[0]), *args[1:])
+            if not args:
+                raise KqlError("strcat_delim needs (delim, parts…)")
+            return KE(F.concat_ws(_lit_str(args[0]), *[a.col for a in args[1:]]))
         if lname == "substring":
+            if len(args) < 2:
+                raise KqlError("substring needs (s, start[, len])")
             start = _lit_int(args[1])
             if len(args) > 2:
-                return F.substring(args[0], start + 1, _lit_int(args[2]))
-            return F.substring(args[0], start + 1, 1 << 30)
-        if lname in _FUNC_MAP_SIMPLE:
-            return _FUNC_MAP_SIMPLE[lname](args)
-        if lname in _AGG_MAP:
-            return _AGG_MAP[lname](args)
+                return KE(F.substring(args[0].col, start + 1, _lit_int(args[2])))
+            return KE(F.substring(args[0].col, start + 1, 1 << 30))
+        if lname == "extract":
+            if len(args) != 3:
+                raise KqlError("extract needs (pattern, group, s)")
+            return KE(F.regexp_extract(args[2].col, _lit_str(args[0]),
+                                       _lit_int(args[1])))
+        if lname == "split":
+            if len(args) != 2:
+                raise KqlError("split needs (s, delim)")
+            return KE(F.split(args[0].col, _lit_str(args[1])))
+        if lname == "array_join":
+            if len(args) != 2:
+                raise KqlError("array_join needs (arr, delim)")
+            return KE(F.array_join(args[0].col, _lit_str(args[1])))
+        if lname == "round":
+            if not args:
+                raise KqlError("round needs (x[, digits])")
+            digits = _lit_int(args[1]) if len(args) > 1 else 0
+            return KE(F.round(args[0].col, digits))
+        if lname == "extract_json":
+            if len(args) != 2:
+                raise KqlError("extract_json needs (path, s)")
+            return KE(F.get_json_object(args[1].col, _lit_str(args[0])))
+        if lname == "percentile":
+            if len(args) != 2:
+                raise KqlError("percentile needs (x, p)")
+            return KE(F.percentile_approx(args[0].col,
+                                          _lit_int(args[1]) / 100.0))
+        cols = [a.col for a in args]
+        try:
+            if lname in _FUNC_MAP_SIMPLE:
+                return KE(_FUNC_MAP_SIMPLE[lname](cols))
+            if lname in _AGG_MAP:
+                return KE(_AGG_MAP[lname](cols))
+        except KqlError:
+            raise
+        except IndexError:
+            raise KqlError(f"wrong number of arguments for {name}()")
         raise KqlError(f"unknown function {name}")
 
 
@@ -466,12 +546,16 @@ def _unquote(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", body)
 
 
-def parse_expr(s: str, bindings: dict[str, Column] | None = None) -> Column:
+def parse_expr_ke(s: str, bindings: dict[str, "KE | Column"] | None = None) -> KE:
     p = ExprParser(tokenize(s), bindings=bindings)
     c = p.parse()
     if p.peek().kind != "eof":
         raise KqlError(f"trailing tokens at {p.peek().text!r}")
     return c
+
+
+def parse_expr(s: str, bindings: dict[str, "KE | Column"] | None = None) -> Column:
+    return parse_expr_ke(s, bindings).col
 
 
 # ---------------------------------------------------------------------------
@@ -566,17 +650,19 @@ def kql(df: DataFrame, query: str) -> DataFrame:
     full queries (``T | where …``). ``let name = expr;`` statements bind
     constants substituted into later expressions — Catalyst's constant
     folding then plays the reference's fold-of-let-statics
-    (`expressions/src/pipeline_expression.rs:75-88`).
+    (`expressions/src/pipeline_expression.rs:75-88`). Stages after
+    ``summarize`` run over the aggregate (post-summarize pipe
+    expressions, `tabular_expressions.rs:350-490`).
     """
     from otel_arrow_spark.operators import kql as ops
 
-    bindings: dict[str, Column] = {}
+    bindings: dict[str, KE] = {}
     statements = _split_top_level(query, ";")
     for stmt in statements[:-1]:
         m = _LET_RE.match(stmt)
         if not m:
             raise KqlError(f"expected `let name = expr;`, got {stmt!r}")
-        bindings[m.group(1)] = parse_expr(m.group(2), bindings)
+        bindings[m.group(1)] = parse_expr_ke(m.group(2), bindings)
     query = statements[-1]
 
     def pe(s: str) -> Column:
@@ -648,7 +734,10 @@ def kql(df: DataFrame, query: str) -> DataFrame:
                     cols.append(pe(part).desc())
             df = df.orderBy(*cols)
         elif op in ("take", "limit"):
-            df = df.limit(int(rest))
+            try:
+                df = df.limit(int(rest))
+            except ValueError:
+                raise KqlError(f"take/limit needs an integer, got {rest!r}")
         elif op == "count":
             df = df.agg(F.count(F.lit(1)).alias("count_"))
         elif op == "distinct":

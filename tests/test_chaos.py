@@ -124,17 +124,25 @@ def test_parse_variants_agree_on_full_fixture(spark, transcripts):
     assert a == b == c
 
 
-@settings(max_examples=60, deadline=None)
+@settings(
+    max_examples=120,
+    deadline=None,
+    derandomize=True,  # deterministic corpus — no seed/order flakes
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 @given(
     s=st.text(
         alphabet=st.sampled_from(list("abc01 ()'\"|=<>!~+-*/,.[]{}:;xin")),
         min_size=0, max_size=60,
     )
 )
-def test_kql_parser_never_raises_foreign_exceptions(s):
+def test_kql_parser_never_raises_foreign_exceptions(spark, s):
     """Arbitrary expression strings either parse or raise KqlError —
     never IndexError/AttributeError/etc (the parser analog of the
-    reference's never-panic decode discipline)."""
+    reference's never-panic decode discipline). Takes the spark fixture:
+    Column construction (F.lit) requires an active session, and the
+    no-foreign-exceptions contract is about the *parser*, not about
+    pyspark's no-context assertion."""
     from otel_arrow_spark.operators.kql_parser import KqlError, parse_expr
 
     try:
@@ -143,6 +151,34 @@ def test_kql_parser_never_raises_foreign_exceptions(s):
         pass
     except Exception as e:  # pragma: no cover - the failure we hunt
         raise AssertionError(f"non-KqlError {type(e).__name__} on {s!r}: {e}")
+
+
+@pytest.mark.parametrize(
+    "s",
+    ["0.", "0x1F + 1", "a.", "a.[", "bin(x, y)", "bin(x)", "1 +", "(a",
+     "f(", "a in (", "dynamic(", "case(a)", "substring(a)", "'unterminated",
+     "a matches regex b", "strcat_delim(x, a)", "a[", "a[1", "..", "a..b"],
+)
+def test_kql_parser_edge_inputs_raise_kql_or_parse(spark, s):
+    """Regression corpus for the round-1 fuzz failure ('0.') and the
+    ADVICE items: trailing '.', hex literals, non-literal bin width /
+    regex pattern / delimiter, truncated calls."""
+    from otel_arrow_spark.operators.kql_parser import KqlError, parse_expr
+
+    try:
+        parse_expr(s)
+    except KqlError:
+        pass
+
+
+def test_kql_parser_hex_literal(spark):
+    """0x1F lexes as one number token (ADVICE: hex branch was shadowed)."""
+    from otel_arrow_spark.operators.kql_parser import parse_expr_ke
+
+    e = parse_expr_ke("0x1F")
+    assert e.lit == 31
+    e2 = parse_expr_ke("0X0a")
+    assert e2.lit == 10
 
 
 def test_retry_with_backoff_semantics():
