@@ -84,6 +84,67 @@ routed AS (
 """
 
 
+# DuckDB rendition of the signals star-schema derivation (independent of
+# the Spark impl in otel_arrow_spark/signals.py; appended after
+# ORACLE_PARSED_CTE so it reads from `routed`).
+ORACLE_SIGNALS_CTE = r"""
+, sigbase AS (
+  SELECT conv_id, turn_idx, role, tool, ts, format, sink, text,
+    CASE WHEN format IN ('rfc5424','rfc3164') THEN CAST(_pri_s AS INT) % 8
+         WHEN format = 'cef' THEN TRY_CAST(regexp_extract(text, '^CEF:0\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|([^|]*)\|', 1) AS INT) END AS severity,
+    CASE WHEN format = 'rfc5424' THEN _v1_msgid
+         WHEN format = 'cef' THEN _cef_name END AS event_name,
+    CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '^<\d{1,3}>1 (\S+) (\S+)', 2)
+         WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} (\S+)', 1)
+         WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|[^|]*\|([^|]*)\|', 1) END AS host,
+    substr(sha256(conv_id), 1, 32) AS trace_id,
+    CASE WHEN role = 'tool' AND tool IS NOT NULL
+         THEN substr(sha256(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) END AS span_key
+  FROM routed
+),
+wb AS (
+  SELECT *,
+    last_value(span_key IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_span_id,
+    last_value(span_key IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_span_id,
+    first_value(CASE WHEN span_key IS NOT NULL THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_span_ts,
+    max(ts) OVER (PARTITION BY conv_id) AS conv_end_ts
+  FROM sigbase
+),
+spans AS (
+  SELECT trace_id, span_key AS span_id, prev_span_id AS parent_span_id,
+         coalesce(event_name, 'tool:' || tool) AS name,
+         3 AS kind, ts AS start_ts,
+         coalesce(next_span_ts, conv_end_ts) AS end_ts,
+         date_diff('microsecond', ts, coalesce(next_span_ts, conv_end_ts)) AS duration_us,
+         CASE WHEN severity IS NULL THEN 0 WHEN severity <= 3 THEN 2 ELSE 1 END AS status_code,
+         tool, host, conv_id, turn_idx
+  FROM wb WHERE span_key IS NOT NULL
+),
+span_events AS (
+  SELECT cur_span_id AS parent_span_id,
+         substr(sha256(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS event_id,
+         coalesce(event_name, format) AS name, ts AS time_ts, severity,
+         conv_id, turn_idx
+  FROM wb WHERE span_key IS NULL AND cur_span_id IS NOT NULL
+),
+mpoints AS (
+  SELECT substr(sha256(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) AS point_id,
+         CASE WHEN format = 'rfc5424' THEN event_name
+              ELSE 'cef.' || event_name END AS metric_name,
+         CASE WHEN format = 'rfc5424'
+              THEN TRY_CAST(regexp_extract(text, 'code="([^"]*)"', 1) AS DOUBLE)
+              ELSE CAST(severity AS DOUBLE) END AS value,
+         ts AS time_ts, host, trace_id, cur_span_id AS span_id,
+         conv_id, turn_idx
+  FROM wb WHERE sink = 'sink_metrics'
+)
+"""
+
+
 def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-side derivation — same semantics as DERIVE_SQL, via Spark SQL."""
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
@@ -174,6 +235,131 @@ def q_pipeline_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     routed = route_turns(parse_turns(_derived_transcripts(spark, sf_dir)))
     return counts_by_conv(routed)
+
+
+# ---------------------------------------------------------------------------
+# traces / metrics star-schema queries (signals.py; data_model.md:19-416)
+# ---------------------------------------------------------------------------
+
+def _signal_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+    from otel_arrow_spark.signals import signal_base
+
+    return signal_base(
+        route_turns(parse_turns(_derived_transcripts(spark, sf_dir)))
+    )
+
+
+def q_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPANS table derivation: span = tool-call turn, parent chain via
+    the previous span, duration to next span / conversation end
+    (`docs/data_model.md:318-340`)."""
+    from otel_arrow_spark.signals import spans_table
+
+    return spans_table(_signal_base(spark, sf_dir))
+
+
+def q_trace_span_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN_EVENTS: non-span turns attached to the nearest preceding
+    span (`docs/data_model.md:341-360`)."""
+    from otel_arrow_spark.signals import span_events_table
+
+    return span_events_table(_signal_base(spark, sf_dir))
+
+
+def q_trace_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN_LINKS: continuation edges to the previous same-tool span of
+    the conversation (`docs/data_model.md:361-380`)."""
+    from otel_arrow_spark.signals import span_links_table, spans_table
+
+    return span_links_table(spans_table(_signal_base(spark, sf_dir)))
+
+
+def q_trace_span_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP reconstruction join: spans ⋈ span_events on the id→parent_id
+    FK (`rust/otel-arrow-rust/src/otlp/common.rs:467-570` sort-merge
+    cursor walk), rolled up per span."""
+    from otel_arrow_spark.signals import span_events_table, spans_table
+
+    base = _signal_base(spark, sf_dir)
+    spans = spans_table(base).select(
+        "span_id", F.col("name").alias("span_name")
+    )
+    events = span_events_table(base).select(
+        "parent_span_id",
+        F.col("severity").alias("event_severity"),
+        F.col("time_ts").alias("event_ts"),
+    )
+    return (
+        spans.join(events, F.col("span_id") == F.col("parent_span_id"))
+        .groupBy("span_id", "span_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_severity") <= 3, 1).otherwise(0).cast("long")
+            ).alias("n_error_events"),
+            F.min("event_ts").alias("first_event_ts"),
+        )
+    )
+
+
+def q_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trace rollup over the reconstructed star schema."""
+    from otel_arrow_spark.signals import (
+        span_events_table, spans_table, trace_rollup,
+    )
+
+    base = _signal_base(spark, sf_dir)
+    return trace_rollup(spans_table(base), span_events_table(base))
+
+
+def q_metrics_number_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMBER_DATA_POINTS + broadcast join to the UNIVARIATE_METRICS
+    dimension ids (`docs/data_model.md:19-59`)."""
+    from otel_arrow_spark.signals import (
+        metric_points, number_data_points, univariate_metrics,
+    )
+
+    points = metric_points(_signal_base(spark, sf_dir))
+    return number_data_points(points, univariate_metrics(points))
+
+
+def q_metrics_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM_DATA_POINTS per (metric, host, hour) merged across hosts
+    per (metric, hour) — element-wise bucket_counts addition
+    (`docs/data_model.md:100-147`)."""
+    from otel_arrow_spark.signals import (
+        histogram_data_points, merge_histograms, metric_points,
+    )
+
+    hist = histogram_data_points(metric_points(_signal_base(spark, sf_dir)))
+    merged = merge_histograms(hist)
+    return merged.select(
+        "metric_name", "hour", "point_count", "sum_value", "min_value",
+        "max_value",
+        F.array_join(F.col("bucket_counts").cast("array<string>"), ",").alias(
+            "buckets_csv"
+        ),
+        "n_hosts",
+    )
+
+
+def q_metrics_exemplar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplar lookup join: exemplars carry (trace_id, span_id) back
+    into SPANS (`docs/data_model.md:60-76` exemplar columns)."""
+    from otel_arrow_spark.signals import (
+        exemplars_table, metric_points, spans_table,
+    )
+
+    base = _signal_base(spark, sf_dir)
+    ex = exemplars_table(metric_points(base)).select(
+        "parent_point_id", "metric_name", "value", "time_ts", "span_id"
+    )
+    spans = spans_table(base).select(
+        "span_id", F.col("name").alias("span_name"), "tool"
+    )
+    return ex.join(spans, "span_id")
 
 
 # ---------------------------------------------------------------------------
@@ -710,6 +896,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_counts": q_skew_salted_counts,
         "kql_conversions": q_kql_conversions,
         "kql_collections": q_kql_collections,
+        "trace_spans": q_trace_spans,
+        "trace_span_events": q_trace_span_events,
+        "trace_links": q_trace_links,
+        "trace_span_event_join": q_trace_span_event_join,
+        "trace_rollup": q_trace_rollup,
+        "metrics_number_points": q_metrics_number_points,
+        "metrics_histogram_merge": q_metrics_histogram_merge,
+        "metrics_exemplar_join": q_metrics_exemplar_join,
         "kql_text_where_summarize": q_kql_text_where_summarize,
         "kql_text_topk": q_kql_text_topk,
         "kql_text_scalars": q_kql_text_scalars,
@@ -738,6 +932,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _parsed_oracle(select: str, tail: str = "") -> str:
     return ORACLE_PARSED_CTE.format(derive=DERIVE_SQL) + select + tail
+
+
+def _signals_oracle(select: str) -> str:
+    return (
+        ORACLE_PARSED_CTE.format(derive=DERIVE_SQL)
+        + ORACLE_SIGNALS_CTE
+        + select
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -871,6 +1073,77 @@ FROM ({PARSED_FIELDS_SQL})
             "array_to_string(string_split(p_name, ' ')[1:2], '_') AS head2, "
             "len(string_split(p_name, ' ')) + 1 AS n_plus1, "
             "string_split(p_name, ' ')[-1] AS last_word FROM part"
+        ),
+        "trace_spans": _signals_oracle(
+            "SELECT trace_id, span_id, parent_span_id, name, kind, start_ts, "
+            "end_ts, duration_us, status_code, tool, host, conv_id, turn_idx "
+            "FROM spans"
+        ),
+        "trace_span_events": _signals_oracle(
+            "SELECT parent_span_id, event_id, name, time_ts, severity, "
+            "conv_id, turn_idx FROM span_events"
+        ),
+        "trace_links": _signals_oracle(
+            "SELECT * FROM ("
+            "SELECT span_id AS parent_span_id, trace_id AS linked_trace_id, "
+            "lag(span_id) OVER w AS linked_span_id, "
+            "lag(turn_idx) OVER w AS linked_turn_idx, "
+            "'continuation' AS trace_state, conv_id, turn_idx, tool "
+            "FROM spans WINDOW w AS (PARTITION BY conv_id, tool ORDER BY turn_idx)"
+            ") WHERE linked_span_id IS NOT NULL"
+        ),
+        "trace_span_event_join": _signals_oracle(
+            "SELECT s.span_id, s.name AS span_name, COUNT(*) AS n_events, "
+            "CAST(SUM(CASE WHEN e.severity <= 3 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_error_events, MIN(e.time_ts) AS first_event_ts "
+            "FROM spans s JOIN span_events e ON e.parent_span_id = s.span_id "
+            "GROUP BY 1, 2"
+        ),
+        "trace_rollup": _signals_oracle(
+            "SELECT s.trace_id, COUNT(*) AS n_spans, "
+            "CAST(SUM(coalesce(e.n_events, 0)) AS BIGINT) AS n_events, "
+            "CAST(SUM(s.duration_us) AS BIGINT) AS total_duration_us, "
+            "MIN(s.start_ts) AS trace_start, MAX(s.end_ts) AS trace_end, "
+            "CAST(SUM(CASE WHEN s.status_code = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_error_spans "
+            "FROM spans s LEFT JOIN (SELECT parent_span_id, COUNT(*) AS n_events "
+            "FROM span_events GROUP BY 1) e ON s.span_id = e.parent_span_id "
+            "GROUP BY 1"
+        ),
+        "metrics_number_points": _signals_oracle(
+            "SELECT point_id, metric_id AS parent_id, metric_name, time_ts, "
+            "value, 0 AS flags, conv_id, turn_idx FROM mpoints "
+            "JOIN (SELECT metric_name, CAST(dense_rank() OVER (ORDER BY "
+            "metric_name) AS INT) AS metric_id FROM "
+            "(SELECT DISTINCT metric_name FROM mpoints)) USING (metric_name)"
+        ),
+        "metrics_histogram_merge": _signals_oracle(
+            """
+SELECT metric_name, hour, CAST(SUM(point_count) AS BIGINT) AS point_count,
+  ROUND(SUM(sum_value), 6) AS sum_value, MIN(min_value) AS min_value,
+  MAX(max_value) AS max_value,
+  array_to_string(list_value(
+    SUM(b1), SUM(b2), SUM(b3), SUM(b4), SUM(b5), SUM(b6)), ',') AS buckets_csv,
+  COUNT(DISTINCT host) AS n_hosts
+FROM (
+  SELECT metric_name, host, date_trunc('hour', time_ts) AS hour,
+    COUNT(value) AS point_count, ROUND(SUM(value), 6) AS sum_value,
+    MIN(value) AS min_value, MAX(value) AS max_value,
+    SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS b1,
+    SUM(CASE WHEN value > 10 AND value <= 25 THEN 1 ELSE 0 END) AS b2,
+    SUM(CASE WHEN value > 25 AND value <= 50 THEN 1 ELSE 0 END) AS b3,
+    SUM(CASE WHEN value > 50 AND value <= 75 THEN 1 ELSE 0 END) AS b4,
+    SUM(CASE WHEN value > 75 AND value <= 90 THEN 1 ELSE 0 END) AS b5,
+    SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS b6
+  FROM mpoints WHERE value IS NOT NULL GROUP BY 1, 2, 3
+) GROUP BY 1, 2
+"""
+        ),
+        "metrics_exemplar_join": _signals_oracle(
+            "SELECT p.span_id, p.point_id AS parent_point_id, p.metric_name, "
+            "p.value, p.time_ts, s.name AS span_name, s.tool "
+            "FROM mpoints p JOIN spans s ON p.span_id = s.span_id "
+            "WHERE p.value IS NOT NULL AND p.value >= 90"
         ),
         "kql_text_where_summarize": (
             "SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n, "

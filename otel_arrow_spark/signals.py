@@ -1,0 +1,396 @@
+"""Traces + metrics star-schema tables derived from transcript turns.
+
+The reference's unit of data is a per-signal *set* of Arrow tables:
+traces = SPANS / SPAN_EVENTS / SPAN_LINKS (+ per-table attrs),
+metrics = UNIVARIATE_METRICS + per-point-type data-point tables
+(NUMBER / HISTOGRAM …) with exemplars
+(`/root/reference/docs/data_model.md:309-416` traces,
+`:19-237` metrics; payload slots `rust/otel-arrow-rust/src/otap.rs:278,406`).
+OTLP reconstruction walks the star schema with cursor-based sort-merge
+joins over `parent_id` (`rust/otel-arrow-rust/src/otlp/common.rs:467-570`).
+
+Here the same model is derived from the transcripts table:
+
+- **span** = a tool-call turn (``role='tool' AND tool IS NOT NULL`` — the
+  router's `sink_traces` rule). A span closes at the next tool-call turn
+  of the conversation, or at conversation end.
+- **span event** = any non-span turn, attached to the nearest *preceding*
+  span of its conversation (log records enclosed by the span).
+- **span link** = "continuation" edge to the previous span of the same
+  conversation that called the *same tool* (retry/continuation analog of
+  OTLP span links).
+- **metric point** = a metric-like turn (the router's `sink_metrics`
+  rule); NUMBER_DATA_POINTS carry the turn's parsed numeric value,
+  HISTOGRAM_DATA_POINTS aggregate points into fixed explicit-bound
+  buckets, exemplars are high-value points linked back to the enclosing
+  span (`docs/data_model.md:60-76` exemplar shape).
+
+IDs are content-derived (sha-256 prefixes of ``conv_id[:turn_idx]``) so
+they are deterministic across engines, retries, and partitionings — the
+role the parquet exporter's ``PartitionSequenceIdGenerator`` plays for
+uniqueness (`crates/otap/src/parquet_exporter/idgen.rs:30-102`) without
+any sequential state.
+
+Scale design (100 TB): :func:`signal_base` computes *every* per-turn
+derived column — current/previous span, next-span time, conversation end
+— in a **single Window operator** (one shuffle on ``conv_id`` + one
+sort by ``turn_idx``; the four window expressions share the partition
+and ordering, only frames differ). Everything downstream is either a
+narrow projection/filter of that pass, a tiny-dimension broadcast join
+(metric-name ids), or a map-side-combinable aggregation (histograms).
+Mega-conversation skew: the window partition is a whole conversation;
+conversations are bounded in practice (≤~10^6 turns), and the two-phase
+range-bucketed pattern in `ordering.salted_window_rank` is the drop-in
+replacement if they are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Explicit histogram bucket bounds (reference: HISTOGRAM_DATA_POINTS carry
+# explicit_bounds + bucket_counts lists, docs/data_model.md:100-147).
+# len(bounds)+1 buckets: (-inf,10], (10,25], (25,50], (50,75], (75,90], (90,+inf)
+HIST_BOUNDS = [10.0, 25.0, 50.0, 75.0, 90.0]
+
+SPAN_KIND_CLIENT = 3          # OTLP SpanKind.CLIENT — a tool call
+STATUS_UNSET, STATUS_OK, STATUS_ERROR = 0, 1, 2
+EXEMPLAR_MIN_VALUE = 90.0     # points at/above this become exemplars
+
+
+def _is_span() -> Column:
+    return (F.col("role") == "tool") & F.col("tool").isNotNull()
+
+
+def signal_base(routed: DataFrame) -> DataFrame:
+    """Single-pass per-turn signal derivation over parsed+routed turns.
+
+    Input: ``route_turns(parse_turns(transcripts))`` output (needs
+    ``conv_id, turn_idx, role, tool, ts`` + parsed fields + ``sink``).
+
+    Adds: ``trace_id``, ``span_key`` (non-null on span turns),
+    ``cur_span_id`` (nearest preceding-or-self span), ``prev_span_id``
+    (nearest strictly-preceding span), ``next_span_ts`` (start of the
+    next span turn), ``conv_end_ts``. One Window operator total.
+    """
+    base = routed.withColumns(
+        {
+            "trace_id": F.substring(F.sha2(F.col("conv_id"), 256), 1, 32),
+            "span_key": F.when(
+                _is_span(),
+                F.substring(
+                    F.sha2(
+                        F.concat_ws(
+                            ":", F.col("conv_id"),
+                            F.col("turn_idx").cast("string"),
+                        ),
+                        256,
+                    ),
+                    1, 16,
+                ),
+            ),
+        }
+    ).withColumn("_span_ts", F.when(_is_span(), F.col("ts")))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return base.withColumns(
+        {
+            "cur_span_id": F.last("span_key", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            "prev_span_id": F.last("span_key", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            "next_span_ts": F.first("_span_ts", ignorenulls=True).over(
+                w.rowsBetween(1, Window.unboundedFollowing)
+            ),
+            "conv_end_ts": F.max("ts").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        }
+    ).drop("_span_ts")
+
+
+# ---------------------------------------------------------------------------
+# traces
+# ---------------------------------------------------------------------------
+
+def spans_table(base: DataFrame) -> DataFrame:
+    """SPANS (`docs/data_model.md:318-340`): narrow filter+project of the
+    signal_base pass. parent_span_id chains to the previous span of the
+    conversation; duration runs to the next span start or conversation
+    end; status derives from the parsed syslog severity (≤3 = error)."""
+    end_ts = F.coalesce(F.col("next_span_ts"), F.col("conv_end_ts"))
+    return base.filter(F.col("span_key").isNotNull()).select(
+        F.col("trace_id"),
+        F.col("span_key").alias("span_id"),
+        F.col("prev_span_id").alias("parent_span_id"),
+        F.coalesce(
+            F.col("event_name"), F.concat(F.lit("tool:"), F.col("tool"))
+        ).alias("name"),
+        F.lit(SPAN_KIND_CLIENT).alias("kind"),
+        F.col("ts").alias("start_ts"),
+        end_ts.alias("end_ts"),
+        F.timestamp_diff("MICROSECOND", F.col("ts"), end_ts).alias("duration_us"),
+        F.when(F.col("severity").isNull(), STATUS_UNSET)
+        .when(F.col("severity") <= 3, STATUS_ERROR)
+        .otherwise(STATUS_OK)
+        .alias("status_code"),
+        F.col("tool"),
+        F.col("host"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+
+
+def span_events_table(base: DataFrame) -> DataFrame:
+    """SPAN_EVENTS (`docs/data_model.md:341-360`): every non-span turn
+    attached to the nearest preceding span (`parent_id` FK). Turns before
+    the first span of a conversation have no enclosing span and are
+    dropped (matching OTLP: events exist only inside a span)."""
+    return base.filter(
+        F.col("span_key").isNull() & F.col("cur_span_id").isNotNull()
+    ).select(
+        F.col("cur_span_id").alias("parent_span_id"),
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    ":", F.col("conv_id"), F.col("turn_idx").cast("string")
+                ),
+                256,
+            ),
+            1, 16,
+        ).alias("event_id"),
+        F.coalesce(F.col("event_name"), F.col("format")).alias("name"),
+        F.col("ts").alias("time_ts"),
+        F.col("severity"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+
+
+def span_links_table(spans: DataFrame) -> DataFrame:
+    """SPAN_LINKS (`docs/data_model.md:361-380`): continuation edges —
+    each span links to the previous span of the same conversation that
+    called the same tool. Window partition is (conv_id, tool): strictly
+    smaller partitions than the base pass, spans only."""
+    w = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    return (
+        spans.withColumns(
+            {
+                "linked_span_id": F.lag("span_id").over(w),
+                "linked_turn_idx": F.lag("turn_idx").over(w),
+            }
+        )
+        .filter(F.col("linked_span_id").isNotNull())
+        .select(
+            F.col("span_id").alias("parent_span_id"),
+            F.col("trace_id").alias("linked_trace_id"),
+            "linked_span_id",
+            "linked_turn_idx",
+            F.lit("continuation").alias("trace_state"),
+            "conv_id",
+            "turn_idx",
+            "tool",
+        )
+    )
+
+
+def span_attrs_table(base: DataFrame) -> DataFrame:
+    """SPAN_ATTRS EAV (`docs/data_model.md:296-306` shape): the parsed
+    kv attrs of span turns, tall-skinny with a type discriminant."""
+    return base.filter(
+        F.col("span_key").isNotNull() & F.col("attrs").isNotNull()
+    ).select(
+        F.col("span_key").alias("parent_id"),
+        F.explode(F.col("attrs")).alias("key", "str_value"),
+        F.lit("str").alias("value_type"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+
+
+def trace_rollup(spans: DataFrame, events: DataFrame) -> DataFrame:
+    """Per-trace reconstruction rollup: the aggregate a consumer computes
+    after the sort-merge reconstruction walk (`otlp/common.rs:467-570`).
+    Two partial-aggregated branches merged on trace_id — the span branch
+    carries per-trace span stats, the event branch per-trace event counts
+    (events join spans on parent_id first, the `id → parent_id` FK)."""
+    per_span_events = events.groupBy("parent_span_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    joined = spans.join(
+        per_span_events,
+        spans.span_id == per_span_events.parent_span_id,
+        "left",
+    )
+    return joined.groupBy("trace_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("n_events"), F.lit(0))).alias("n_events"),
+        F.sum("duration_us").alias("total_duration_us"),
+        F.min("start_ts").alias("trace_start"),
+        F.max("end_ts").alias("trace_end"),
+        F.sum(
+            (F.col("status_code") == STATUS_ERROR).cast("long")
+        ).alias("n_error_spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def metric_points(base: DataFrame) -> DataFrame:
+    """Per-turn metric observations (pre-typed NUMBER_DATA_POINTS).
+
+    rfc5424 metric turns carry their value in the ``code`` attr; CEF
+    turns use the CEF severity as a counter-ish value (reference: the
+    sparse typed value columns of data points,
+    `docs/data_model.md:19-59`). Value stays nullable — absent/invalid
+    values are kept as NULL points, mirroring optional columns."""
+    value = F.when(
+        F.col("format") == "rfc5424",
+        F.try_element_at(F.col("attrs"), F.lit("code")).try_cast("double"),
+    ).otherwise(F.col("severity").cast("double"))
+    return base.filter(F.col("sink") == "sink_metrics").select(
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    ":", F.col("conv_id"), F.col("turn_idx").cast("string")
+                ),
+                256,
+            ),
+            1, 16,
+        ).alias("point_id"),
+        F.when(F.col("format") == "rfc5424", F.col("event_name"))
+        .otherwise(F.concat(F.lit("cef."), F.col("event_name")))
+        .alias("metric_name"),
+        value.alias("value"),
+        F.col("ts").alias("time_ts"),
+        F.col("host"),
+        F.col("trace_id"),
+        F.col("cur_span_id").alias("span_id"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+
+
+def univariate_metrics(points: DataFrame) -> DataFrame:
+    """UNIVARIATE_METRICS dimension (`docs/data_model.md:19-40`):
+    distinct metric names with dense integer ids. The distinct set is
+    tiny (metric-name cardinality), so the global dense_rank window runs
+    over a handful of rows — same pattern as resource dedup
+    (`go/pkg/otel/logs/arrow/optimizer.go:63-106`)."""
+    w = Window.orderBy("metric_name")
+    return (
+        points.select("metric_name")
+        .distinct()
+        .withColumn("metric_id", F.dense_rank().over(w))
+        .withColumn(
+            "metric_type",
+            F.when(F.col("metric_name").startswith("cef."), "sum")
+            .otherwise("gauge"),
+        )
+        .withColumn("unit", F.lit("1"))
+    )
+
+
+def number_data_points(points: DataFrame, metrics: DataFrame) -> DataFrame:
+    """NUMBER_DATA_POINTS (`docs/data_model.md:41-59`): points joined to
+    their metric's integer id via a broadcast of the tiny dimension."""
+    return points.join(
+        F.broadcast(metrics.select("metric_name", "metric_id")), "metric_name"
+    ).select(
+        "point_id",
+        F.col("metric_id").alias("parent_id"),
+        "metric_name",
+        "time_ts",
+        "value",
+        F.lit(0).alias("flags"),
+        "conv_id",
+        "turn_idx",
+    )
+
+
+def _bucket_count_cols(v: Column, bounds: list[float]) -> list[Column]:
+    """One sum-of-indicator per bucket — map-side combinable, no UDF."""
+    cols = [F.sum((v <= bounds[0]).cast("long"))]
+    for lo, hi in zip(bounds, bounds[1:]):
+        cols.append(F.sum(((v > lo) & (v <= hi)).cast("long")))
+    cols.append(F.sum((v > bounds[-1]).cast("long")))
+    return cols
+
+
+def histogram_data_points(
+    points: DataFrame, bounds: list[float] = HIST_BOUNDS
+) -> DataFrame:
+    """HISTOGRAM_DATA_POINTS (`docs/data_model.md:100-147`): per
+    (metric, host, hour) — count/sum/min/max + fixed explicit-bound
+    bucket_counts. Pure hash aggregation with map-side partials; the
+    bucket counts are sums of indicator expressions (whole-stage
+    codegen), not a UDF histogram."""
+    v = F.col("value")
+    return (
+        points.filter(v.isNotNull())
+        .groupBy(
+            "metric_name",
+            "host",
+            F.date_trunc("hour", F.col("time_ts")).alias("hour"),
+        )
+        .agg(
+            F.count(v).alias("point_count"),
+            F.round(F.sum(v), 6).alias("sum_value"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+            F.array(*_bucket_count_cols(v, bounds)).alias("bucket_counts"),
+        )
+        .withColumn(
+            "explicit_bounds", F.array(*[F.lit(b) for b in bounds])
+        )
+    )
+
+
+def merge_histograms(hist: DataFrame, n_buckets: int = len(HIST_BOUNDS) + 1) -> DataFrame:
+    """Histogram bucket-merge aggregate: merge per-host histograms into
+    per-(metric, hour) histograms — element-wise bucket addition plus the
+    usual additive/min/max merges. This is the distributive re-aggregation
+    that makes histogram points mergeable at any rollup level (the
+    property the reference's histogram point encoding preserves,
+    `docs/data_model.md:100-147`)."""
+    merged_buckets = F.array(
+        *[
+            F.sum(F.element_at(F.col("bucket_counts"), i + 1))
+            for i in range(n_buckets)
+        ]
+    )
+    return hist.groupBy("metric_name", "hour").agg(
+        F.sum("point_count").alias("point_count"),
+        F.round(F.sum("sum_value"), 6).alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        merged_buckets.alias("bucket_counts"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
+def exemplars_table(
+    points: DataFrame, min_value: float = EXEMPLAR_MIN_VALUE
+) -> DataFrame:
+    """Exemplars (`docs/data_model.md:60-76`): high-value observations
+    carrying their (trace_id, span_id) linkage back into the trace
+    star-schema — the cross-signal FK the reference models as exemplar
+    columns on data points."""
+    return points.filter(
+        F.col("value").isNotNull() & (F.col("value") >= min_value)
+    ).select(
+        F.col("point_id").alias("parent_point_id"),
+        "metric_name",
+        "value",
+        F.col("time_ts"),
+        "trace_id",
+        "span_id",
+        "conv_id",
+        "turn_idx",
+    )

@@ -1,0 +1,191 @@
+"""Traces/metrics star-schema invariants (signals.py).
+
+Mirrors the reference's round-trip discipline: the star schema must
+reconstruct consistently through its `id → parent_id` FKs
+(`docs/validation_process.md:12-33`; reconstruction joins
+`rust/otel-arrow-rust/src/otlp/common.rs:467-570`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def base(spark, transcripts):
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+    from otel_arrow_spark.signals import signal_base
+
+    return signal_base(route_turns(parse_turns(transcripts))).cache()
+
+
+@pytest.fixture(scope="module")
+def spans(base):
+    from otel_arrow_spark.signals import spans_table
+
+    return spans_table(base).cache()
+
+
+@pytest.fixture(scope="module")
+def events(base):
+    from otel_arrow_spark.signals import span_events_table
+
+    return span_events_table(base).cache()
+
+
+def test_span_ids_unique_and_content_derived(spans):
+    n = spans.count()
+    assert n > 0
+    assert spans.select("span_id").distinct().count() == n
+    # content-derived: 16 hex chars (8-byte span id analog)
+    bad = spans.filter(~F.col("span_id").rlike("^[0-9a-f]{16}$")).count()
+    assert bad == 0
+    assert spans.filter(~F.col("trace_id").rlike("^[0-9a-f]{32}$")).count() == 0
+
+
+def test_span_parent_chain(spark, spans):
+    """parent_span_id chains to the previous span of the conversation:
+    exactly one root (null parent) per conversation-with-spans, and every
+    non-null parent resolves to a span of the same trace."""
+    roots = spans.filter(F.col("parent_span_id").isNull())
+    per_conv = roots.groupBy("conv_id").count().filter(F.col("count") != 1)
+    assert per_conv.count() == 0
+
+    parents = spans.select(
+        F.col("parent_span_id").alias("pid"), F.col("trace_id").alias("tid")
+    ).filter(F.col("pid").isNotNull())
+    resolved = parents.join(
+        spans.select("span_id", "trace_id"),
+        (parents.pid == spans.span_id) & (parents.tid == spans.trace_id),
+        "left_anti",
+    )
+    assert resolved.count() == 0
+
+
+def test_span_durations_cover_conversation(spans):
+    assert spans.filter(F.col("duration_us") < 0).count() == 0
+    # end_ts never precedes start_ts and equals the next span's start
+    # for non-last spans (checked via self-join on the chain)
+    child = spans.select(
+        F.col("parent_span_id").alias("pid"),
+        F.col("start_ts").alias("child_start"),
+    ).filter(F.col("pid").isNotNull())
+    joined = spans.join(child, spans.span_id == child.pid)
+    mismatch = joined.filter(F.col("end_ts") != F.col("child_start"))
+    assert mismatch.count() == 0
+
+
+def test_events_attach_to_enclosing_span(base, spans, events):
+    """Every event's parent span exists, and the event's turn falls in
+    the span's (turn_idx, next-span turn_idx) interval."""
+    dangling = events.join(
+        spans.select("span_id"),
+        events.parent_span_id == spans.span_id,
+        "left_anti",
+    )
+    assert dangling.count() == 0
+
+    sp = spans.select(
+        F.col("span_id").alias("sid"),
+        F.col("conv_id").alias("sconv"),
+        F.col("turn_idx").alias("sturn"),
+    )
+    j = events.join(sp, events.parent_span_id == sp.sid)
+    assert j.filter(
+        (F.col("conv_id") != F.col("sconv")) | (F.col("turn_idx") <= F.col("sturn"))
+    ).count() == 0
+
+    # events + spans together account for every turn with a preceding span
+    n_turns_covered = base.filter(F.col("cur_span_id").isNotNull()).count()
+    assert events.count() + spans.count() == n_turns_covered
+
+
+def test_links_are_same_tool_continuations(spans):
+    from otel_arrow_spark.signals import span_links_table
+
+    links = span_links_table(spans)
+    sp = spans.select(
+        F.col("span_id").alias("lsid"),
+        F.col("tool").alias("ltool"),
+        F.col("conv_id").alias("lconv"),
+    )
+    j = links.join(sp, links.linked_span_id == sp.lsid)
+    assert j.count() == links.count()  # every link resolves
+    assert j.filter(
+        (F.col("tool") != F.col("ltool"))
+        | (F.col("conv_id") != F.col("lconv"))
+        | (F.col("linked_turn_idx") >= F.col("turn_idx"))
+    ).count() == 0
+
+
+def test_histogram_merge_is_lossless(base):
+    """Merged histograms must equal a direct aggregation of the points —
+    the distributive-merge property of histogram data points."""
+    from otel_arrow_spark.signals import (
+        HIST_BOUNDS, histogram_data_points, merge_histograms, metric_points,
+    )
+
+    points = metric_points(base).cache()
+    merged = merge_histograms(histogram_data_points(points))
+    direct = (
+        points.filter(F.col("value").isNotNull())
+        .groupBy("metric_name", F.date_trunc("hour", "time_ts").alias("hour"))
+        .agg(
+            F.count("value").alias("point_count"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    m = {
+        (r.metric_name, r.hour): (r.point_count, r.sum_value, r.min_value, r.max_value)
+        for r in merged.collect()
+    }
+    d = {
+        (r.metric_name, r.hour): (r.point_count, r.sum_value, r.min_value, r.max_value)
+        for r in direct.collect()
+    }
+    assert m == d and len(m) > 0
+
+    # bucket counts sum to point_count in every merged histogram
+    bad = merged.filter(
+        F.aggregate(
+            "bucket_counts", F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        != F.col("point_count")
+    )
+    assert bad.count() == 0
+    assert len(HIST_BOUNDS) + 1 == 6
+
+
+def test_exemplars_link_into_traces(base, spans):
+    from otel_arrow_spark.signals import exemplars_table, metric_points
+
+    points = metric_points(base)
+    ex = exemplars_table(points)
+    assert ex.filter(F.col("value") < 90).count() == 0
+    # exemplars with a span linkage resolve into the spans table
+    linked = ex.filter(F.col("span_id").isNotNull())
+    dangling = linked.join(
+        spans.select("span_id"), "span_id", "left_anti"
+    )
+    assert dangling.count() == 0
+
+
+def test_signal_base_single_window_exchange(spark, transcripts):
+    """Scale guard: the whole per-turn derivation must be ONE Window
+    operator (one shuffle on conv_id, one sort) — four frames sharing a
+    partition/order, not four exchanges. (Built uncached: a cached
+    fixture's InMemoryRelation echoes its child plan in toString.)"""
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+    from otel_arrow_spark.signals import signal_base
+
+    fresh = signal_base(route_turns(parse_turns(transcripts.localCheckpoint())))
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    n_window_ops = sum(
+        1 for line in plan.splitlines() if line.lstrip(" +-:*(").startswith("Window ")
+    )
+    assert n_window_ops == 1, plan
