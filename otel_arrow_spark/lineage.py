@@ -136,6 +136,15 @@ class CheckpointedPipeline:
     Each slice is an independent unit of work; ``fail_on_slice`` injects a
     failure for resume tests (the analog of the reference's always-Nack
     error exporter, `crates/otap/src/error_exporter.rs`).
+
+    Scale shape: the input is **staged once**, partitioned by
+    ``slice_id`` — the slice assignment is a *computed* column, so
+    filtering the raw input per slice could never push down and each
+    slice would re-scan everything (O(n_slices) read amplification).
+    After staging, every slice run is a partition-pruned read of 1/n of
+    the input. Per-slice counts and content checksum come from
+    ``df.observe()`` inside the same write job — no post-write read-back
+    of the sink.
     """
 
     def __init__(self, catalog, n_slices: int = 8, table: str = "routed"):
@@ -143,6 +152,32 @@ class CheckpointedPipeline:
         self.n_slices = n_slices
         self.table = table
         self.ledger = LineageLedger(catalog.root)
+
+    def staged_table(self) -> str:
+        return f"{self.table}__staged_input"
+
+    def stage_input(self, transcripts: DataFrame, input_fingerprint: str) -> DataFrame:
+        """Write the sliced input partitioned by slice_id (once per
+        fingerprint); later per-slice reads partition-prune to 1/n of
+        the data. Re-entrant: an already-staged identical input is
+        reused (the marker records fingerprint + slice count)."""
+        name = self.staged_table()
+        marker = os.path.join(self.catalog.root, "_staged.json")
+        meta = {"input_fingerprint": input_fingerprint, "n_slices": self.n_slices}
+        if os.path.exists(marker) and self.catalog.exists(name):
+            with open(marker) as f:
+                if json.load(f) == meta:
+                    return self.catalog.read(name)
+        os.makedirs(self.catalog.root, exist_ok=True)
+        self.catalog.write(
+            with_slice(transcripts, self.n_slices), name,
+            partition_by=[SLICE_COL],
+        )
+        tmp = marker + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, marker)
+        return self.catalog.read(name)
 
     def run(
         self,
@@ -153,20 +188,24 @@ class CheckpointedPipeline:
         batch_id: str | None = None,
         fail_on_slice: int | None = None,
     ) -> dict:
+        from pyspark.sql import Observation
+
         from .enrich import enrich_turns
         from .parse import parse_turns
-        from .router import route_turns
+        from .router import SINKS, route_turns
 
         batch_id = batch_id or uuid.uuid4().hex[:12]
-        sliced = with_slice(transcripts, self.n_slices)
         done = self.ledger.completed_slices(input_fingerprint)
         ran, skipped = [], sorted(done)
+        pending = [s for s in range(self.n_slices) if s not in done]
+        if not pending:
+            return {"batch_id": batch_id, "ran": ran, "skipped": skipped}
 
-        for s in range(self.n_slices):
-            if s in done:
-                continue
+        staged = self.stage_input(transcripts, input_fingerprint)
+        for s in pending:
             t0 = time.time()
-            part = sliced.filter(F.col(SLICE_COL) == s)
+            # partition-pruned: reads only the slice's directory
+            part = staged.filter(F.col(SLICE_COL) == s)
             routed = route_turns(enrich_turns(parse_turns(part), tool_catalog, role_catalog))
             routed = with_lineage_cols(routed, batch_id)
             if fail_on_slice == s:
@@ -178,23 +217,31 @@ class CheckpointedPipeline:
                     }
                 )
                 raise RuntimeError(f"injected failure on slice {s}")
+            # counts + checksum piggyback on the write job itself
+            obs = Observation(f"slice-{batch_id}-{s}")
+            observed = routed.observe(
+                obs,
+                F.count(F.lit(1)).alias("row_count"),
+                *[
+                    F.sum(F.when(F.col("sink") == k, 1).otherwise(0)).alias(f"n_{k}")
+                    for k in SINKS
+                ],
+                F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("checksum"),
+            )
             # dynamic partition overwrite: a retry REPLACES this slice's
             # output — never duplicates (exactly-once sink semantics).
-            self.catalog.overwrite_partitions(routed, self.table, [SLICE_COL, "sink"])
-            written = self.catalog.read(self.table).filter(F.col(SLICE_COL) == s)
-            per_sink = {
-                r["sink"]: r["n"]
-                for r in written.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
+            self.catalog.overwrite_partitions(observed, self.table, [SLICE_COL, "sink"])
+            m = obs.get
+            per_sink = {k: int(m[f"n_{k}"]) for k in SINKS if int(m[f"n_{k}"] or 0)}
             self.ledger.append(
                 {
                     "slice_id": s,
                     "batch_id": batch_id,
                     "status": "ok",
                     "input_fingerprint": input_fingerprint,
-                    "row_count": int(sum(per_sink.values())),
+                    "row_count": int(m["row_count"]),
                     "per_sink": per_sink,
-                    "checksum": content_checksum(written),
+                    "checksum": int(m["checksum"] or 0),
                     "elapsed_sec": time.time() - t0,
                     "ts": time.time(),
                 }
