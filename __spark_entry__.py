@@ -829,6 +829,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(_emb(spark, sf_dir))
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: query bucket + all Hamming-1 buckets (5 probes
+    at nbits=4) — the standard recall extension, probing only on the
+    broadcast query side."""
+    from otel_arrow_spark.dataops.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(_emb(spark, sf_dir), probes=5)
+
+
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: search the query's 2 nearest cells."""
+    from otel_arrow_spark.dataops.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(_emb(spark, sf_dir), probes=2)
+
+
 def q_kql_makeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates make_set/make_list (`_AGG_MAP`), projected
     to a stable string for cross-engine comparison."""
@@ -924,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "curation_stats": q_curation_stats,
         "kql_makeset": q_kql_makeset,
         "media_byte_features": q_media_byte_features,
@@ -1210,6 +1228,8 @@ def _dataops_oracles() -> dict[str, str]:
         "ann_brute_topk": similarity.brute_topk_oracle_sql(),
         "ann_lsh_topk": similarity.lsh_ann_topk_oracle_sql(),
         "ann_ivf_topk": similarity.ivf_ann_topk_oracle_sql(),
+        "ann_lsh_multiprobe": similarity.lsh_ann_topk_oracle_sql(probes=5),
+        "ann_ivf_multiprobe": similarity.ivf_ann_topk_oracle_sql(probes=2),
         "curation_stats": _curation_oracle(),
         "kql_makeset": (
             "SELECT o_orderstatus, "

@@ -163,16 +163,58 @@ def _band_keys(sig: Column, k: int, bands: int) -> Column:
     )
 
 
+# Skew guard for banded self-joins: one hot (band_id, band_key) bucket —
+# e.g. millions of near-empty documents sharing a signature at corpus
+# scale — would otherwise produce quadratic candidate pairs inside a
+# single join task. Buckets above the cap are DROPPED (their members are
+# still caught by exact dedup — identical/near-empty docs hash equal),
+# and :func:`oversized_buckets` reports what a given cap would drop.
+DEFAULT_MAX_BUCKET = 4096
+
+
+def _cap_buckets(banded: DataFrame, keys: list[str],
+                 max_bucket: int | None) -> DataFrame:
+    """Drop rows whose bucket exceeds ``max_bucket`` members.
+
+    The size join shuffles on the same keys as the banded self-join that
+    follows, so the output partitioning is reused — no extra exchange of
+    the banded relation; the size relation is one row per bucket with
+    map-side partial counts.
+    """
+    if max_bucket is None:
+        return banded
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bucket_n"))
+    return (
+        banded.join(sizes.filter(F.col("_bucket_n") <= max_bucket), keys)
+        .drop("_bucket_n")
+    )
+
+
+def oversized_buckets(banded: DataFrame, keys: list[str],
+                      max_bucket: int) -> DataFrame:
+    """Audit relation: the buckets a cap would drop, with member counts.
+    Callers log/persist this next to the dedup output (the reference
+    discipline: dropped work is always counted, `signal_type_router.rs:43-128`)."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
                       n: int = 3, tau: float = 0.5,
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + exact Jaccard verify.
 
     Plan shape (the part that must survive 1000 executors):
       1. narrow: signature + band keys per row;
-      2. ONE shuffle on (band_id, band_key) via the self-join;
-      3. distinct candidate pairs (tiny);
-      4. verify: re-join the corpus twice to recompute shingle sets for
+      2. bucket-size cap: drop hot buckets > ``max_bucket`` (skew guard —
+         a degenerate bucket would otherwise go quadratic in one task);
+      3. ONE shuffle on (band_id, band_key) via the self-join;
+      4. distinct candidate pairs (tiny);
+      5. verify: re-join the corpus twice to recompute shingle sets for
          candidates only, exact Jaccard, filter ≥ tau.
     """
     # Signature+shingles computed ONCE and persisted: the banded
@@ -186,6 +228,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
             "band_id", "band_key"
         )
     )
+    banded = _cap_buckets(banded, ["band_id", "band_key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -217,7 +260,8 @@ def _jaccard(a: Column, b: Column) -> Column:
 
 def minhash_lsh_pairs_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
                                  k: int = 8, bands: int = 4, n: int = 3,
-                                 tau: float = 0.5) -> str:
+                                 tau: float = 0.5,
+                                 max_bucket: int = DEFAULT_MAX_BUCKET) -> str:
     r = k // bands
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, {h} AS band_key FROM sigs".format(
@@ -241,7 +285,11 @@ hashed AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
 ),
 sigs AS (SELECT doc_id, w, {cols} FROM hashed),
-banded AS ({band_rows}),
+banded_all AS ({band_rows}),
+banded AS (
+  SELECT doc_id, band_id, band_key FROM banded_all
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {max_bucket}
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
@@ -378,7 +426,8 @@ SELECT doc_id, {sim} AS simhash FROM votes
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   bits: int = SIMHASH_BITS,
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Near-dup pairs by SimHash: byte-banded candidates + Hamming filter.
 
     Pigeonhole banding on the 4 bytes of the 32-bit hash: a pair within
@@ -407,6 +456,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             ])
         ).alias("byte_idx", "byte_val"),
     )
+    # hot-bucket cap (same guard as minhash_lsh_pairs: one degenerate
+    # (byte_idx, byte_val) bucket would go quadratic in one join task)
+    banded = _cap_buckets(banded, ["byte_idx", "byte_val"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -430,7 +482,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 
 def simhash_pairs_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
                              max_hamming: int = 3,
-                             bits: int = SIMHASH_BITS) -> str:
+                             bits: int = SIMHASH_BITS,
+                             max_bucket: int = DEFAULT_MAX_BUCKET) -> str:
     base = simhash_oracle_sql(corpus_sql, bits)
     nbytes = bits // 8
     bands = " UNION ALL ".join(
@@ -440,7 +493,11 @@ def simhash_pairs_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
     )
     return f"""
 WITH sims AS ({base}),
-banded AS ({bands})
+banded_all AS ({bands}),
+banded AS (
+  SELECT doc_id, simhash, byte_idx, byte_val FROM banded_all
+  QUALIFY count(*) OVER (PARTITION BY byte_idx, byte_val) <= {max_bucket}
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM banded a JOIN banded b

@@ -95,12 +95,19 @@ def _bucket_expr(emb_col, planes: list[list[int]]):
 
 
 def lsh_ann_topk(emb: DataFrame, nbits: int = 4, dim: int = 64,
-                 k: int = 5, every: int = 50) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+                 k: int = 5, every: int = 50, probes: int = 1) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket(s).
 
-    One narrow pass assigns buckets; the candidate join hits ~N/2^nbits
-    rows per query. Recall is tunable via nbits (fewer bits → bigger
-    buckets → higher recall); multi-probe is the standard extension.
+    One narrow pass assigns buckets; the candidate join hits
+    ~P·N/2^nbits rows per query. Recall is tunable two ways: fewer bits
+    (bigger buckets) or ``probes`` > 1 — **multi-probe**: in addition to
+    the query's own bucket, probe the buckets at Hamming distance 1
+    (each single sign-bit flip), the standard recall extension for
+    hyperplane LSH. Probing happens on the (tiny, broadcast) query side
+    — the corpus is bucketed exactly once and never re-shuffled; each
+    corpus vector lives in one bucket, and probe buckets are distinct,
+    so candidates need no dedup.
     """
     planes = hyperplane_signs(nbits, dim)
     bucketed = emb.withColumn("bucket", _bucket_expr(F.col("embedding"), planes))
@@ -109,11 +116,20 @@ def lsh_ann_topk(emb: DataFrame, nbits: int = 4, dim: int = 64,
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
+    n_flips = min(max(probes - 1, 0), nbits)
+    probe_buckets = F.array(
+        F.col("q_bucket"),
+        *[
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
+            for j in range(n_flips)
+        ],
+    )
+    probed = queries.withColumn("probe_bucket", F.explode(probe_buckets))
     c = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
     scored = (
         bucketed.join(
-            F.broadcast(queries),
-            (F.col("q_bucket") == F.col("bucket"))
+            F.broadcast(probed),
+            (F.col("probe_bucket") == F.col("bucket"))
             & (F.col("q_id") != F.col("vec_id")),
         )
         .select("q_id", F.col("vec_id").alias("neighbor_id"), c.alias("cos"))
@@ -127,41 +143,72 @@ def lsh_ann_topk(emb: DataFrame, nbits: int = 4, dim: int = 64,
     )
 
 
+def ivf_assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment WITHOUT shuffling the N·C scored
+    relation: the argmax is a partial-aggregatable ``max(struct(csim,
+    -centroid_id))`` — map-side combine collapses each vector's C scored
+    rows to one before the exchange, so the shuffle carries exactly one
+    row per vector (vs. the naive ``Window.partitionBy(vec_id)`` which
+    moves all N·C rows). Tie-break is deterministic: highest similarity,
+    then smallest centroid id (struct comparison is lexicographic)."""
+    sim = cosine(F.col("embedding"), F.col("c_emb"))
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            F.struct(
+                sim.alias("csim"),
+                (-F.col("centroid_id")).alias("neg_id"),
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max("sc").alias("best"),
+            F.any_value("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", (-F.col("best.neg_id")).alias("cell"))
+    )
+
+
 def ivf_ann_topk(emb: DataFrame, centroid_stride: int = 100, k: int = 5,
-                 every: int = 50) -> DataFrame:
+                 every: int = 50, probes: int = 1) -> DataFrame:
     """IVF-style ANN: coarse-quantize to the nearest centroid, search
-    within the query's cell.
+    within the query's cell(s).
 
     Centroids are a deterministic corpus sample (``vec_id % stride == 1``)
     — the reproducible stand-in for trained k-means centroids; swapping in
-    trained centroids changes only the centroid relation. The assignment
-    pass is a broadcast cross-score + argmax (N·C cosines, one narrow
-    stage); the search join then touches ~N/C candidates per query.
-    Multi-probe (nearest P cells) is the standard recall extension.
+    trained centroids changes only the centroid relation. Assignment is
+    the narrow-argmax pass (:func:`ivf_assign_cells` — one row per
+    vector on the shuffle, no Window over the cross-scored relation);
+    the search join then touches ~P·N/C candidates per query.
+    ``probes`` > 1 probes the query's P nearest cells (multi-probe IVF):
+    the probe ranking runs only over the tiny query×centroid relation.
     """
     centroids = emb.filter(F.col("vec_id") % centroid_stride == 1).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
     )
-    sim = cosine(F.col("embedding"), F.col("c_emb"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "embedding", "centroid_id", sim.alias("csim"))
-        .withColumn("arank", F.row_number().over(w_assign))
-        .filter(F.col("arank") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
-    )
+    assigned = ivf_assign_cells(emb, centroids)
     queries = assigned.filter(_query_filter(every)).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("cell").alias("q_cell"),
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # probe cells per query: rank centroids on the query side only
+    # (|queries|·C rows — the query set must stay broadcast-sized anyway)
+    qsim = cosine(F.col("q_emb"), F.col("c_emb"))
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.col("qsim").desc(), F.col("centroid_id")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("q_id", "q_emb", "centroid_id", qsim.alias("qsim"))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= probes)
+        .select("q_id", "q_emb", F.col("centroid_id").alias("q_cell"))
     )
     c = F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
     scored = assigned.join(
-        F.broadcast(queries),
+        F.broadcast(probed),
         (F.col("q_cell") == F.col("cell")) & (F.col("q_id") != F.col("vec_id")),
     ).select("q_id", F.col("vec_id").alias("neighbor_id"), c.alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -172,26 +219,36 @@ def ivf_ann_topk(emb: DataFrame, centroid_stride: int = 100, k: int = 5,
 
 
 def ivf_ann_topk_oracle_sql(centroid_stride: int = 100, k: int = 5,
-                            every: int = 50) -> str:
+                            every: int = 50, probes: int = 1) -> str:
     csim = cosine_sql("e.embedding", "c.embedding")
+    qsim = cosine_sql("q.embedding", "c.embedding")
     cos = cosine_sql("q.embedding", "e.embedding")
     return f"""
-WITH assigned AS (
+WITH centroids AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {centroid_stride} = 1
+),
+assigned AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT e.vec_id, e.embedding, c.vec_id AS cell,
            CAST(row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY {csim} DESC, c.vec_id) AS INT) AS arank
-    FROM embeddings e
-    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
-                WHERE vec_id % {centroid_stride} = 1) c
+    FROM embeddings e CROSS JOIN centroids c
   ) WHERE arank = 1
 ),
+probed AS (
+  SELECT q_id, embedding, q_cell FROM (
+    SELECT q.vec_id AS q_id, q.embedding, c.vec_id AS q_cell,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {qsim} DESC, c.vec_id) AS INT) AS prank
+    FROM embeddings q CROSS JOIN centroids c
+    WHERE q.vec_id % {every} = 0
+  ) WHERE prank <= {probes}
+),
 scored AS (
-  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-         ROUND({cos}, 6) AS cos
-  FROM assigned q JOIN assigned e
-    ON q.cell = e.cell AND q.vec_id != e.vec_id
-  WHERE q.vec_id % {every} = 0
+  SELECT q.q_id, e.vec_id AS neighbor_id, ROUND({cos}, 6) AS cos
+  FROM probed q JOIN assigned e
+    ON q.q_cell = e.cell AND q.q_id != e.vec_id
 )
 SELECT q_id, neighbor_id, cos, rank FROM (
   SELECT *, CAST(row_number() OVER
@@ -202,7 +259,13 @@ SELECT q_id, neighbor_id, cos, rank FROM (
 
 
 def lsh_ann_topk_oracle_sql(nbits: int = 4, dim: int = 64, k: int = 5,
-                            every: int = 50) -> str:
+                            every: int = 50, probes: int = 1) -> str:
+    if probes > 1:
+        return _lsh_multiprobe_oracle_sql(nbits, dim, k, every, probes)
+    return _lsh_singleprobe_oracle_sql(nbits, dim, k, every)
+
+
+def _lsh_bucket_sql(nbits: int, dim: int) -> str:
     planes = hyperplane_signs(nbits, dim)
     proj_terms = []
     for j, plane in enumerate(planes):
@@ -213,7 +276,43 @@ def lsh_ann_topk_oracle_sql(nbits: int = 4, dim: int = 64, k: int = 5,
             "p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)"
         )
         proj_terms.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
-    bucket = " + ".join(proj_terms)
+    return " + ".join(proj_terms)
+
+
+def _lsh_multiprobe_oracle_sql(nbits: int, dim: int, k: int, every: int,
+                               probes: int) -> str:
+    bucket = _lsh_bucket_sql(nbits, dim)
+    n_flips = min(probes - 1, nbits)
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(n_flips)]
+    )
+    cos = cosine_sql("q.embedding", "e.embedding")
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+probed AS (
+  SELECT vec_id, embedding,
+         unnest(list_value({probe_list})) AS probe_bucket
+  FROM bucketed WHERE vec_id % {every} = 0
+),
+scored AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS cos
+  FROM probed q JOIN bucketed e
+    ON q.probe_bucket = e.bucket AND q.vec_id != e.vec_id
+)
+SELECT q_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _lsh_singleprobe_oracle_sql(nbits: int = 4, dim: int = 64, k: int = 5,
+                                every: int = 50) -> str:
+    bucket = _lsh_bucket_sql(nbits, dim)
     cos = cosine_sql("q.embedding", "e.embedding")
     return f"""
 WITH bucketed AS (
