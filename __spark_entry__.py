@@ -640,6 +640,63 @@ def q_kql_text_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_text_attached_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attached-record scoped accessors: group by
+    ``resource.attributes['host.name']`` / ``scope.attributes['format']``
+    (reference `tabular_expressions.rs:350-490`,
+    `expressions/src/value_accessor.rs`), plus a post-summarize where."""
+    from otel_arrow_spark.operators.attrs import attach_records
+    from otel_arrow_spark.operators.kql_parser import kql
+    from otel_arrow_spark.parse import parse_turns
+
+    t = attach_records(parse_turns(_derived_transcripts(spark, sf_dir)))
+    return kql(
+        t,
+        "T"
+        " | where isnotnull(resource.attributes['host.name'])"
+        "     and scope.attributes['format'] != 'malformed'"
+        " | summarize n = count(), n_err = countif(severity <= 3)"
+        "     by h = resource.attributes['host.name'],"
+        "        fmt = scope.attributes['format']"
+        " | where n > 5",
+    )
+
+
+def q_kql_text_summarize_postpipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piped post-expressions after summarize: extend/where/project/
+    order/take over the aggregate (`tabular_expressions.rs:350-490`)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | summarize n = count(), s = sum(value) by event_type"
+        " | extend avg_v = round(s / n, 6)"
+        " | where n > 100"
+        " | project event_type, n, avg_v"
+        " | order by n desc, event_type asc"
+        " | take 10",
+    )
+
+
+def q_kql_summarize_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hard summary-cardinality cap (default 8192,
+    `engine-recordset/src/engine.rs:25-38`, `summaries.rs:52-56`):
+    excess groups dropped deterministically (lowest content-hash kept),
+    planned as TakeOrderedAndProject — never a global window."""
+    from otel_arrow_spark.operators.kql import summarize
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return summarize(
+        events,
+        by=[F.col("user_id")],
+        cardinality_limit=100,
+        n=F.count(F.lit(1)),
+        sum_v=F.round(F.sum("value"), 6),
+    )
+
+
 # ---------------------------------------------------------------------------
 # attribute (EAV / map) transforms — attributes processor analog
 # ---------------------------------------------------------------------------
@@ -923,6 +980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_where_summarize": q_kql_text_where_summarize,
         "kql_text_topk": q_kql_text_topk,
         "kql_text_scalars": q_kql_text_scalars,
+        "kql_text_attached_records": q_kql_text_attached_records,
+        "kql_text_summarize_postpipe": q_kql_text_summarize_postpipe,
+        "kql_summarize_cap": q_kql_summarize_cap,
         "attrs_eav_rows": q_attrs_eav_rows,
         "attrs_rename_delete": q_attrs_rename_delete,
         "attrs_keys_summary": q_attrs_keys_summary,
@@ -1182,6 +1242,26 @@ FROM (
             "substr(p_name, 1, 4) AS head "
             "FROM part WHERE contains(lower(p_name), 'red') "
             "OR starts_with(lower(p_type), 'small')"
+        ),
+        "kql_text_attached_records": _signals_oracle(
+            "SELECT host AS h, format AS fmt, COUNT(*) AS n, "
+            "COUNT(CASE WHEN severity <= 3 THEN 1 END) AS n_err "
+            "FROM sigbase WHERE host IS NOT NULL AND format != 'malformed' "
+            "GROUP BY 1, 2 HAVING COUNT(*) > 5"
+        ),
+        "kql_text_summarize_postpipe": (
+            "SELECT event_type, n, avg_v FROM ("
+            "SELECT event_type, COUNT(*) AS n, "
+            "ROUND(SUM(value) / COUNT(*), 6) AS avg_v "
+            "FROM events GROUP BY 1 HAVING COUNT(*) > 100"
+            ") ORDER BY n DESC, event_type LIMIT 10"
+        ),
+        "kql_summarize_cap": (
+            "SELECT user_id, n, sum_v FROM ("
+            "SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_v, "
+            "('0x' || substr(sha256(concat_ws('|', user_id::VARCHAR)), 1, 8))"
+            "::BIGINT AS gh FROM events GROUP BY user_id"
+            ") ORDER BY gh, user_id LIMIT 100"
         ),
         "attrs_eav_rows": _parsed_oracle(ATTRS_EAV_ORACLE),
         "attrs_rename_delete": _parsed_oracle(

@@ -103,8 +103,42 @@ def main() -> None:
         "pipeline_turns": n_turns,
         "turns_per_sec": round(n_turns / pipe_dt, 1) if pipe_dt > 0 else None,
     }
+    out["regressions"] = regressions_vs_floor(timings)
     print(json.dumps(out))
     spark.stop()
+
+
+def regressions_vs_floor(timings: dict[str, float],
+                         threshold: float = 1.5) -> dict[str, list]:
+    """Per-query regression check against the newest committed
+    BENCH_r*.json floor (round-over-round guard — a query must not get
+    >1.5× slower than its previous-round time at the same sf). Absolute
+    times under 1s are exempt (scheduler noise dominates there)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    floors = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not floors:
+        return {"floor": None, "flagged": []}
+    with open(floors[-1]) as f:
+        try:
+            prev = json.load(f)
+        except ValueError:
+            return {"floor": os.path.basename(floors[-1]), "flagged": []}
+    # driver records {"parsed": <our json line>, ...}; accept both shapes
+    prev_q = (prev.get("parsed") or prev).get("queries") or {}
+    flagged = [
+        {"query": q, "now": t, "floor": prev_q[q],
+         "ratio": round(t / prev_q[q], 2)}
+        for q, t in timings.items()
+        if q in prev_q and prev_q[q] > 0 and t > 1.0
+        and t / prev_q[q] > threshold
+    ]
+    return {"floor": os.path.basename(floors[-1]), "flagged": flagged}
 
 
 if __name__ == "__main__":

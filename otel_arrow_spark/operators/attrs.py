@@ -152,3 +152,38 @@ def move_field(df: DataFrame, src: str, dst: str) -> DataFrame:
         src.split(".", 1)[1]
     )
     return remove_field(set_field(df, dst, src_col), src)
+
+
+def attach_records(parsed: DataFrame) -> DataFrame:
+    """Attach resource/scope records as struct columns over parsed turns.
+
+    The reference scopes accessor paths to attached records —
+    ``resource.Attributes['service.name']`` resolves against the record
+    attached to the row, not the row itself
+    (`rust/experimental/query_engine/expressions/src/value_accessor.rs`,
+    summarize group-by over attached accessors
+    `kql-parser/src/tabular_expressions.rs:350-490`). Here the attached
+    records are struct columns with an ``attributes`` map field, so the
+    KQL parser's dotted-path + ``['key']`` accessors compile straight to
+    ``getField``/``getItem`` — Catalyst prunes unused fields.
+
+    resource ≙ origin host (host.name, service.facility);
+    scope ≙ emitting app (app.name, format).
+    """
+    # Keys are always present (values may be NULL): under ANSI mode a
+    # map[key] access on a MISSING key raises, while a NULL value is the
+    # faithful optional-column semantic (`docs/otap_basics.md:87-88`).
+    res_attrs = F.create_map(
+        F.lit("host.name"), F.col("host"),
+        F.lit("service.facility"), F.col("facility").cast("string"),
+    )
+    scope_attrs = F.create_map(
+        F.lit("app.name"), F.col("app"),
+        F.lit("format"), F.col("format"),
+    )
+    return parsed.withColumns(
+        {
+            "resource": F.struct(res_attrs.alias("attributes")),
+            "scope": F.struct(scope_attrs.alias("attributes")),
+        }
+    )

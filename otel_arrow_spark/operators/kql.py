@@ -100,12 +100,26 @@ def summarize(
         # plans as TakeOrderedAndProject — per-partition top-K then a merge of
         # K-row slices on the driver side of the exchange, never a single-task
         # funnel of all groups. (Survives 100×: each task holds ≤cap rows.)
+        # The hash is content-derived sha-256 (not xxhash64) so the kept
+        # group set is reproducible by any engine; key columns break ties.
         key_names = agged.columns[: len(keys)]
         agged = (
-            agged.orderBy(F.xxhash64(*[F.col(k) for k in key_names]))
+            agged.orderBy(
+                group_cap_hash(*key_names), *[F.col(k) for k in key_names]
+            )
             .limit(cardinality_limit)
         )
     return agged
+
+
+def group_cap_hash(*key_names: str) -> Column:
+    """Engine-portable deterministic group hash for the cardinality cap:
+    first 8 hex chars of sha-256 over the '|'-joined key strings, as a
+    bigint. DuckDB equivalent:
+    ``('0x' || substr(sha256(concat_ws('|', k::VARCHAR, …)), 1, 8))::BIGINT``.
+    """
+    joined = F.concat_ws("|", *[F.col(k).cast("string") for k in key_names])
+    return F.conv(F.substring(F.sha2(joined, 256), 1, 8), 16, 10).cast("bigint")
 
 
 def bin_(col: Column | str, width: str) -> Column:

@@ -212,3 +212,62 @@ def test_pipeline_filters_push_to_scan(spark):
     out = kql(df, "T | where l_quantity > 30 | project l_orderkey, l_quantity")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThan(l_quantity,30" in plan, plan
+
+
+def test_attached_record_accessors(spark, transcripts):
+    """Scoped paths over attached records — resource./scope. structs with
+    an attributes map (reference `value_accessor.rs`, summarize over
+    attached accessors `tabular_expressions.rs:350-490`)."""
+    from otel_arrow_spark.operators.attrs import attach_records
+    from otel_arrow_spark.parse import parse_turns
+
+    t = attach_records(parse_turns(transcripts))
+    out = kql(
+        t,
+        "T | where isnotnull(resource.attributes['host.name'])"
+        " | extend hn = resource.attributes['host.name'],"
+        "          fa = scope.attributes['format']"
+        " | summarize n = count() by hn, fa",
+    ).collect()
+    # rfc5424/3164 hosts are host-N; CEF turns carry the product name
+    assert out and all(
+        r.hn.startswith("host-") or r.fa == "cef" for r in out
+    )
+    # cross-check one group against a direct aggregation
+    direct = (
+        parse_turns(transcripts)
+        .filter(F.col("host").isNotNull())
+        .groupBy("host", "format")
+        .count()
+        .collect()
+    )
+    assert {(r.hn, r.fa): r.n for r in out} == {
+        (r.host, r.format): r["count"] for r in direct
+    }
+
+
+def test_attached_accessor_missing_value_is_null(spark, transcripts):
+    """Malformed turns have no host: the accessor yields NULL (optional
+    column semantics), never an ANSI missing-key error."""
+    from otel_arrow_spark.operators.attrs import attach_records
+    from otel_arrow_spark.parse import parse_turns
+
+    t = attach_records(parse_turns(transcripts))
+    rows = kql(
+        t,
+        "T | where format == 'malformed'"
+        " | project hn = resource.attributes['host.name']",
+    ).collect()
+    assert rows and all(r.hn is None for r in rows)
+
+
+def test_summarize_postpipe_stages(events):
+    out = kql(
+        events,
+        "events | summarize n = count() by event_type"
+        " | extend big = iff(n > 100, 'y', 'n')"
+        " | where big == 'y' | order by n desc | take 3",
+    ).collect()
+    assert 0 < len(out) <= 3
+    assert all(r.big == "y" and r.n > 100 for r in out)
+    assert [r.n for r in out] == sorted((r.n for r in out), reverse=True)
