@@ -116,14 +116,51 @@ FROM {table}
 """
 
 
-def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: split payload bytes
-    into fixed-size "frames" and keep every n-th (deterministic stand-in
-    for ffmpeg keyframe extraction; same partitioning/batch shape)."""
+FRAME_BYTES = 32
+
+
+def frame_sample(media: DataFrame, every_n: int = 4,
+                 frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Frame-sampling for video payloads: split payload bytes into
+    fixed-size "frames" and keep every n-th (deterministic stand-in for
+    ffmpeg keyframe extraction).
+
+    Fully JVM-side: a ``sequence`` of kept frame indices is exploded and
+    each frame is a ``substring`` over the binary payload — whole-stage
+    codegen, zero Python. The :func:`frame_sample_pandas` variant keeps
+    the ``mapInPandas`` seam a real codec (ffmpeg) would need.
+    """
+    n_frames = F.greatest(
+        F.floor(F.octet_length("payload") / F.lit(frame_bytes)), F.lit(1)
+    ).cast("int")
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            "payload",
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            F.expr(
+                f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})"
+            ).alias("frame"),
+        )
+    )
+
+
+def frame_sample_pandas(media: DataFrame, every_n: int = 4,
+                        frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """``mapInPandas`` rendition of :func:`frame_sample` — the seam where
+    a real codec (ffmpeg keyframe extraction) plugs in; payload bytes
+    cross into Python once per Arrow batch. The per-payload chunking is
+    numpy-sliced per row (payload lengths vary); a real decoder replaces
+    exactly this body."""
     import numpy as np
     import pandas as pd
-
-    frame_bytes = 32
 
     def _sample(it):
         for pdf in it:

@@ -92,15 +92,21 @@ def fan_out_writes(routed: DataFrame, catalog, prefix: str = "") -> dict[str, in
 
     Returns per-sink written row counts. Used when sinks need distinct
     schemas/retention; the filter is pushed to the scan so each pass prunes
-    early, but prefer :func:`write_routed` when schemas match.
+    early, but prefer :func:`write_routed` when schemas match. Counts come
+    from ``df.observe()`` inside each write job — no post-write re-scan of
+    the sinks (4 extra reads at 100 TB otherwise).
     """
+    from pyspark.sql import Observation
+
     counts: dict[str, int] = {}
     for sink in SINKS:
         part = routed.filter(F.col("sink") == sink)
+        obs = Observation(f"fanout-{prefix}{sink}")
+        part = part.observe(obs, F.count(F.lit(1)).alias("n"))
         catalog.write(
             part.drop("sink"),
             prefix + sink,
             sort_within_partitions=["conv_id", "turn_idx"],
         )
-        counts[sink] = catalog.read(prefix + sink).count()
+        counts[sink] = int(obs.get["n"])
     return counts

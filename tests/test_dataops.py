@@ -357,3 +357,22 @@ def test_lsh_bucket_cap_bounds_adversarial_corpus(spark):
     )
     pairs = minhash_lsh_pairs(mixed, tau=0.5).collect()
     assert all(r.doc_a >= 100_000 for r in pairs)  # only the real docs pair
+
+
+def test_frame_sample_native_equals_pandas(docs):
+    """The codegen frame sampler (sequence+substring, zero Python) must
+    agree byte-for-byte with the mapInPandas codec-seam variant."""
+    from otel_arrow_spark.dataops.multimodal import (
+        frame_sample, frame_sample_pandas, synth_media,
+    )
+
+    media = synth_media(docs)
+    a = {
+        (r.media_id, r.frame_idx): bytes(r.frame)
+        for r in frame_sample(media).collect()
+    }
+    b = {
+        (r.media_id, r.frame_idx): bytes(r.frame)
+        for r in frame_sample_pandas(media).collect()
+    }
+    assert a == b and a

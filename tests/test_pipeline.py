@@ -97,3 +97,19 @@ def test_no_rows_lost_or_duplicated(result, fixture_pdf):
         .count()
     )
     assert dupes == 0
+
+
+def test_fan_out_writes_observed_counts(spark, transcripts, tmp_path):
+    """fan_out_writes counts come from df.observe() in the write jobs —
+    they must equal an independent recount of each written sink."""
+    from otel_arrow_spark.catalog import Catalog
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import SINKS, fan_out_writes, route_turns
+
+    routed = route_turns(parse_turns(transcripts))
+    cat = Catalog(spark, str(tmp_path))
+    counts = fan_out_writes(routed, cat)
+    assert set(counts) == set(SINKS)
+    assert sum(counts.values()) == transcripts.count()
+    for sink, n in counts.items():
+        assert cat.read(sink).count() == n
