@@ -640,6 +640,31 @@ def q_kql_text_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTTL-subset program over parsed turns: conditional set, key
+    delete, row drop (`operators/ottl.py`; reference skeleton
+    `rust/experimental/query_engine/ottl-parser/src/ottl.pest`)."""
+    from otel_arrow_spark.operators.ottl import ottl
+    from otel_arrow_spark.parse import parse_turns
+
+    parsed = parse_turns(_derived_transcripts(spark, sf_dir))
+    out = ottl(
+        parsed,
+        """
+        set(attrs["env"], "prod") where format == 'rfc5424'
+        delete_key(attrs, "act")
+        drop() where format == 'malformed'
+        """,
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "format",
+        F.array_join(F.array_sort(F.map_keys("attrs")), ",").alias("keys_csv"),
+        F.try_element_at(F.col("attrs"), F.lit("env")).alias("env"),
+    )
+
+
 def q_kql_text_attached_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attached-record scoped accessors: group by
     ``resource.attributes['host.name']`` / ``scope.attributes['format']``
@@ -980,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_where_summarize": q_kql_text_where_summarize,
         "kql_text_topk": q_kql_text_topk,
         "kql_text_scalars": q_kql_text_scalars,
+        "ottl_transform": q_ottl_transform,
         "kql_text_attached_records": q_kql_text_attached_records,
         "kql_text_summarize_postpipe": q_kql_text_summarize_postpipe,
         "kql_summarize_cap": q_kql_summarize_cap,
@@ -1242,6 +1268,22 @@ FROM (
             "substr(p_name, 1, 4) AS head "
             "FROM part WHERE contains(lower(p_name), 'red') "
             "OR starts_with(lower(p_type), 'small')"
+        ),
+        "ottl_transform": _parsed_oracle(
+            f"""
+SELECT k.conv_id, k.turn_idx, k.format, a.keys_csv,
+       CASE WHEN k.format = 'rfc5424' THEN 'prod' END AS env
+FROM (SELECT conv_id, turn_idx, format FROM routed
+      WHERE format != 'malformed') k
+LEFT JOIN (
+  SELECT conv_id, turn_idx, string_agg(key, ',' ORDER BY key) AS keys_csv
+  FROM (
+    SELECT conv_id, turn_idx, key FROM ({ATTRS_EAV_ORACLE}) WHERE key != 'act'
+    UNION ALL
+    SELECT conv_id, turn_idx, 'env' FROM routed WHERE format = 'rfc5424'
+  ) GROUP BY conv_id, turn_idx
+) a ON k.conv_id = a.conv_id AND k.turn_idx = a.turn_idx
+"""
         ),
         "kql_text_attached_records": _signals_oracle(
             "SELECT host AS h, format AS fmt, COUNT(*) AS n, "
