@@ -345,6 +345,32 @@ def q_metrics_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metrics_exp_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXP_HISTOGRAM_DATA_POINTS at scale 0 (exact integer bit-length
+    bucketing) merged across hosts (`docs/data_model.md:152-237`)."""
+    from otel_arrow_spark.signals import (
+        exp_histogram_data_points, merge_exp_histograms, metric_points,
+    )
+
+    hist = exp_histogram_data_points(metric_points(_signal_base(spark, sf_dir)))
+    merged = merge_exp_histograms(hist)
+    return merged.select(
+        "metric_name", "hour", "point_count", "zero_count", "sum_value",
+        F.array_join(F.col("bucket_counts").cast("array<string>"), ",").alias(
+            "buckets_csv"
+        ),
+        "n_hosts",
+    )
+
+
+def q_metrics_summary_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARY_DATA_POINTS: exact interpolated quantiles per
+    (metric, hour) (`docs/data_model.md:148-151`)."""
+    from otel_arrow_spark.signals import metric_points, summary_data_points
+
+    return summary_data_points(metric_points(_signal_base(spark, sf_dir)))
+
+
 def q_metrics_exemplar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exemplar lookup join: exemplars carry (trace_id, span_id) back
     into SPANS (`docs/data_model.md:60-76` exemplar columns)."""
@@ -1001,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_rollup": q_trace_rollup,
         "metrics_number_points": q_metrics_number_points,
         "metrics_histogram_merge": q_metrics_histogram_merge,
+        "metrics_exp_histogram_merge": q_metrics_exp_histogram_merge,
+        "metrics_summary_points": q_metrics_summary_points,
         "metrics_exemplar_join": q_metrics_exemplar_join,
         "kql_text_where_summarize": q_kql_text_where_summarize,
         "kql_text_topk": q_kql_text_topk,
@@ -1242,6 +1270,40 @@ FROM (
   FROM mpoints WHERE value IS NOT NULL GROUP BY 1, 2, 3
 ) GROUP BY 1, 2
 """
+        ),
+        "metrics_exp_histogram_merge": _signals_oracle(
+            """
+SELECT metric_name, hour, CAST(SUM(point_count) AS BIGINT) AS point_count,
+  CAST(SUM(zero_count) AS BIGINT) AS zero_count,
+  ROUND(SUM(sum_value), 6) AS sum_value,
+  array_to_string(list_value(
+    SUM(b0), SUM(b1), SUM(b2), SUM(b3), SUM(b4), SUM(b5), SUM(b6),
+    SUM(bovf)), ',') AS buckets_csv,
+  COUNT(DISTINCT host) AS n_hosts
+FROM (
+  SELECT metric_name, host, date_trunc('hour', time_ts) AS hour,
+    COUNT(value) AS point_count,
+    SUM(CASE WHEN value >= 0 AND value < 1 THEN 1 ELSE 0 END) AS zero_count,
+    ROUND(SUM(value), 6) AS sum_value,
+    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 0 THEN 1 ELSE 0 END) AS b0,
+    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 1 THEN 1 ELSE 0 END) AS b1,
+    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 2 THEN 1 ELSE 0 END) AS b2,
+    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 3 THEN 1 ELSE 0 END) AS b3,
+    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 4 THEN 1 ELSE 0 END) AS b4,
+    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 5 THEN 1 ELSE 0 END) AS b5,
+    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 6 THEN 1 ELSE 0 END) AS b6,
+    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 >= 7 THEN 1 ELSE 0 END) AS bovf
+  FROM mpoints WHERE value IS NOT NULL GROUP BY 1, 2, 3
+) GROUP BY 1, 2
+"""
+        ),
+        "metrics_summary_points": _signals_oracle(
+            "SELECT metric_name, date_trunc('hour', time_ts) AS hour, "
+            "COUNT(value) AS point_count, ROUND(SUM(value), 6) AS sum_value, "
+            "ROUND(quantile_cont(value, 0.5), 6) AS q50, "
+            "ROUND(quantile_cont(value, 0.9), 6) AS q90, "
+            "ROUND(quantile_cont(value, 0.99), 6) AS q99 "
+            "FROM mpoints WHERE value IS NOT NULL GROUP BY 1, 2"
         ),
         "metrics_exemplar_join": _signals_oracle(
             "SELECT p.span_id, p.point_id AS parent_point_id, p.metric_name, "

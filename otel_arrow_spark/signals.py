@@ -375,6 +375,103 @@ def merge_histograms(hist: DataFrame, n_buckets: int = len(HIST_BOUNDS) + 1) -> 
     )
 
 
+EXP_HIST_BUCKETS = 7  # base-2 indices 0..6 cover the 1..127 value domain
+
+
+def exp_histogram_data_points(
+    points: DataFrame, n_buckets: int = EXP_HIST_BUCKETS
+) -> DataFrame:
+    """EXP_HISTOGRAM_DATA_POINTS (`docs/data_model.md:152-237`): base-2
+    exponential buckets at scale 0.
+
+    The bucket index for a value v ≥ 1 is floor(log2(v)), computed
+    EXACTLY as ``length(bin(bigint(v))) - 1`` — integer bit-length, no
+    floating-point log — so the bucketing is reproducible bit-for-bit
+    by any engine (a float log differs in the last ulp across math
+    libraries exactly at bucket boundaries). Values in [0, 1) land in
+    ``zero_count`` (the scale-0 zero-threshold semantic); indices ≥
+    ``n_buckets`` land in the overflow bucket (last array slot)."""
+    v = F.col("value")
+    idx = F.when(
+        v >= 1, F.length(F.bin(v.try_cast("bigint"))) - F.lit(1)
+    )
+    # when/otherwise (not a bare boolean cast): idx is NULL for v < 1 and
+    # a NULL indicator would make an all-sub-1 group sum to NULL, not 0
+    bucket_cols = [
+        F.sum(F.when(idx == i, 1).otherwise(0).cast("long")).alias(f"_b{i}")
+        for i in range(n_buckets)
+    ] + [
+        F.sum(F.when(idx >= n_buckets, 1).otherwise(0).cast("long")).alias("_bovf")
+    ]
+    return (
+        points.filter(v.isNotNull())
+        .groupBy(
+            "metric_name",
+            "host",
+            F.date_trunc("hour", F.col("time_ts")).alias("hour"),
+        )
+        .agg(
+            F.count(v).alias("point_count"),
+            F.sum(((v >= 0) & (v < 1)).cast("long")).alias("zero_count"),
+            F.round(F.sum(v), 6).alias("sum_value"),
+            *bucket_cols,
+        )
+        .select(
+            "metric_name", "host", "hour", "point_count", "zero_count",
+            "sum_value",
+            F.array(
+                *[F.col(f"_b{i}") for i in range(n_buckets)], F.col("_bovf")
+            ).alias("bucket_counts"),
+            F.lit(0).alias("scale"),
+        )
+    )
+
+
+def merge_exp_histograms(
+    hist: DataFrame, n_buckets: int = EXP_HIST_BUCKETS + 1
+) -> DataFrame:
+    """Merge per-host exponential histograms per (metric, hour) —
+    same-scale merge is element-wise bucket addition (the distributive
+    property the exponential encoding is designed for; cross-scale merge
+    would first downscale by halving adjacent buckets)."""
+    merged = F.array(
+        *[
+            F.sum(F.element_at(F.col("bucket_counts"), i + 1))
+            for i in range(n_buckets)
+        ]
+    )
+    return hist.groupBy("metric_name", "hour").agg(
+        F.sum("point_count").alias("point_count"),
+        F.sum("zero_count").alias("zero_count"),
+        F.round(F.sum("sum_value"), 6).alias("sum_value"),
+        merged.alias("bucket_counts"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
+def summary_data_points(points: DataFrame) -> DataFrame:
+    """SUMMARY_DATA_POINTS (`docs/data_model.md:148-151`): count/sum +
+    quantile values per (metric, hour). Exact linear-interpolation
+    percentiles (not approx sketches) — deterministic and reproducible
+    across engines; at 100 TB swap in ``percentile_approx`` per data
+    point and keep the exact path for merges of pre-aggregated points."""
+    v = F.col("value")
+    return (
+        points.filter(v.isNotNull())
+        .groupBy(
+            "metric_name",
+            F.date_trunc("hour", F.col("time_ts")).alias("hour"),
+        )
+        .agg(
+            F.count(v).alias("point_count"),
+            F.round(F.sum(v), 6).alias("sum_value"),
+            F.round(F.percentile(v, F.lit(0.5)), 6).alias("q50"),
+            F.round(F.percentile(v, F.lit(0.9)), 6).alias("q90"),
+            F.round(F.percentile(v, F.lit(0.99)), 6).alias("q99"),
+        )
+    )
+
+
 def exemplars_table(
     points: DataFrame, min_value: float = EXEMPLAR_MIN_VALUE
 ) -> DataFrame:

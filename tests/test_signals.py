@@ -189,3 +189,48 @@ def test_signal_base_single_window_exchange(spark, transcripts):
         1 for line in plan.splitlines() if line.lstrip(" +-:*(").startswith("Window ")
     )
     assert n_window_ops == 1, plan
+
+
+def test_exp_histogram_merge_is_lossless(base):
+    """Same-scale exponential-histogram merge = direct aggregation, and
+    bucket sums + zero_count account for every point."""
+    from otel_arrow_spark.signals import (
+        exp_histogram_data_points, merge_exp_histograms, metric_points,
+    )
+
+    points = metric_points(base)
+    merged = merge_exp_histograms(exp_histogram_data_points(points))
+    direct = (
+        points.filter(F.col("value").isNotNull())
+        .groupBy("metric_name", F.date_trunc("hour", "time_ts").alias("hour"))
+        .agg(F.count("value").alias("point_count"))
+    )
+    m = {(r.metric_name, r.hour): r.point_count for r in merged.collect()}
+    d = {(r.metric_name, r.hour): r.point_count for r in direct.collect()}
+    assert m == d and m
+    bad = merged.filter(
+        F.aggregate("bucket_counts", F.lit(0).cast("long"), lambda a, x: a + x)
+        + F.col("zero_count")
+        != F.col("point_count")
+    )
+    assert bad.count() == 0
+
+
+def test_exp_bucket_index_is_exact_bit_length(spark):
+    """floor(log2(v)) via integer bit-length: exact at every power-of-2
+    boundary (where float log is one ulp away from wrong)."""
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4, 7, 8, 127, 128, 1023, 1024]],
+        "value double",
+    )
+    got = {
+        r.value: r.idx
+        for r in df.select(
+            "value",
+            (F.length(F.bin(F.col("value").try_cast("bigint"))) - 1).alias("idx"),
+        ).collect()
+    }
+    import math
+
+    assert got == {float(v): int(math.floor(math.log2(v)))
+                   for v in [1, 2, 3, 4, 7, 8, 127, 128, 1023, 1024]}
