@@ -276,6 +276,14 @@ def q_trace_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_links_table(spans_table(_signal_base(spark, sf_dir)))
 
 
+def q_trace_span_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN_ATTRS EAV: tall-skinny typed attrs keyed by span id
+    (`docs/data_model.md:296-306` shape)."""
+    from otel_arrow_spark.signals import span_attrs_table
+
+    return span_attrs_table(_signal_base(spark, sf_dir))
+
+
 def q_trace_span_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTLP reconstruction join: spans ⋈ span_events on the id→parent_id
     FK (`rust/otel-arrow-rust/src/otlp/common.rs:467-570` sort-merge
@@ -1023,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_spans": q_trace_spans,
         "trace_span_events": q_trace_span_events,
         "trace_links": q_trace_links,
+        "trace_span_attrs": q_trace_span_attrs,
         "trace_span_event_join": q_trace_span_event_join,
         "trace_rollup": q_trace_rollup,
         "metrics_number_points": q_metrics_number_points,
@@ -1223,6 +1232,18 @@ FROM ({PARSED_FIELDS_SQL})
             "'continuation' AS trace_state, conv_id, turn_idx, tool "
             "FROM spans WINDOW w AS (PARTITION BY conv_id, tool ORDER BY turn_idx)"
             ") WHERE linked_span_id IS NOT NULL"
+        ),
+        "trace_span_attrs": _signals_oracle(
+            f"""
+SELECT substr(sha256(e.conv_id || ':' || CAST(e.turn_idx AS VARCHAR)), 1, 16)
+         AS parent_id,
+       e.key, e.value AS str_value, 'str' AS value_type,
+       e.conv_id, e.turn_idx
+FROM ({ATTRS_EAV_ORACLE}) e
+JOIN (SELECT conv_id, turn_idx FROM routed
+      WHERE role = 'tool' AND tool IS NOT NULL) s
+  ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
+"""
         ),
         "trace_span_event_join": _signals_oracle(
             "SELECT s.span_id, s.name AS span_name, COUNT(*) AS n_events, "
