@@ -51,10 +51,14 @@ def build_pipeline(
       (`BENCH/BASELINE.md`).
     - 'arrow': mapInArrow + RE2 (pyarrow.compute). ~6× the per-core
       throughput (458k turns/s on 8 cores) but memory-bandwidth-bound:
-      on a single box extra cores add nothing. Experimental: intermittent
-      Python-worker crash observed at local[2] on ≥20M-row inputs
-      (connection reset, no OOM-kill; under investigation) — prefer on
-      real clusters with few cores per executor once hardened.
+      on a single box extra cores add nothing. Runs with SPAWN-mode
+      Python workers (`spark.python.use.daemon=false`, wired in
+      run_pipeline/session): the forking daemon intermittently wedged a
+      worker mid-task (~50% of 20M-row local[2] runs; fork-per-task
+      still wedged, spawn showed 0/4 — fork unsafety with the
+      Arrow-threaded worker). Spawn costs ~25% at 2 cores (per-task
+      interpreter startup, amortized away at larger tasks/executors)
+      and still clears the native path by ~1.5×.
     - 'pandas': pandas-str Arrow UDF; between the two, allocator-bound
       at high core counts.
     """

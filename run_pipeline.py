@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         write_fixture_tables(args.input, args.gen_rows)
 
+    # Arrow parse path: spawn-mode Python workers (no forking daemon) —
+    # the measured fix for the intermittent forked-worker wedge (see
+    # session.get_spark). ~25% slower per-task startup at tiny core
+    # counts, zero hangs in 4/4 20M-row trials vs 2/4 with the daemon.
+    if os.environ.get("SPARK_GRAFT_PARSE_IMPL") == "arrow":
+        os.environ.setdefault("SPARK_GRAFT_PYTHON_DAEMON", "false")
     spark = get_spark(app_name="otel-arrow-pipeline")
     t0 = time.time()
     transcripts = spark.read.parquet(tpath)
