@@ -3,6 +3,7 @@ from otel_arrow_spark.streaming.pipeline import (
     conversation_sessions,
     read_transcript_stream,
     stream_pipeline,
+    streaming_histogram_points,
     windowed_sink_counts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "conversation_sessions",
     "read_transcript_stream",
     "stream_pipeline",
+    "streaming_histogram_points",
     "windowed_sink_counts",
 ]

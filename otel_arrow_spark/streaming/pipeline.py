@@ -162,3 +162,61 @@ def conversation_sessions(transcripts: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def metric_value_expr() -> "F.Column":
+    """Narrow metric-value extraction shared with the batch signals path
+    (`signals.metric_points` semantics, minus the span-linkage window —
+    window functions are not streamable; the value itself is pure
+    per-row)."""
+    return (
+        F.when(
+            F.col("format") == "rfc5424",
+            F.try_element_at(F.col("attrs"), F.lit("code")).try_cast("double"),
+        )
+        .otherwise(F.col("severity").cast("double"))
+    )
+
+
+def streaming_histogram_points(
+    routed_stream: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """HISTOGRAM_DATA_POINTS as a watermarked streaming aggregation —
+    the streaming form of `signals.histogram_data_points`. The bucket
+    counts are sums of indicator expressions (distributive), so Spark
+    maintains them incrementally per micro-batch with bounded state; a
+    window finalizes once the watermark passes its end (append-safe,
+    each histogram point emitted exactly once)."""
+    from otel_arrow_spark.signals import HIST_BOUNDS, _bucket_count_cols
+
+    v = F.col("value")
+    return (
+        routed_stream.filter(F.col("sink") == "sink_metrics")
+        .withColumn(
+            "metric_name",
+            F.when(F.col("format") == "rfc5424", F.col("event_name"))
+            .otherwise(F.concat(F.lit("cef."), F.col("event_name"))),
+        )
+        .withColumn("value", metric_value_expr())
+        .filter(v.isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            "metric_name",
+            "host",
+        )
+        .agg(
+            F.count(v).alias("point_count"),
+            F.round(F.sum(v), 6).alias("sum_value"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+            F.array(*_bucket_count_cols(v, HIST_BOUNDS)).alias("bucket_counts"),
+        )
+        .select(
+            F.col("win.start").alias("hour"), "metric_name", "host",
+            "point_count", "sum_value", "min_value", "max_value",
+            "bucket_counts",
+        )
+    )

@@ -142,3 +142,47 @@ def test_stateful_sessionization(spark, stream_dirs):
         .collect()
     }
     assert got == exp
+
+
+def test_streaming_histograms_equal_batch(spark, stream_dirs, catalogs):
+    """Streaming histogram data points (watermarked 1h windows) must
+    equal the batch signals.histogram_data_points over the same input —
+    batch/stream parity for the metrics star schema."""
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+    from otel_arrow_spark.signals import (
+        histogram_data_points, metric_points, signal_base,
+    )
+    from otel_arrow_spark.streaming import read_transcript_stream
+    from otel_arrow_spark.streaming.pipeline import streaming_histogram_points
+
+    in_dir, _out_dir, _ckpt = stream_dirs
+
+    stream = route_turns(parse_turns(read_transcript_stream(spark, in_dir)))
+    sdf = streaming_histogram_points(stream)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("hist_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM hist_stream")
+
+    batch_df = histogram_data_points(
+        metric_points(
+            signal_base(route_turns(parse_turns(spark.read.parquet(in_dir))))
+        )
+    )
+
+    def snap(df):
+        return {
+            (r.metric_name, r.host, r.hour): (
+                r.point_count, r.sum_value, r.min_value, r.max_value,
+                tuple(r.bucket_counts),
+            )
+            for r in df.collect()
+        }
+
+    assert snap(streamed) == snap(batch_df) and streamed.count() > 0
