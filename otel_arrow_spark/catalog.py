@@ -117,3 +117,57 @@ class Catalog:
         p = self.path(name)
         if os.path.isdir(p):
             shutil.rmtree(p)
+
+
+def normalize_to_schema(df: DataFrame, schema, strict: bool = False) -> DataFrame:
+    """Normalize a batch to a known table schema before writing.
+
+    The reference's parquet exporter must do this because OTAP treats
+    columns as optional while a parquet writer needs every row group to
+    carry every schema field in a fixed order
+    (`crates/otap/src/parquet_exporter/schema.rs:1-60`
+    `transform_to_known_schema`): missing columns are inserted as typed
+    nulls, present columns are cast to the schema's type when
+    compatible, and the output column order is exactly the schema's.
+    Extra columns are dropped (``strict=True`` raises instead — the
+    exporter's unknown-field error path).
+
+    Nested struct fields are normalized recursively, mirroring the
+    reference's struct handling.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+
+    have = {f.name: f for f in df.schema.fields}
+    if strict:
+        unknown = [c for c in df.columns if c not in {f.name for f in schema.fields}]
+        if unknown:
+            raise ValueError(f"unknown columns for target schema: {unknown}")
+
+    out_cols = []
+    for field in schema.fields:
+        if isinstance(field.dataType, StructType) and field.name in have \
+                and isinstance(have[field.name].dataType, StructType):
+            present_sub = {f.name for f in have[field.name].dataType.fields}
+            sub = []
+            for sf in field.dataType.fields:
+                if sf.name in present_sub:
+                    sub.append(
+                        F.col(f"{field.name}.{sf.name}").cast(sf.dataType).alias(sf.name)
+                    )
+                else:
+                    sub.append(F.lit(None).cast(sf.dataType).alias(sf.name))
+            inner = F.when(
+                F.col(field.name).isNotNull(), F.struct(*sub)
+            ) if field.nullable else F.struct(*sub)
+            out_cols.append(inner.alias(field.name))
+        elif field.name in have:
+            out_cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            out_cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*out_cols)

@@ -47,3 +47,50 @@ def test_catalog_roundtrip_matrix(spark, tmp_path, fmt):
     after = cat.read("t")
     assert after.filter(F.col("part") == 1).count() == 5
     assert after.filter(F.col("part") != 1).count() == 75
+
+
+def test_normalize_to_known_schema(spark):
+    """parquet_exporter/schema.rs analog: missing optional columns →
+    typed nulls, column order canonicalized, compatible casts applied,
+    nested struct fields normalized, unknown columns dropped (or raise
+    under strict)."""
+    from pyspark.sql import functions as F
+
+    from otel_arrow_spark.catalog import normalize_to_schema
+
+    target = (
+        "id bigint, severity int, body string, "
+        "meta struct<host: string, port: int>, extra_missing double"
+    )
+    df = spark.createDataFrame(
+        [(1, "7", "hello", ("h1",), "junk")],
+        "id int, severity string, body string, meta struct<host: string>, "
+        "unknown_col string",
+    )
+    out = normalize_to_schema(df, target)
+    assert [f.name for f in out.schema.fields] == [
+        "id", "severity", "body", "meta", "extra_missing"
+    ]
+    row = out.collect()[0]
+    assert row.id == 1 and row.severity == 7  # int-widening + string cast
+    assert row.meta.host == "h1" and row.meta.port is None  # nested null fill
+    assert row.extra_missing is None
+    assert out.schema["id"].dataType.simpleString() == "bigint"
+
+    # two differently-shaped batches normalize to union-writable schemas
+    df2 = spark.createDataFrame([(2, 3)], "id int, severity int")
+    out2 = normalize_to_schema(df2, target)
+    both = out.unionByName(out2)
+    assert both.count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_to_schema(df, target, strict=True)
+
+    # null struct rows stay null (not a struct of nulls)
+    df3 = spark.createDataFrame(
+        [(3, None)], "id int, meta struct<host: string>"
+    )
+    row3 = normalize_to_schema(df3, target).collect()[0]
+    assert row3.meta is None
