@@ -198,6 +198,13 @@ _FUNC_MAP_SIMPLE = {
     # misc
     "strlen_bytes": lambda a: F.octet_length(a[0]),
     "hash_sha256": lambda a: F.sha2(a[0], 256),
+    # OTTL converter aliases (public OTTL LANGUAGE.md; the shared scalar
+    # core the ottl module's value/where expressions parse through)
+    "len": lambda a: F.length(a[0]),
+    "int": lambda a: a[0].try_cast("bigint"),
+    "double": lambda a: a[0].try_cast("double"),
+    "string": lambda a: a[0].cast("string"),
+    "isstring": lambda a: a[0].cast("string").isNotNull(),
 }
 
 _AGG_MAP = {
@@ -392,6 +399,15 @@ class ExprParser:
             inner = self._or()
             self.expect(")")
             return inner
+        if t.text == "[":  # bare array literal (OTTL lists; ≙ dynamic([...]))
+            items = []
+            if self.peek().text != "]":
+                items.append(self._or())
+                while self.peek().text == ",":
+                    self.next()
+                    items.append(self._or())
+            self.expect("]")
+            return KE(F.array(*[i.col for i in items]))
         if t.kind == "number":
             txt = t.text
             if txt[:2].lower() == "0x":
@@ -523,6 +539,18 @@ class ExprParser:
             if len(args) != 2:
                 raise KqlError("extract_json needs (path, s)")
             return KE(F.get_json_object(args[1].col, _lit_str(args[0])))
+        if lname == "ismatch":  # OTTL IsMatch(target, pattern)
+            if len(args) != 2:
+                raise KqlError("IsMatch needs (target, pattern)")
+            return KE(args[0].col.rlike(_lit_str(args[1])))
+        if lname == "concat":  # OTTL Concat([parts…], delim) / varargs
+            if len(args) < 2:
+                raise KqlError("Concat needs (parts…, delim)")
+            delim = _lit_str(args[-1])
+            parts = [a.col for a in args[:-1]]
+            if len(parts) == 1:
+                return KE(F.array_join(parts[0], delim))
+            return KE(F.concat_ws(delim, *parts))
         if lname == "percentile":
             if len(args) != 2:
                 raise KqlError("percentile needs (x, p)")

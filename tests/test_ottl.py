@@ -110,3 +110,22 @@ def test_errors():
         ottl(None, 'delete_key(attrs, 42)')
     with pytest.raises(OttlError):
         ottl(None, 'keep_keys(attrs, "not-a-list")')
+
+
+def test_ottl_converters(rows):
+    """OTTL converters (Concat/Int/Double/String/Len/IsMatch) in values
+    and where-clauses, incl. bare list literals."""
+    out = ottl(
+        rows,
+        '''
+        set(attrs["joined"], Concat([attrs["env"], attrs["code"]], "-"))
+        set(attrs["n"], String(Int(attrs["code"]) + 1))
+        drop() where not(IsMatch(body, "^[a-z]"))
+        ''',
+    )
+    a = _attrs(out)
+    assert a[1]["joined"] == "dev-7" and a[1]["n"] == "8"
+    assert out.count() == 3  # all bodies start lowercase
+
+    kept = ottl(rows, 'keep() where Len(body) > 6')
+    assert {r.id for r in kept.collect()} == {1, 3}
