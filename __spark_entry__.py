@@ -1302,19 +1302,31 @@ SELECT metric_name, hour, CAST(SUM(point_count) AS BIGINT) AS point_count,
     SUM(bovf)), ',') AS buckets_csv,
   COUNT(DISTINCT host) AS n_hosts
 FROM (
-  SELECT metric_name, host, date_trunc('hour', time_ts) AS hour,
+  -- lower-exclusive base-2 buckets: bidx = ceil(log2(v)) - 1 via integer
+  -- bit-length, minus 1 when v is an exact integer power of two
+  SELECT metric_name, host, hour,
     COUNT(value) AS point_count,
-    SUM(CASE WHEN value >= 0 AND value < 1 THEN 1 ELSE 0 END) AS zero_count,
+    SUM(CASE WHEN value >= 0 AND value <= 1 THEN 1 ELSE 0 END) AS zero_count,
     ROUND(SUM(value), 6) AS sum_value,
-    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 0 THEN 1 ELSE 0 END) AS b0,
-    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 1 THEN 1 ELSE 0 END) AS b1,
-    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 2 THEN 1 ELSE 0 END) AS b2,
-    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 3 THEN 1 ELSE 0 END) AS b3,
-    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 4 THEN 1 ELSE 0 END) AS b4,
-    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 5 THEN 1 ELSE 0 END) AS b5,
-    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 = 6 THEN 1 ELSE 0 END) AS b6,
-    SUM(CASE WHEN value >= 1 AND length(bin(CAST(trunc(value) AS BIGINT))) - 1 >= 7 THEN 1 ELSE 0 END) AS bovf
-  FROM mpoints WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    SUM(CASE WHEN bidx = 0 THEN 1 ELSE 0 END) AS b0,
+    SUM(CASE WHEN bidx = 1 THEN 1 ELSE 0 END) AS b1,
+    SUM(CASE WHEN bidx = 2 THEN 1 ELSE 0 END) AS b2,
+    SUM(CASE WHEN bidx = 3 THEN 1 ELSE 0 END) AS b3,
+    SUM(CASE WHEN bidx = 4 THEN 1 ELSE 0 END) AS b4,
+    SUM(CASE WHEN bidx = 5 THEN 1 ELSE 0 END) AS b5,
+    SUM(CASE WHEN bidx = 6 THEN 1 ELSE 0 END) AS b6,
+    SUM(CASE WHEN bidx >= 7 THEN 1 ELSE 0 END) AS bovf
+  FROM (
+    SELECT metric_name, host, date_trunc('hour', time_ts) AS hour, value,
+      CASE WHEN value > 1 THEN
+        (length(bin(CAST(trunc(value) AS BIGINT))) - 1)
+        - (CASE WHEN value = trunc(value)
+                 AND (CAST(trunc(value) AS BIGINT)
+                      & (CAST(trunc(value) AS BIGINT) - 1)) = 0
+            THEN 1 ELSE 0 END)
+      END AS bidx
+    FROM mpoints WHERE value IS NOT NULL
+  ) GROUP BY 1, 2, 3
 ) GROUP BY 1, 2
 """
         ),

@@ -44,6 +44,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
 
     import __spark_entry__ as entrymod
+    from otel_arrow_spark.dataops.dedup import release_caches
     from otel_arrow_spark.session import get_spark
 
     spark = get_spark(app_name=f"otel-arrow-spark-bench-{cpus}")
@@ -61,18 +62,12 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    for name, fn in qs.items():
-        if wanted is not None and name not in wanted:
-            continue
-        t0 = time.perf_counter()
-        run_to_completion(fn(spark, sf_dir))
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
-
-    # End-to-end pipeline throughput (the BASELINE.json headline metric):
-    # parse → enrich → route → per-sink aggregate over the derived
-    # transcripts table, measured in turns/sec.
+    # End-to-end pipeline throughput (the BASELINE.json headline metric)
+    # is measured FIRST — before the query suite — so the headline
+    # turns/sec number is a fresh-session measurement, not the residue
+    # (GC/cache pressure) of a 65+-query session. r2 saw 111.7k → 80.5k
+    # t/s purely from run order; the standalone scaling bench on the same
+    # code measured 175.4k @8c.
     from pyspark.sql import functions as F
 
     from otel_arrow_spark.enrich import enrich_turns
@@ -91,6 +86,16 @@ def main() -> None:
     run_to_completion(agg)
     pipe_dt = time.perf_counter() - t0
     transcripts.unpersist()
+
+    for name, fn in qs.items():
+        if wanted is not None and name not in wanted:
+            continue
+        t0 = time.perf_counter()
+        run_to_completion(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        release_caches()  # per-query persists must not accumulate
 
     out = {
         "metric": "headline query wall time (sum) at sf; pipeline turns/sec extra",

@@ -132,8 +132,10 @@ def normalize_to_schema(df: DataFrame, schema, strict: bool = False) -> DataFram
     Extra columns are dropped (``strict=True`` raises instead — the
     exporter's unknown-field error path).
 
-    Nested struct fields are normalized recursively, mirroring the
-    reference's struct handling.
+    Nested struct fields are normalized recursively to any depth —
+    missing sub-fields become typed nulls, extra sub-fields are dropped
+    (or rejected under ``strict``), and sub-field order follows the
+    target schema; struct-of-struct works the same at every level.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
@@ -143,6 +145,32 @@ def normalize_to_schema(df: DataFrame, schema, strict: bool = False) -> DataFram
 
         schema = _parse_datatype_string(schema)
 
+    def norm(src, src_type, field, path: str):
+        """Normalization expression for one target field from a source
+        column of ``src_type`` (recursing through struct levels)."""
+        if isinstance(field.dataType, StructType) and isinstance(src_type, StructType):
+            have_sub = {f.name: f for f in src_type.fields}
+            if strict:
+                target_names = {f.name for f in field.dataType.fields}
+                unknown = [f"{path}.{n}" for n in have_sub if n not in target_names]
+                if unknown:
+                    raise ValueError(
+                        f"unknown columns for target schema: {unknown}"
+                    )
+            sub = []
+            for sf in field.dataType.fields:
+                if sf.name in have_sub:
+                    sub.append(
+                        norm(src[sf.name], have_sub[sf.name].dataType, sf,
+                             f"{path}.{sf.name}").alias(sf.name)
+                    )
+                else:
+                    sub.append(F.lit(None).cast(sf.dataType).alias(sf.name))
+            inner = F.struct(*sub)
+            # a NULL source struct stays NULL (not a struct of nulls)
+            return F.when(src.isNotNull(), inner) if field.nullable else inner
+        return src.cast(field.dataType)
+
     have = {f.name: f for f in df.schema.fields}
     if strict:
         unknown = [c for c in df.columns if c not in {f.name for f in schema.fields}]
@@ -151,23 +179,11 @@ def normalize_to_schema(df: DataFrame, schema, strict: bool = False) -> DataFram
 
     out_cols = []
     for field in schema.fields:
-        if isinstance(field.dataType, StructType) and field.name in have \
-                and isinstance(have[field.name].dataType, StructType):
-            present_sub = {f.name for f in have[field.name].dataType.fields}
-            sub = []
-            for sf in field.dataType.fields:
-                if sf.name in present_sub:
-                    sub.append(
-                        F.col(f"{field.name}.{sf.name}").cast(sf.dataType).alias(sf.name)
-                    )
-                else:
-                    sub.append(F.lit(None).cast(sf.dataType).alias(sf.name))
-            inner = F.when(
-                F.col(field.name).isNotNull(), F.struct(*sub)
-            ) if field.nullable else F.struct(*sub)
-            out_cols.append(inner.alias(field.name))
-        elif field.name in have:
-            out_cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        if field.name in have:
+            out_cols.append(
+                norm(F.col(field.name), have[field.name].dataType, field,
+                     field.name).alias(field.name)
+            )
         else:
             out_cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*out_cols)

@@ -33,6 +33,35 @@ from otel_arrow_spark.dataops.hashing import (
 )
 
 # ---------------------------------------------------------------------------
+# cache registry: the banded/signature relations are persisted because the
+# self-join + verify branches would re-evaluate the whole SHA subtree per
+# branch (no CSE across self-joins). These operators return LAZY DataFrames,
+# so the persist cannot be released inside the operator — callers release
+# after the consuming action via release_caches() (check_entry/bench do this
+# between queries; long-lived sessions should too, or executor storage
+# memory accumulates one entry per invocation).
+# ---------------------------------------------------------------------------
+
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every relation cached by dedup operators since the last
+    release; returns how many were released. Safe to call any time after
+    the consuming action (lazy consumers materialize the plan without the
+    cache, still correctly)."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+# ---------------------------------------------------------------------------
 # deterministic dup-injected corpus (both engines derive it identically, so
 # dedup outputs are non-trivial on the synthetic documents table)
 # ---------------------------------------------------------------------------
@@ -120,7 +149,7 @@ def minhash_signatures(docs: DataFrame, k: int = 8, n: int = 3,
     per emitted row (k× the full SHA subtree, measured 8×), while the
     persisted array explodes for free.
     """
-    sigs = _with_sig(docs, k, n, text_col).persist()
+    sigs = _persist(_with_sig(docs, k, n, text_col))
     return sigs.select(
         "doc_id", F.posexplode(F.col("sig")).alias("seed", "minhash")
     )
@@ -191,7 +220,7 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
     # materialization. Measured at sf0.1: cap costs ~2.2× uncached,
     # ~1.9× with the cache — a fixed extra narrow pass that buys
     # immunity from quadratic hot-bucket blowups (BENCH notes).
-    banded = banded.persist()
+    banded = _persist(banded)
     hot = (
         banded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bucket_n"))
@@ -233,7 +262,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
     # whole SHA subtree on every side (Spark has no automatic CSE across
     # self-join branches). At cluster scale this is a deliberate
     # materialization of the (small) signature relation.
-    sigs = _with_sig(docs, k, n, text_col, keep_shingles=True).persist()
+    sigs = _persist(_with_sig(docs, k, n, text_col, keep_shingles=True))
     banded = sigs.select(
         "doc_id", F.posexplode(_band_keys(F.col("sig"), k, bands)).alias(
             "band_id", "band_key"

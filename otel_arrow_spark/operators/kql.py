@@ -135,12 +135,16 @@ def bin_(col: Column | str, width: str) -> Column:
     import re as _re
 
     m = _re.fullmatch(r"(\d+(?:\.\d+)?)(ms|d|h|m|s)", str(width))
-    if m:  # general time width: floor epoch seconds to the bucket
+    if m:  # general time width: floor the fractional epoch to the bucket
         mult = {"d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 0.001}[m.group(2)]
         secs = float(m.group(1)) * mult
-        return F.timestamp_seconds(
-            F.floor(F.unix_timestamp(c) / F.lit(secs)) * F.lit(secs)
-        )
+        # cast chain keeps MICROSECOND precision (unix_timestamp truncates
+        # to whole seconds, which would collapse every sub-second width
+        # into the x.0 bucket); the intermediate cast("timestamp") makes
+        # TIMESTAMP_NTZ inputs castable to double (session tz is UTC, so
+        # the epoch is unshifted).
+        epoch = c.cast("timestamp").cast("double")
+        return F.timestamp_seconds(F.floor(epoch / F.lit(secs)) * F.lit(secs))
     try:
         w = float(width)
     except (TypeError, ValueError):

@@ -93,9 +93,13 @@ def _conditional(df: DataFrame, col_name: str, edited: Column,
 
 def _set_map_key(m: Column, key: str, value: Column) -> Column:
     # filter-then-concat: concat with a duplicate key is an error under
-    # spark.sql.mapKeyDedupPolicy=EXCEPTION (the default)
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION (the default). The outer
+    # coalesce handles a NULL map: map_filter(NULL)→NULL and
+    # map_concat(NULL, …)→NULL would silently no-op the write, whereas
+    # OTTL set() on a missing/empty map creates the entry.
+    entry = F.create_map(F.lit(key), value)
     cleaned = F.map_filter(m, lambda k, _v: k != F.lit(key))
-    return F.map_concat(cleaned, F.create_map(F.lit(key), value))
+    return F.coalesce(F.map_concat(cleaned, entry), entry)
 
 
 def _split_where(stmt: str) -> tuple[str, str | None]:

@@ -375,25 +375,34 @@ def merge_histograms(hist: DataFrame, n_buckets: int = len(HIST_BOUNDS) + 1) -> 
     )
 
 
-EXP_HIST_BUCKETS = 7  # base-2 indices 0..6 cover the 1..127 value domain
+EXP_HIST_BUCKETS = 7  # base-2 indices 0..6 cover the (1, 128] value domain
 
 
 def exp_histogram_data_points(
     points: DataFrame, n_buckets: int = EXP_HIST_BUCKETS
 ) -> DataFrame:
     """EXP_HISTOGRAM_DATA_POINTS (`docs/data_model.md:152-237`): base-2
-    exponential buckets at scale 0.
+    exponential buckets at scale 0 with the OTel **lower-exclusive**
+    boundary convention: bucket k covers (2^k, 2^(k+1)], so an exact
+    power of two v = 2^k lands in bucket k-1, and v ∈ [0, 1] lands in
+    ``zero_count`` (1 = 2^0 belongs below the first tracked bucket).
 
-    The bucket index for a value v ≥ 1 is floor(log2(v)), computed
-    EXACTLY as ``length(bin(bigint(v))) - 1`` — integer bit-length, no
-    floating-point log — so the bucketing is reproducible bit-for-bit
-    by any engine (a float log differs in the last ulp across math
-    libraries exactly at bucket boundaries). Values in [0, 1) land in
-    ``zero_count`` (the scale-0 zero-threshold semantic); indices ≥
+    The index is ceil(log2(v)) - 1, computed EXACTLY with integer
+    arithmetic — bit-length minus one, minus one more when v is an
+    exact integer power of two (``v == trunc(v) AND (b & (b-1)) == 0``)
+    — no floating-point log, so the bucketing is reproducible
+    bit-for-bit by any engine (a float log differs in the last ulp
+    across math libraries exactly at bucket boundaries). Indices ≥
     ``n_buckets`` land in the overflow bucket (last array slot)."""
     v = F.col("value")
+    v_int = v.try_cast("bigint")  # Spark try_cast truncates toward zero
+    is_pow2 = (v == v_int.cast("double")) & (
+        v_int.bitwiseAND(v_int - 1) == 0
+    )
     idx = F.when(
-        v >= 1, F.length(F.bin(v.try_cast("bigint"))) - F.lit(1)
+        v > 1,
+        F.length(F.bin(v_int)) - F.lit(1)
+        - F.when(is_pow2, 1).otherwise(0),
     )
     # when/otherwise (not a bare boolean cast): idx is NULL for v < 1 and
     # a NULL indicator would make an all-sub-1 group sum to NULL, not 0
@@ -412,7 +421,7 @@ def exp_histogram_data_points(
         )
         .agg(
             F.count(v).alias("point_count"),
-            F.sum(((v >= 0) & (v < 1)).cast("long")).alias("zero_count"),
+            F.sum(((v >= 0) & (v <= 1)).cast("long")).alias("zero_count"),
             F.round(F.sum(v), 6).alias("sum_value"),
             *bucket_cols,
         )

@@ -94,3 +94,32 @@ def test_normalize_to_known_schema(spark):
     )
     row3 = normalize_to_schema(df3, target).collect()[0]
     assert row3.meta is None
+
+
+def test_normalize_nested_struct_recursion(spark):
+    """Struct-within-struct normalizes at every depth: missing inner
+    fields fill with typed nulls, extra inner fields drop (or raise
+    under strict), deep casts apply."""
+    import pytest as _pytest
+
+    from otel_arrow_spark.catalog import normalize_to_schema
+
+    target = (
+        "id bigint, "
+        "outer struct<inner: struct<a: bigint, b: string>, tag: string>"
+    )
+    df = spark.createDataFrame(
+        [(1, ((7, "junk"), "t"))],
+        "id int, outer struct<inner: struct<a: int, stale: string>, tag: string>",
+    )
+    out = normalize_to_schema(df, target)
+    row = out.collect()[0]
+    assert row.outer.inner.a == 7          # deep cast int→bigint
+    assert row.outer.inner.b is None       # deep missing → typed null
+    assert "stale" not in row.outer.inner.asDict()  # deep extra dropped
+    assert out.schema["outer"].dataType["inner"].dataType["a"] \
+        .dataType.simpleString() == "bigint"
+
+    # strict flags the NESTED unknown field, naming its path
+    with _pytest.raises(ValueError, match="outer.inner.stale"):
+        normalize_to_schema(df, target, strict=True)

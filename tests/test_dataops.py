@@ -376,3 +376,27 @@ def test_frame_sample_native_equals_pandas(docs):
         for r in frame_sample_pandas(media).collect()
     }
     assert a == b and a
+
+
+def test_dedup_caches_are_released(spark, corpus):
+    """The persisted signature/banded relations must be releasable so a
+    long-lived session (kql shell, 65-query gate run) doesn't accumulate
+    executor storage; release_caches() empties the registry and the
+    Spark block cache."""
+    from otel_arrow_spark.dataops.dedup import (
+        minhash_lsh_pairs, release_caches, simhash_pairs,
+    )
+
+    release_caches()  # drop anything earlier module-scoped tests cached
+    spark.catalog.clearCache()
+    base = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+
+    minhash_lsh_pairs(corpus).count()
+    simhash_pairs(corpus).count()
+    during = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    assert during > base  # operators do persist while running
+
+    released = release_caches()
+    assert released >= 2
+    after = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    assert after == base

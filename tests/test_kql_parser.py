@@ -99,6 +99,37 @@ def test_summarize_by_bin(events):
          exp.select("event_type", "h", "n", "s", "m"))
 
 
+def test_bin_subsecond_widths(spark):
+    """bin() with ms / fractional-second widths keeps sub-second
+    precision (unix_timestamp would truncate every event into the x.0
+    bucket)."""
+    from otel_arrow_spark.operators.kql import bin_
+
+    rows = [("2024-01-01 00:00:00.125",), ("2024-01-01 00:00:00.375",),
+            ("2024-01-01 00:00:00.625",), ("2024-01-01 00:00:01.100",)]
+    df = spark.createDataFrame(rows, "s string").withColumn(
+        "ts", F.col("s").cast("timestamp")
+    )
+    got = [str(r.b) for r in df.select(bin_(F.col("ts"), "250ms").alias("b"))
+           .orderBy("b").collect()]
+    assert got == [
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:00:00.250000",
+        "2024-01-01 00:00:00.500000",
+        "2024-01-01 00:00:01",
+    ]
+    # fractional seconds spelled as seconds work identically
+    got2 = [str(r.b) for r in df.select(bin_(F.col("ts"), "0.5s").alias("b"))
+            .distinct().orderBy("b").collect()]
+    assert got2 == ["2024-01-01 00:00:00", "2024-01-01 00:00:00.500000",
+                    "2024-01-01 00:00:01"]
+    # TIMESTAMP_NTZ inputs bucket identically (cast chain handles them)
+    ntz = df.select(F.col("s").cast("timestamp_ntz").alias("ts"))
+    got3 = [str(r.b) for r in ntz.select(bin_(F.col("ts"), "250ms").alias("b"))
+            .orderBy("b").collect()]
+    assert got3 == got
+
+
 def test_summarize_dcount_numeric_bin(events):
     got = kql(events, "events | summarize u = dcount(user_id) by b = bin(value, 25)")
     exp = events.groupBy(

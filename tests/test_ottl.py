@@ -43,6 +43,20 @@ def test_set_and_delete(rows):
     assert a[3] is None  # null map stays null (optional-column semantics)
 
 
+def test_set_creates_entry_on_null_map(rows):
+    """OTTL set() on a missing/NULL map creates the entry (map_concat on
+    NULL would otherwise silently no-op) — while delete/filter editors
+    leave a NULL map NULL."""
+    out = ottl(rows, 'set(attrs["env"], "prod")')
+    a = _attrs(out)
+    assert a[3] == {"env": "prod"}  # was NULL: entry created
+    assert a[1]["env"] == "prod"    # existing key overwritten
+    assert a[1]["code"] == "7"      # other keys intact
+    # conditional set that does NOT match keeps NULL
+    skipped = ottl(rows, 'set(attrs["env"], "prod") where level == "error"')
+    assert _attrs(skipped)[3] is None
+
+
 def test_set_column_conditional(rows):
     out = ottl(rows, 'set(body, "redacted") where level == "error"')
     got = {r.id: r.body for r in out.collect()}

@@ -216,21 +216,53 @@ def test_exp_histogram_merge_is_lossless(base):
     assert bad.count() == 0
 
 
-def test_exp_bucket_index_is_exact_bit_length(spark):
-    """floor(log2(v)) via integer bit-length: exact at every power-of-2
-    boundary (where float log is one ulp away from wrong)."""
-    df = spark.createDataFrame(
-        [(float(v),) for v in [1, 2, 3, 4, 7, 8, 127, 128, 1023, 1024]],
-        "value double",
+def test_exp_bucket_index_lower_exclusive_boundaries(spark):
+    """OTel exponential-histogram boundary convention at scale 0: bucket
+    k covers (2^k, 2^(k+1)], so v = 2^k lands in bucket k-1 and v ≤ 1
+    lands in zero_count. Computed with integer bit-length arithmetic —
+    exact at every power-of-2 boundary (where float log is one ulp away
+    from wrong)."""
+    vals = [0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 7.0, 8.0, 8.5, 127.0, 128.0, 1024.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    v = F.col("value")
+    v_int = v.try_cast("bigint")
+    is_pow2 = (v == v_int.cast("double")) & (v_int.bitwiseAND(v_int - 1) == 0)
+    idx = F.when(
+        v > 1,
+        F.length(F.bin(v_int)) - F.lit(1) - F.when(is_pow2, 1).otherwise(0),
     )
-    got = {
-        r.value: r.idx
-        for r in df.select(
-            "value",
-            (F.length(F.bin(F.col("value").try_cast("bigint"))) - 1).alias("idx"),
-        ).collect()
-    }
+    got = {r.value: r.idx for r in df.select("value", idx.alias("idx")).collect()}
     import math
 
-    assert got == {float(v): int(math.floor(math.log2(v)))
-                   for v in [1, 2, 3, 4, 7, 8, 127, 128, 1023, 1024]}
+    def expect(x: float):
+        if x <= 1:
+            return None  # zero bucket
+        return int(math.ceil(math.log2(x))) - 1
+
+    assert got == {x: expect(x) for x in vals}
+    # spot the boundary cases the convention is about
+    assert got[2.0] == 0 and got[3.0] == 1 and got[4.0] == 1
+    assert got[8.0] == 2 and got[8.5] == 3
+    assert got[128.0] == 6 and got[1.0] is None
+
+
+def test_exp_histogram_pow2_values_respect_boundaries(spark):
+    """End-to-end: points at exact powers of two bucket lower-exclusively
+    through exp_histogram_data_points."""
+    from otel_arrow_spark.signals import exp_histogram_data_points
+
+    rows = [
+        ("m", "h", "2026-01-01 00:10:00", v)
+        for v in [0.0, 1.0, 2.0, 2.5, 4.0, 64.0, 128.0, 129.0, 500.0]
+    ]
+    pts = spark.createDataFrame(
+        rows, "metric_name string, host string, s string, value double"
+    ).withColumn("time_ts", F.col("s").cast("timestamp"))
+    out = exp_histogram_data_points(pts).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 0.0 and 1.0 → zero_count; 2.0 → bucket 0; 2.5, 4.0 → bucket 1;
+    # 64.0 → bucket 5; 128.0 → bucket 6; 129.0, 500.0 → overflow
+    assert r.zero_count == 2
+    assert list(r.bucket_counts) == [1, 2, 0, 0, 0, 1, 1, 2]
+    assert r.point_count == 9

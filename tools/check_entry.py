@@ -87,6 +87,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {ex}")
             failed.append(name)
             continue
+        finally:
+            # release dedup/LSH caches so per-query persists never
+            # accumulate across the 65+-query session
+            from otel_arrow_spark.dataops.dedup import release_caches
+
+            release_caches()
         sql = oracles.get(name)
         if sql is None:
             print(f"WEAK {name}: no oracle ({len(got)} rows, {time.time()-t0:.1f}s)")
