@@ -97,6 +97,12 @@ ORACLE_SIGNALS_CTE = r"""
     CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '^<\d{1,3}>1 (\S+) (\S+)', 2)
          WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} (\S+)', 1)
          WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|[^|]*\|([^|]*)\|', 1) END AS host,
+    CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '^<\d{1,3}>1 \S+ \S+ (\S+)', 1)
+         WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} \S+ ([^:]+): ', 1)
+         WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|([^|]*)\|', 1) END AS app,
+    CASE WHEN format = 'rfc5424' THEN regexp_extract(text, '\[kv@0 [^\]]*\] (.*)$', 1)
+         WHEN format = 'rfc3164' THEN regexp_extract(text, '^<\d{1,3}>[A-Z][a-z]{2} [ 0-9]?\d \d{2}:\d{2}:\d{2} \S+ [^:]+: (.*)$', 1)
+         WHEN format = 'cef' THEN regexp_extract(text, '^CEF:0\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|[^|]*\|(.*)$', 1) END AS body,
     substr(sha256(conv_id), 1, 32) AS trace_id,
     CASE WHEN role = 'tool' AND tool IS NOT NULL
          THEN substr(sha256(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 16) END AS span_key
@@ -141,6 +147,47 @@ mpoints AS (
          ts AS time_ts, host, trace_id, cur_span_id AS span_id,
          conv_id, turn_idx
   FROM wb WHERE sink = 'sink_metrics'
+)
+"""
+
+
+# DuckDB rendition of the star-schema *closure* tables (resource/scope
+# dims, LOGS records, SPAN_LINKS with content-derived link ids) —
+# appended after ORACLE_SIGNALS_CTE, reads sigbase/wb/spans.
+ORACLE_CLOSURE_CTE = r"""
+, res AS (
+  SELECT host, CAST(dense_rank() OVER (ORDER BY host) AS INT) AS resource_id
+  FROM (SELECT DISTINCT host FROM sigbase WHERE host IS NOT NULL)
+),
+scp AS (
+  SELECT app, format,
+         CAST(dense_rank() OVER (ORDER BY app, format) AS INT) AS scope_id
+  FROM (SELECT DISTINCT app, format FROM sigbase WHERE format != 'malformed')
+),
+logsrec AS (
+  SELECT substr(sha256(w.conv_id || ':' || CAST(w.turn_idx AS VARCHAR)), 1, 16)
+           AS log_id,
+         r.resource_id, s.scope_id, w.ts AS time_ts,
+         w.severity AS severity_number,
+         list_value('emerg','alert','crit','err','warning','notice','info',
+                    'debug')[w.severity + 1] AS severity_text,
+         w.event_name, w.body, w.trace_id, w.cur_span_id AS span_id,
+         w.conv_id, w.turn_idx
+  FROM wb w
+  LEFT JOIN res r ON w.host = r.host
+  LEFT JOIN scp s ON w.app = s.app AND w.format = s.format
+  WHERE w.sink = 'sink_logs'
+),
+slinks AS (
+  SELECT * FROM (
+    SELECT substr(sha256(conv_id || ':' || CAST(turn_idx AS VARCHAR)
+                         || ':link'), 1, 16) AS link_id,
+           span_id AS parent_span_id, trace_id AS linked_trace_id,
+           lag(span_id) OVER w AS linked_span_id,
+           lag(turn_idx) OVER w AS linked_turn_idx,
+           'continuation' AS trace_state, conv_id, turn_idx, tool
+    FROM spans WINDOW w AS (PARTITION BY conv_id, tool ORDER BY turn_idx)
+  ) WHERE linked_span_id IS NOT NULL
 )
 """
 
@@ -394,6 +441,125 @@ def q_metrics_exemplar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_id", F.col("name").alias("span_name"), "tool"
     )
     return ex.join(spans, "span_id")
+
+
+# ---------------------------------------------------------------------------
+# star-schema closure (SPAN_EVENT_ATTRS / SPAN_LINK_ATTRS / resource+scope
+# attrs / LOGS+LOG_ATTRS / exemplar attrs) + OTLP reconstruction
+# ---------------------------------------------------------------------------
+
+def q_trace_span_event_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN_EVENT_ATTRS EAV (payload slot 44,
+    `proto/.../arrow_service.proto:65-104`): attrs of event turns keyed
+    by the event_id the reconstruction joins walk."""
+    from otel_arrow_spark.signals import span_event_attrs_table
+
+    return span_event_attrs_table(_signal_base(spark, sf_dir))
+
+
+def q_trace_link_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN_LINK_ATTRS EAV (payload slot 45) with the reference's
+    sparse typed-value columns — link attrs traversal: LINKS ⋈ its
+    attr table is implicit in the derivation (attrs project from the
+    link relation)."""
+    from otel_arrow_spark.signals import (
+        span_link_attrs_table, span_links_table, spans_table,
+    )
+
+    links = span_links_table(spans_table(_signal_base(spark, sf_dir)))
+    return span_link_attrs_table(links)
+
+
+def q_signal_resource_scope_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESOURCE_ATTRS + SCOPE_ATTRS (payload slots 1–2): the shared
+    dims every signal's records point into, as one EAV relation with a
+    domain discriminant."""
+    from otel_arrow_spark.signals import (
+        resource_attrs_table, resource_dim, scope_attrs_table, scope_dim,
+    )
+
+    base = _signal_base(spark, sf_dir)
+    ra = resource_attrs_table(resource_dim(base)).select(
+        F.lit("resource").alias("domain"),
+        "parent_id", "key", "value_type", "str_value", "int_value",
+    )
+    sa = scope_attrs_table(scope_dim(base)).select(
+        F.lit("scope").alias("domain"),
+        "parent_id", "key", "value_type", "str_value",
+        F.lit(None).cast("long").alias("int_value"),
+    )
+    return ra.unionByName(sa)
+
+
+def q_logs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOGS (`docs/data_model.md:248-273`): the 4-table logs star schema
+    root — resource_id/scope_id FKs via broadcast dims, trace/span
+    correlation columns."""
+    from otel_arrow_spark.signals import logs_table, resource_dim, scope_dim
+
+    base = _signal_base(spark, sf_dir)
+    return logs_table(base, resource_dim(base), scope_dim(base))
+
+
+def q_log_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG_ATTRS EAV (payload slot 31), parent_id = log_id."""
+    from otel_arrow_spark.signals import log_attrs_table
+
+    return log_attrs_table(_signal_base(spark, sf_dir))
+
+
+def q_metrics_exemplar_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplar-attrs EAV: attrs of exemplar points, closing the metrics
+    payload set (`docs/data_model.md:60-76`)."""
+    from otel_arrow_spark.signals import exemplar_attrs_table, metric_points
+
+    return exemplar_attrs_table(metric_points(_signal_base(spark, sf_dir)))
+
+
+def q_span_events_to_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logs/traces duality: LOGS-shaped records reconstructed from
+    SPAN_EVENTS via the span_id FK join (`otlp/common.rs:467-570`
+    reconstruction walk producing the other signal's view)."""
+    from otel_arrow_spark.signals import (
+        logs_from_span_events, span_events_table, spans_table,
+    )
+
+    base = _signal_base(spark, sf_dir)
+    return logs_from_span_events(span_events_table(base), spans_table(base))
+
+
+def q_otlp_reconstruct_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP reconstruction: star schema → nested span records (sorted
+    child arrays per parent — the distributed rendition of the sort-merge
+    cursor walk), projected to engine-comparable scalars."""
+    from otel_arrow_spark.reconstruct import reconstruct_spans
+    from otel_arrow_spark.signals import (
+        span_attrs_table, span_event_attrs_table, span_events_table,
+        span_links_table, spans_table,
+    )
+
+    base = _signal_base(spark, sf_dir)
+    spans = spans_table(base)
+    nested = reconstruct_spans(
+        spans,
+        span_events_table(base),
+        span_links_table(spans),
+        span_attrs_table(base),
+        span_event_attrs_table(base),
+    )
+    return nested.select(
+        "span_id",
+        "name",
+        F.size("events").alias("n_events"),
+        F.array_join(
+            F.transform("events", lambda e: e.getField("name")), ","
+        ).alias("events_csv"),
+        F.aggregate(
+            "events", F.lit(0), lambda a, e: a + F.size(e.getField("attrs"))
+        ).alias("n_event_attrs"),
+        F.size("links").alias("n_links"),
+        F.size("attrs").alias("n_attrs"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1039,6 +1205,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_exp_histogram_merge": q_metrics_exp_histogram_merge,
         "metrics_summary_points": q_metrics_summary_points,
         "metrics_exemplar_join": q_metrics_exemplar_join,
+        "trace_span_event_attrs": q_trace_span_event_attrs,
+        "trace_link_attrs": q_trace_link_attrs,
+        "signal_resource_scope_attrs": q_signal_resource_scope_attrs,
+        "logs_star": q_logs_star,
+        "log_attrs": q_log_attrs,
+        "metrics_exemplar_attrs": q_metrics_exemplar_attrs,
+        "span_events_to_logs": q_span_events_to_logs,
+        "otlp_reconstruct_spans": q_otlp_reconstruct_spans,
         "kql_text_where_summarize": q_kql_text_where_summarize,
         "kql_text_topk": q_kql_text_topk,
         "kql_text_scalars": q_kql_text_scalars,
@@ -1079,6 +1253,15 @@ def _signals_oracle(select: str) -> str:
     return (
         ORACLE_PARSED_CTE.format(derive=DERIVE_SQL)
         + ORACLE_SIGNALS_CTE
+        + select
+    )
+
+
+def _closure_oracle(select: str) -> str:
+    return (
+        ORACLE_PARSED_CTE.format(derive=DERIVE_SQL)
+        + ORACLE_SIGNALS_CTE
+        + ORACLE_CLOSURE_CTE
         + select
     )
 
@@ -1224,14 +1407,10 @@ FROM ({PARSED_FIELDS_SQL})
             "SELECT parent_span_id, event_id, name, time_ts, severity, "
             "conv_id, turn_idx FROM span_events"
         ),
-        "trace_links": _signals_oracle(
-            "SELECT * FROM ("
-            "SELECT span_id AS parent_span_id, trace_id AS linked_trace_id, "
-            "lag(span_id) OVER w AS linked_span_id, "
-            "lag(turn_idx) OVER w AS linked_turn_idx, "
-            "'continuation' AS trace_state, conv_id, turn_idx, tool "
-            "FROM spans WINDOW w AS (PARTITION BY conv_id, tool ORDER BY turn_idx)"
-            ") WHERE linked_span_id IS NOT NULL"
+        "trace_links": _closure_oracle(
+            "SELECT link_id, parent_span_id, linked_trace_id, "
+            "linked_span_id, linked_turn_idx, trace_state, conv_id, "
+            "turn_idx, tool FROM slinks"
         ),
         "trace_span_attrs": _signals_oracle(
             f"""
@@ -1343,6 +1522,104 @@ FROM (
             "p.value, p.time_ts, s.name AS span_name, s.tool "
             "FROM mpoints p JOIN spans s ON p.span_id = s.span_id "
             "WHERE p.value IS NOT NULL AND p.value >= 90"
+        ),
+        "trace_span_event_attrs": _signals_oracle(
+            f"""
+SELECT substr(sha256(e.conv_id || ':' || CAST(e.turn_idx AS VARCHAR)), 1, 16)
+         AS parent_id,
+       e.key, e.value AS str_value, 'str' AS value_type,
+       e.conv_id, e.turn_idx
+FROM ({ATTRS_EAV_ORACLE}) e
+JOIN (SELECT conv_id, turn_idx FROM wb
+      WHERE span_key IS NULL AND cur_span_id IS NOT NULL) s
+  ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
+"""
+        ),
+        "trace_link_attrs": _closure_oracle(
+            """
+SELECT link_id AS parent_id, 'link.tool' AS key, 'str' AS value_type,
+       tool AS str_value, CAST(NULL AS BIGINT) AS int_value,
+       conv_id, turn_idx
+FROM slinks
+UNION ALL
+SELECT link_id, 'link.gap_turns', 'int', CAST(NULL AS VARCHAR),
+       CAST(turn_idx - linked_turn_idx AS BIGINT), conv_id, turn_idx
+FROM slinks
+"""
+        ),
+        "signal_resource_scope_attrs": _closure_oracle(
+            """
+SELECT 'resource' AS domain, resource_id AS parent_id,
+       'host.name' AS key, 'str' AS value_type, host AS str_value,
+       CAST(NULL AS BIGINT) AS int_value
+FROM res
+UNION ALL
+SELECT 'resource', resource_id, 'host.index', 'int',
+       CAST(NULL AS VARCHAR), TRY_CAST(substr(host, 6) AS BIGINT)
+FROM res
+UNION ALL
+SELECT 'scope', scope_id, 'scope.name', 'str', app, CAST(NULL AS BIGINT)
+FROM scp
+UNION ALL
+SELECT 'scope', scope_id, 'format', 'str', format, CAST(NULL AS BIGINT)
+FROM scp
+"""
+        ),
+        "logs_star": _closure_oracle(
+            "SELECT log_id, resource_id, scope_id, time_ts, "
+            "severity_number, severity_text, event_name, body, trace_id, "
+            "span_id, conv_id, turn_idx FROM logsrec"
+        ),
+        "log_attrs": _parsed_oracle(
+            f"""
+SELECT substr(sha256(e.conv_id || ':' || CAST(e.turn_idx AS VARCHAR)), 1, 16)
+         AS parent_id,
+       e.key, e.value AS str_value, 'str' AS value_type,
+       e.conv_id, e.turn_idx
+FROM ({ATTRS_EAV_ORACLE}) e
+JOIN (SELECT conv_id, turn_idx FROM routed WHERE sink = 'sink_logs') s
+  ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
+"""
+        ),
+        "metrics_exemplar_attrs": _signals_oracle(
+            f"""
+SELECT p.point_id AS parent_id, e.key, e.value AS str_value,
+       'str' AS value_type, e.conv_id, e.turn_idx
+FROM ({ATTRS_EAV_ORACLE}) e
+JOIN mpoints p ON e.conv_id = p.conv_id AND e.turn_idx = p.turn_idx
+WHERE p.value IS NOT NULL AND p.value >= 90
+"""
+        ),
+        "span_events_to_logs": _signals_oracle(
+            "SELECT e.event_id AS log_id, e.time_ts, "
+            "e.severity AS severity_number, e.name AS event_name, "
+            "s.trace_id, e.parent_span_id AS span_id, s.tool AS span_tool, "
+            "e.conv_id, e.turn_idx "
+            "FROM span_events e JOIN spans s ON e.parent_span_id = s.span_id"
+        ),
+        "otlp_reconstruct_spans": _closure_oracle(
+            f"""
+SELECT s.span_id, s.name,
+  CAST(COALESCE(ev.n_events, 0) AS INT) AS n_events,
+  COALESCE(ev.events_csv, '') AS events_csv,
+  CAST(COALESCE(ea.n_event_attrs, 0) AS INT) AS n_event_attrs,
+  CAST(COALESCE(lk.n_links, 0) AS INT) AS n_links,
+  CAST(COALESCE(sa.n_attrs, 0) AS INT) AS n_attrs
+FROM spans s
+LEFT JOIN (SELECT parent_span_id, COUNT(*) AS n_events,
+                  string_agg(name, ',' ORDER BY turn_idx) AS events_csv
+           FROM span_events GROUP BY 1) ev ON s.span_id = ev.parent_span_id
+LEFT JOIN (SELECT w.cur_span_id AS sid, COUNT(*) AS n_event_attrs
+           FROM ({ATTRS_EAV_ORACLE}) e
+           JOIN wb w ON e.conv_id = w.conv_id AND e.turn_idx = w.turn_idx
+           WHERE w.span_key IS NULL AND w.cur_span_id IS NOT NULL
+           GROUP BY 1) ea ON s.span_id = ea.sid
+LEFT JOIN (SELECT parent_span_id, COUNT(*) AS n_links FROM slinks
+           GROUP BY 1) lk ON s.span_id = lk.parent_span_id
+LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
+           FROM ({ATTRS_EAV_ORACLE}) GROUP BY 1, 2) sa
+       ON s.conv_id = sa.conv_id AND s.turn_idx = sa.turn_idx
+"""
         ),
         "kql_text_where_summarize": (
             "SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n, "

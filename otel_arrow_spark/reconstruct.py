@@ -1,0 +1,202 @@
+"""OTLP reconstruction: star-schema tables → nested span records.
+
+The reference's consumers rebuild nested OTLP entities from the flat
+OTAP star schema by sorting the root batch and advancing cursors through
+child batches sorted by ``parent_id`` — a streaming sort-merge join
+(`rust/otel-arrow-rust/src/otlp/common.rs:467-570` ``SortedBatchCursor``
+/ ``ChildIndexIter``; logs encoder `otlp/logs.rs:205-515`). Its
+correctness gate is vPath-set equivalence of the round-tripped records
+against the originals (`docs/validation_process.md:12-33`,
+`go/pkg/otel/assert/equiv.go:99-150`).
+
+Here the same reconstruction is declarative: each child table collapses
+to one sorted array per parent (``collect_list`` + ``array_sort`` —
+deterministic because the leading struct field is the unique
+``turn_idx``), then the parent relation picks the arrays up with plain
+``parent_id`` equi-joins — Catalyst chooses sort-merge or broadcast per
+side size, which *is* the cursor walk, distributed. Every join key is
+content-derived, so the reconstruction is stable across partitionings
+and retries.
+
+Scale shape: one shuffle per child table (the groupBy on parent id,
+map-side partial where possible) + the final joins on span_id. No
+window over the full relation, no driver-side nesting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _attrs_array(attrs: DataFrame, out_name: str) -> DataFrame:
+    """EAV rows → one deterministic (key-sorted) array per parent_id."""
+    return attrs.groupBy("parent_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("key"), F.col("str_value")))
+        ).alias(out_name)
+    )
+
+
+def reconstruct_spans(
+    spans: DataFrame,
+    span_events: DataFrame,
+    span_links: DataFrame,
+    span_attrs: DataFrame,
+    span_event_attrs: DataFrame,
+) -> DataFrame:
+    """Nested span records: each span with its sorted events (each event
+    carrying its own sorted attrs), links, and attrs — the OTLP shape a
+    downstream consumer would re-serialize.
+
+    Output: the SPANS columns plus ``events`` / ``links`` / ``attrs``
+    array columns (empty arrays when a span has no children, matching
+    OTLP's always-present-possibly-empty lists).
+    """
+    ev_attrs = _attrs_array(span_event_attrs, "attrs")
+    events_nested = (
+        span_events.join(
+            ev_attrs,
+            span_events.event_id == ev_attrs.parent_id,
+            "left",
+        )
+        .select(
+            "parent_span_id",
+            F.struct(
+                F.col("turn_idx"),
+                F.col("event_id"),
+                F.col("name"),
+                F.col("severity"),
+                F.coalesce(
+                    F.col("attrs"),
+                    F.array().cast(
+                        "array<struct<key: string, str_value: string>>"
+                    ),
+                ).alias("attrs"),
+            ).alias("ev"),
+        )
+        .groupBy("parent_span_id")
+        .agg(F.array_sort(F.collect_list("ev")).alias("events"))
+    )
+    links_nested = span_links.select(
+        "parent_span_id",
+        F.struct(
+            F.col("linked_turn_idx"),
+            F.col("link_id"),
+            F.col("linked_span_id"),
+            F.col("trace_state"),
+        ).alias("lk"),
+    ).groupBy("parent_span_id").agg(
+        F.array_sort(F.collect_list("lk")).alias("links")
+    )
+    attrs_nested = _attrs_array(span_attrs, "attrs")
+
+    out = (
+        spans.join(
+            events_nested,
+            spans.span_id == events_nested.parent_span_id,
+            "left",
+        )
+        .drop(events_nested.parent_span_id)
+        .join(
+            links_nested,
+            spans.span_id == links_nested.parent_span_id,
+            "left",
+        )
+        .drop(links_nested.parent_span_id)
+        .join(attrs_nested, spans.span_id == attrs_nested.parent_id, "left")
+        .drop("parent_id")
+    )
+    return out.withColumns(
+        {
+            "events": F.coalesce(
+                F.col("events"),
+                F.array().cast(
+                    "array<struct<turn_idx: int, event_id: string, "
+                    "name: string, severity: int, "
+                    "attrs: array<struct<key: string, str_value: string>>>>"
+                ),
+            ),
+            "links": F.coalesce(
+                F.col("links"),
+                F.array().cast(
+                    "array<struct<linked_turn_idx: int, link_id: string, "
+                    "linked_span_id: string, trace_state: string>>"
+                ),
+            ),
+            "attrs": F.coalesce(
+                F.col("attrs"),
+                F.array().cast(
+                    "array<struct<key: string, str_value: string>>"
+                ),
+            ),
+        }
+    )
+
+
+def span_vpaths(nested: DataFrame) -> DataFrame:
+    """Flatten reconstructed nested spans to the vPath relation: one
+    ``(path, value)`` string row per leaf — the Spark rendition of the
+    reference's vPath extraction (`go/pkg/otel/assert/equiv.go:215-330`).
+    Paths address by content-derived ids, never list position, so the
+    set is invariant to batch re-organization — exactly the equivalence
+    the reference's Equiv asserts."""
+    span_prefix = F.concat_ws("/", F.col("trace_id"), F.col("span_id"))
+
+    def leaf(suffix, value):
+        return F.concat_ws(
+            "=", F.concat(span_prefix, F.lit(suffix)), value.cast("string")
+        )
+
+    scalars = nested.select(
+        F.explode(
+            F.array(
+                leaf("/name", F.col("name")),
+                leaf("/status", F.col("status_code")),
+                leaf("/parent", F.coalesce(F.col("parent_span_id"), F.lit("-"))),
+            )
+        ).alias("vpath")
+    )
+    span_attr_paths = nested.select(
+        F.explode("attrs").alias("a"), span_prefix.alias("p")
+    ).select(
+        F.concat_ws(
+            "=",
+            F.concat_ws("/", F.col("p"), F.lit("attr"), F.col("a.key")),
+            F.col("a.str_value"),
+        ).alias("vpath")
+    )
+    ev = nested.select(F.explode("events").alias("e"), span_prefix.alias("p"))
+    event_paths = ev.select(
+        F.concat_ws(
+            "=",
+            F.concat_ws("/", F.col("p"), F.lit("event"), F.col("e.event_id"),
+                        F.lit("name")),
+            F.col("e.name"),
+        ).alias("vpath")
+    )
+    event_attr_paths = ev.select(
+        F.explode("e.attrs").alias("a"),
+        F.concat_ws("/", F.col("p"), F.lit("event"), F.col("e.event_id")).alias("ep"),
+    ).select(
+        F.concat_ws(
+            "=",
+            F.concat_ws("/", F.col("ep"), F.lit("attr"), F.col("a.key")),
+            F.col("a.str_value"),
+        ).alias("vpath")
+    )
+    link_paths = nested.select(
+        F.explode("links").alias("l"), span_prefix.alias("p")
+    ).select(
+        F.concat_ws(
+            "=",
+            F.concat_ws("/", F.col("p"), F.lit("link"), F.col("l.link_id")),
+            F.col("l.linked_span_id"),
+        ).alias("vpath")
+    )
+    return (
+        scalars.unionByName(span_attr_paths)
+        .unionByName(event_paths)
+        .unionByName(event_attr_paths)
+        .unionByName(link_paths)
+    )

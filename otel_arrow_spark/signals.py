@@ -175,7 +175,10 @@ def span_links_table(spans: DataFrame) -> DataFrame:
     """SPAN_LINKS (`docs/data_model.md:361-380`): continuation edges —
     each span links to the previous span of the same conversation that
     called the same tool. Window partition is (conv_id, tool): strictly
-    smaller partitions than the base pass, spans only."""
+    smaller partitions than the base pass, spans only. ``link_id`` is
+    the content-derived primary key SPAN_LINK_ATTRS points back at
+    (the id → parent_id FK of the closed star schema,
+    `proto/.../arrow_service.proto:65-104` SPAN_LINK_ATTRS=45)."""
     w = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
     return (
         spans.withColumns(
@@ -186,6 +189,16 @@ def span_links_table(spans: DataFrame) -> DataFrame:
         )
         .filter(F.col("linked_span_id").isNotNull())
         .select(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        ":", F.col("conv_id"),
+                        F.col("turn_idx").cast("string"), F.lit("link"),
+                    ),
+                    256,
+                ),
+                1, 16,
+            ).alias("link_id"),
             F.col("span_id").alias("parent_span_id"),
             F.col("trace_id").alias("linked_trace_id"),
             "linked_span_id",
@@ -205,6 +218,254 @@ def span_attrs_table(base: DataFrame) -> DataFrame:
         F.col("span_key").isNotNull() & F.col("attrs").isNotNull()
     ).select(
         F.col("span_key").alias("parent_id"),
+        F.explode(F.col("attrs")).alias("key", "str_value"),
+        F.lit("str").alias("value_type"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+
+
+def span_event_attrs_table(base: DataFrame) -> DataFrame:
+    """SPAN_EVENT_ATTRS EAV (`docs/data_model.md:296-306` shape;
+    payload slot SPAN_EVENT_ATTRS=44 in the closed enum
+    `proto/.../arrow_service.proto:65-104`): the parsed kv attrs of
+    *event* turns, keyed by the same content-derived event_id
+    :func:`span_events_table` assigns — the id → parent_id FK the OTLP
+    reconstruction walks (`rust/otel-arrow-rust/src/otlp/common.rs:467-570`).
+    Narrow filter + explode of the signal_base pass, no extra shuffle."""
+    return base.filter(
+        F.col("span_key").isNull()
+        & F.col("cur_span_id").isNotNull()
+        & F.col("attrs").isNotNull()
+    ).select(
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    ":", F.col("conv_id"), F.col("turn_idx").cast("string")
+                ),
+                256,
+            ),
+            1, 16,
+        ).alias("parent_id"),
+        F.explode(F.col("attrs")).alias("key", "str_value"),
+        F.lit("str").alias("value_type"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+
+
+def span_link_attrs_table(links: DataFrame) -> DataFrame:
+    """SPAN_LINK_ATTRS EAV (payload slot 45): per-link attributes with
+    the reference's sparse typed-value columns (`docs/data_model.md:
+    296-306` — one nullable column per value type, discriminated by
+    ``value_type``). Two attrs per link: the tool (str) and the turn
+    gap to the linked span (int). Narrow projection of the LINKS
+    relation — the link window already ran."""
+    gap = (F.col("turn_idx") - F.col("linked_turn_idx")).cast("long")
+    tool_row = links.select(
+        F.col("link_id").alias("parent_id"),
+        F.lit("link.tool").alias("key"),
+        F.lit("str").alias("value_type"),
+        F.col("tool").alias("str_value"),
+        F.lit(None).cast("long").alias("int_value"),
+        "conv_id",
+        "turn_idx",
+    )
+    gap_row = links.select(
+        F.col("link_id").alias("parent_id"),
+        F.lit("link.gap_turns").alias("key"),
+        F.lit("int").alias("value_type"),
+        F.lit(None).cast("string").alias("str_value"),
+        gap.alias("int_value"),
+        "conv_id",
+        "turn_idx",
+    )
+    return tool_row.unionByName(gap_row)
+
+
+# ---------------------------------------------------------------------------
+# resource / scope dimensions (shared by all signals)
+# ---------------------------------------------------------------------------
+
+def resource_dim(base: DataFrame) -> DataFrame:
+    """RESOURCE dimension: distinct hosts with dense integer ids — the
+    content-dedup the Go optimizer performs before encoding (identical
+    resources share one id, `go/pkg/otel/logs/arrow/optimizer.go:63-106`).
+    The distinct host set is tiny (device cardinality), so the global
+    dense_rank window runs over a handful of rows. NULL hosts (malformed
+    turns) are excluded — those records carry a NULL resource_id, the
+    optional-column semantic (`docs/otap_basics.md:87-88`)."""
+    w = Window.orderBy("host")
+    return (
+        base.filter(F.col("host").isNotNull())
+        .select("host")
+        .distinct()
+        .withColumn("resource_id", F.dense_rank().over(w))
+    )
+
+
+def resource_attrs_table(resources: DataFrame) -> DataFrame:
+    """RESOURCE_ATTRS EAV (payload slot 1): attributes of each distinct
+    resource, parent_id = resource_id."""
+    name_row = resources.select(
+        F.col("resource_id").alias("parent_id"),
+        F.lit("host.name").alias("key"),
+        F.lit("str").alias("value_type"),
+        F.col("host").alias("str_value"),
+        F.lit(None).cast("long").alias("int_value"),
+    )
+    idx_row = resources.select(
+        F.col("resource_id").alias("parent_id"),
+        F.lit("host.index").alias("key"),
+        F.lit("int").alias("value_type"),
+        F.lit(None).cast("string").alias("str_value"),
+        F.substring(F.col("host"), 6, 10).try_cast("long").alias("int_value"),
+    )
+    return name_row.unionByName(idx_row)
+
+
+def scope_dim(base: DataFrame) -> DataFrame:
+    """SCOPE dimension: distinct (app, format) pairs — the
+    instrumentation-scope analog (the producing app + wire format play
+    scope name/version). Dense ids over a tiny distinct set."""
+    w = Window.orderBy("app", "format")
+    return (
+        base.filter(F.col("format") != "malformed")
+        .select("app", "format")
+        .distinct()
+        .withColumn("scope_id", F.dense_rank().over(w))
+    )
+
+
+def scope_attrs_table(scopes: DataFrame) -> DataFrame:
+    """SCOPE_ATTRS EAV (payload slot 2), parent_id = scope_id."""
+    name_row = scopes.select(
+        F.col("scope_id").alias("parent_id"),
+        F.lit("scope.name").alias("key"),
+        F.lit("str").alias("value_type"),
+        F.col("app").alias("str_value"),
+    )
+    fmt_row = scopes.select(
+        F.col("scope_id").alias("parent_id"),
+        F.lit("format").alias("key"),
+        F.lit("str").alias("value_type"),
+        F.col("format").alias("str_value"),
+    )
+    return name_row.unionByName(fmt_row)
+
+
+# ---------------------------------------------------------------------------
+# logs signal (LOGS + LOG_ATTRS — the 4-table logs star schema,
+# docs/otap_basics.md:55-68, data_model.md:239-307)
+# ---------------------------------------------------------------------------
+
+SEVERITY_TEXT = [
+    "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug",
+]
+
+
+def logs_table(base: DataFrame, resources: DataFrame,
+               scopes: DataFrame) -> DataFrame:
+    """LOGS (`docs/data_model.md:248-273`): log-routed turns with
+    resource_id / scope_id FKs into the shared dimensions (broadcast
+    joins — both dims are tiny) and the (trace_id, span_id) correlation
+    columns OTLP log records carry. log_id is content-derived like every
+    id here (`parquet_exporter/idgen.rs:30-102` uniqueness role)."""
+    logs = base.filter(F.col("sink") == "sink_logs").select(
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    ":", F.col("conv_id"), F.col("turn_idx").cast("string")
+                ),
+                256,
+            ),
+            1, 16,
+        ).alias("log_id"),
+        F.col("ts").alias("time_ts"),
+        F.col("severity").alias("severity_number"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in SEVERITY_TEXT]),
+            F.col("severity") + 1,
+        ).alias("severity_text"),
+        F.col("event_name"),
+        F.col("body"),
+        F.col("trace_id"),
+        F.col("cur_span_id").alias("span_id"),
+        F.col("host"),
+        F.col("app"),
+        F.col("format"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+    return (
+        logs.join(F.broadcast(resources), "host", "left")
+        .join(F.broadcast(scopes), ["app", "format"], "left")
+        .select(
+            "log_id", "resource_id", "scope_id", "time_ts",
+            "severity_number", "severity_text", "event_name", "body",
+            "trace_id", "span_id", "conv_id", "turn_idx",
+        )
+    )
+
+
+def log_attrs_table(base: DataFrame) -> DataFrame:
+    """LOG_ATTRS EAV (payload slot 31), parent_id = log_id."""
+    return base.filter(
+        (F.col("sink") == "sink_logs") & F.col("attrs").isNotNull()
+    ).select(
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    ":", F.col("conv_id"), F.col("turn_idx").cast("string")
+                ),
+                256,
+            ),
+            1, 16,
+        ).alias("parent_id"),
+        F.explode(F.col("attrs")).alias("key", "str_value"),
+        F.lit("str").alias("value_type"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+
+
+def logs_from_span_events(events: DataFrame, spans: DataFrame) -> DataFrame:
+    """The logs/traces duality: reconstruct LOGS-shaped records from
+    SPAN_EVENTS — span events ARE log records enclosed by a span, so a
+    consumer can round-trip them back into the logs signal (the
+    reference's OTLP reconstruction produces both views from the same
+    star schema, `rust/otel-arrow-rust/src/otlp/common.rs:467-570`).
+    One broadcast-free equi-join on the span_id FK to recover trace
+    linkage; everything else is projection."""
+    sp = spans.select("span_id", "trace_id", F.col("tool").alias("span_tool"))
+    return (
+        events.join(sp, events.parent_span_id == sp.span_id)
+        .select(
+            F.col("event_id").alias("log_id"),
+            F.col("time_ts"),
+            F.col("severity").alias("severity_number"),
+            F.col("name").alias("event_name"),
+            "trace_id",
+            F.col("parent_span_id").alias("span_id"),
+            "span_tool",
+            "conv_id",
+            "turn_idx",
+        )
+    )
+
+
+def exemplar_attrs_table(
+    points: DataFrame, min_value: float = EXEMPLAR_MIN_VALUE
+) -> DataFrame:
+    """Exemplar-attrs EAV (metrics payload closure,
+    `docs/data_model.md:60-76`): the parsed attrs of exemplar points,
+    parent_id = the exemplar's point_id."""
+    return points.filter(
+        F.col("value").isNotNull()
+        & (F.col("value") >= min_value)
+        & F.col("attrs").isNotNull()
+    ).select(
+        F.col("point_id").alias("parent_id"),
         F.explode(F.col("attrs")).alias("key", "str_value"),
         F.lit("str").alias("value_type"),
         F.col("conv_id"),
@@ -272,6 +533,7 @@ def metric_points(base: DataFrame) -> DataFrame:
         F.col("host"),
         F.col("trace_id"),
         F.col("cur_span_id").alias("span_id"),
+        F.col("attrs"),
         F.col("conv_id"),
         F.col("turn_idx"),
     )

@@ -266,3 +266,104 @@ def test_exp_histogram_pow2_values_respect_boundaries(spark):
     assert r.zero_count == 2
     assert list(r.bucket_counts) == [1, 2, 0, 0, 0, 1, 1, 2]
     assert r.point_count == 9
+
+
+# ---------------------------------------------------------------------------
+# star-schema closure (SPAN_EVENT_ATTRS / SPAN_LINK_ATTRS / resource+scope /
+# LOGS / exemplar attrs) — payload closure per arrow_service.proto:65-104
+# ---------------------------------------------------------------------------
+
+def test_event_attrs_point_at_real_events(base, events):
+    from otel_arrow_spark.signals import span_event_attrs_table
+
+    ea = span_event_attrs_table(base)
+    dangling = ea.join(
+        events, ea.parent_id == events.event_id, "left_anti"
+    )
+    assert dangling.count() == 0
+    assert ea.count() > 0
+
+
+def test_link_attrs_typed_and_complete(base, spans):
+    from otel_arrow_spark.signals import span_link_attrs_table, span_links_table
+
+    links = span_links_table(spans).cache()
+    la = span_link_attrs_table(links).cache()
+    n_links = links.count()
+    # exactly two attrs per link: one str (tool), one int (gap)
+    assert la.count() == 2 * n_links
+    per_type = {r.value_type: r.n for r in la.groupBy("value_type")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_type == {"str": n_links, "int": n_links}
+    # sparse typed columns: exactly one value column non-null per row
+    bad = la.filter(
+        (F.col("str_value").isNotNull().cast("int")
+         + F.col("int_value").isNotNull().cast("int")) != 1
+    )
+    assert bad.count() == 0
+    # the int attr is the turn gap, always positive
+    assert la.filter(
+        (F.col("key") == "link.gap_turns") & (F.col("int_value") <= 0)
+    ).count() == 0
+    links.unpersist(); la.unpersist()
+
+
+def test_logs_star_fks_resolve(base):
+    from otel_arrow_spark.signals import (
+        logs_table, resource_dim, scope_dim,
+    )
+
+    res, scp = resource_dim(base), scope_dim(base)
+    logs = logs_table(base, res, scp).cache()
+    n = logs.count()
+    assert n > 0
+    # every log record resolves both dims (log turns always parse host/app)
+    assert logs.filter(F.col("resource_id").isNull()).count() == 0
+    assert logs.filter(F.col("scope_id").isNull()).count() == 0
+    # severity_text tracks severity_number through the syslog name table
+    err = logs.filter(
+        (F.col("severity_number") == 3) & (F.col("severity_text") != "err")
+    )
+    assert err.count() == 0
+    # logs carry trace correlation: span_id resolves when inside a span
+    assert logs.filter(F.col("trace_id").isNull()).count() == 0
+    logs.unpersist()
+
+
+def test_resource_scope_dims_are_dense_and_stable(base):
+    from otel_arrow_spark.signals import (
+        resource_attrs_table, resource_dim, scope_attrs_table, scope_dim,
+    )
+
+    res = resource_dim(base).collect()
+    ids = sorted(r.resource_id for r in res)
+    assert ids == list(range(1, len(res) + 1))  # dense, 1-based
+    # content-derived: same host always same id across derivations
+    res2 = {r.host: r.resource_id for r in resource_dim(base).collect()}
+    assert {r.host: r.resource_id for r in res} == res2
+    ra = resource_attrs_table(resource_dim(base))
+    assert ra.count() == 2 * len(res)
+    scp = scope_dim(base)
+    sa = scope_attrs_table(scp)
+    assert sa.count() == 2 * scp.count()
+
+
+def test_span_events_to_logs_duality(base, spans, events):
+    from otel_arrow_spark.signals import logs_from_span_events
+
+    logs = logs_from_span_events(events, spans)
+    # every span event round-trips to exactly one log record
+    assert logs.count() == events.count()
+    assert logs.filter(F.col("trace_id").isNull()).count() == 0
+
+
+def test_exemplar_attrs_subset_of_exemplars(base):
+    from otel_arrow_spark.signals import (
+        exemplar_attrs_table, exemplars_table, metric_points,
+    )
+
+    points = metric_points(base).cache()
+    ex_ids = {r.parent_point_id for r in exemplars_table(points).collect()}
+    ea = exemplar_attrs_table(points).collect()
+    assert ea and {r.parent_id for r in ea} <= ex_ids
+    points.unpersist()
