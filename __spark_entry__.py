@@ -840,6 +840,27 @@ def q_kql_text_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant/dynamic semantics through the full KQL text lifecycle
+    (`kql-parser` grammar `kql.pest:198-203`): ``parse_json(props)``
+    produces a Spark VARIANT, path access compiles to
+    ``try_variant_get`` (missing path → NULL, not an error — asserted by
+    ``n_missing``), and ``tolong``/``todouble`` cast the variant to
+    concrete types. Oracle: DuckDB JSON extraction over the same path."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend k = tolong(parse_json(props)['k']),"
+        "   missing = tolong(parse_json(props)['absent'])"
+        " | where k >= 40"
+        " | summarize n = count(), n_missing = countif(isnotnull(missing)),"
+        "   avg_k = round(avg(todouble(k)), 6) by event_type",
+    )
+
+
 def q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTTL-subset program over parsed turns: conditional set, key
     delete, row drop (`operators/ottl.py`; reference skeleton
@@ -1216,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_where_summarize": q_kql_text_where_summarize,
         "kql_text_topk": q_kql_text_topk,
         "kql_text_scalars": q_kql_text_scalars,
+        "kql_variant_json": q_kql_variant_json,
         "ottl_transform": q_ottl_transform,
         "kql_text_attached_records": q_kql_text_attached_records,
         "kql_text_summarize_postpipe": q_kql_text_summarize_postpipe,
@@ -1640,6 +1662,16 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "substr(p_name, 1, 4) AS head "
             "FROM part WHERE contains(lower(p_name), 'red') "
             "OR starts_with(lower(p_type), 'small')"
+        ),
+        "kql_variant_json": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "COUNT(CASE WHEN json_extract(props, '$.absent') IS NOT NULL "
+            "THEN 1 END) AS n_missing, "
+            "ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)"
+            " AS avg_k "
+            "FROM events "
+            "WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40 "
+            "GROUP BY event_type"
         ),
         "ottl_transform": _parsed_oracle(
             f"""

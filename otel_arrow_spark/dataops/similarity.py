@@ -171,30 +171,15 @@ def ivf_assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def ivf_ann_topk(emb: DataFrame, centroid_stride: int = 100, k: int = 5,
-                 every: int = 50, probes: int = 1) -> DataFrame:
-    """IVF-style ANN: coarse-quantize to the nearest centroid, search
-    within the query's cell(s).
-
-    Centroids are a deterministic corpus sample (``vec_id % stride == 1``)
-    — the reproducible stand-in for trained k-means centroids; swapping in
-    trained centroids changes only the centroid relation. Assignment is
-    the narrow-argmax pass (:func:`ivf_assign_cells` — one row per
-    vector on the shuffle, no Window over the cross-scored relation);
-    the search join then touches ~P·N/C candidates per query.
-    ``probes`` > 1 probes the query's P nearest cells (multi-probe IVF):
-    the probe ranking runs only over the tiny query×centroid relation.
-    """
-    centroids = emb.filter(F.col("vec_id") % centroid_stride == 1).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-    )
-    assigned = ivf_assign_cells(emb, centroids)
+def _search_cells(assigned: DataFrame, centroids: DataFrame, k: int,
+                  every: int, probes: int) -> DataFrame:
+    """Shared IVF search tail: probe the query's P nearest cells (the
+    ranking runs only over the tiny query×centroid relation, queries are
+    broadcast-sized by construction), then join candidates within those
+    cells and rank top-k per query."""
     queries = assigned.filter(_query_filter(every)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    # probe cells per query: rank centroids on the query side only
-    # (|queries|·C rows — the query set must stay broadcast-sized anyway)
     qsim = cosine(F.col("q_emb"), F.col("c_emb"))
     w_probe = Window.partitionBy("q_id").orderBy(
         F.col("qsim").desc(), F.col("centroid_id")
@@ -211,11 +196,107 @@ def ivf_ann_topk(emb: DataFrame, centroid_stride: int = 100, k: int = 5,
         F.broadcast(probed),
         (F.col("q_cell") == F.col("cell")) & (F.col("q_id") != F.col("vec_id")),
     ).select("q_id", F.col("vec_id").alias("neighbor_id"), c.alias("cos"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_ann_topk(emb: DataFrame, centroid_stride: int = 100, k: int = 5,
+                 every: int = 50, probes: int = 1) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to the nearest centroid, search
+    within the query's cell(s).
+
+    Centroids are a deterministic corpus sample (``vec_id % stride == 1``)
+    — the reproducible stand-in for trained k-means centroids
+    (:func:`ivf_ann_topk_trained`); swapping in trained centroids changes
+    only the centroid relation. Assignment is the narrow-argmax pass
+    (:func:`ivf_assign_cells` — one row per vector on the shuffle, no
+    Window over the cross-scored relation); the search join then touches
+    ~P·N/C candidates per query. ``probes`` > 1 probes the query's P
+    nearest cells (multi-probe IVF).
+    """
+    centroids = emb.filter(F.col("vec_id") % centroid_stride == 1).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    assigned = ivf_assign_cells(emb, centroids)
+    return _search_cells(assigned, centroids, k, every, probes)
+
+
+def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
+    """Trained IVF centroids: Lloyd's k-means over the embedding column,
+    pure DataFrame ops per iteration.
+
+    - **assignment** reuses :func:`ivf_assign_cells` — the narrow argmax
+      whose shuffle carries one row per vector;
+    - **update** recomputes means via ``posexplode → groupBy(cell, pos)
+      avg`` — map-side combinable, the shuffle carries k·dim partial
+      sums per map task, never vectors;
+    - the k·dim centroid matrix is collected per iteration (it is
+      broadcast-sized by definition — this is the Spark ML KMeans
+      driver-loop shape, not a data-path collect) and re-broadcast.
+
+    Init is the deterministic k-smallest-vec_id sample, so the trained
+    result is reproducible run-to-run. Empty cells keep their previous
+    centroid. The docstring of :func:`ivf_ann_topk` names this as the
+    swap-in for its sampled centroids — swapping changes only the
+    centroid relation, nothing downstream."""
+    spark = emb.sparkSession
+    init = (
+        emb.orderBy("vec_id").limit(k)
+        .select("embedding").collect()
+    )
+    cents: list[list[float]] = [
+        [float(x) for x in r.embedding] for r in init
+    ]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "centroid_id int, c_emb array<double>",
+        )
+        assigned = ivf_assign_cells(emb, cdf)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(_to_double(F.col("embedding"))).alias(
+                    "pos", "val"
+                )
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                "cell",
+                F.transform("pm", lambda s: s.getField("m")).alias("c_emb"),
+            )
+            .collect()  # bounded-driver-collect: ≤ k rows of dim floats
+        )
+        for r in means:  # empty cells keep their previous centroid
+            cents[r.cell] = [float(x) for x in r.c_emb]
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, c_emb array<double>",
+    )
+
+
+def ivf_ann_topk_trained(emb: DataFrame, k_cells: int = 8, iters: int = 5,
+                         k: int = 5, every: int = 50,
+                         probes: int = 1) -> DataFrame:
+    """IVF ANN over **trained** k-means centroids (vs the deterministic
+    corpus sample :func:`ivf_ann_topk` uses for its oracle gate). Same
+    plan shape downstream: narrow argmax assignment, broadcast probe
+    ranking, in-cell candidate join (:func:`_search_cells`)."""
+    centroids = kmeans_centroids(emb, k=k_cells, iters=iters)
+    assigned = ivf_assign_cells(emb, centroids)
+    return _search_cells(assigned, centroids, k, every, probes)
 
 
 def ivf_ann_topk_oracle_sql(centroid_stride: int = 100, k: int = 5,

@@ -116,13 +116,21 @@ _NOT_LIT = object()
 
 
 class KE:
-    """A parsed expression: Catalyst Column + optional literal value."""
+    """A parsed expression: Catalyst Column + optional literal value.
 
-    __slots__ = ("col", "lit")
+    ``variant=True`` marks an expression of Spark VARIANT type (the
+    engine analog of KQL dynamic, `kql.pest:198-203`): path access on it
+    must go through ``try_variant_get`` — ``Column.getItem`` rejects
+    VARIANT — and stays variant-typed so paths chain; a ``to*()``
+    conversion then casts it to a concrete type."""
 
-    def __init__(self, col: Column, lit: object = _NOT_LIT):
+    __slots__ = ("col", "lit", "variant")
+
+    def __init__(self, col: Column, lit: object = _NOT_LIT,
+                 variant: bool = False):
         self.col = col
         self.lit = lit
+        self.variant = variant
 
     @property
     def is_lit(self) -> bool:
@@ -131,6 +139,21 @@ class KE:
 
 def _mklit(v) -> KE:
     return KE(F.lit(v), v)
+
+
+def _variant_get(c: KE, key) -> KE:
+    """One path step into a VARIANT value; missing paths yield NULL
+    (``try_variant_get``), matching KQL dynamic access semantics. The
+    result stays variant so steps chain (``parse_json(s)['a']['b']``)."""
+    if isinstance(key, str):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+            raise KqlError(f"unsupported variant key {key!r}")
+        path = f"$.{key}"
+    elif not isinstance(key, bool) and isinstance(key, (int, float)):
+        path = f"$[{int(key)}]"
+    else:
+        raise KqlError("variant accessor must be a literal key or index")
+    return KE(F.try_variant_get(c.col, path, "variant"), variant=True)
 
 
 def _lit_str(e: KE) -> str:
@@ -184,8 +207,7 @@ _FUNC_MAP_SIMPLE = {
     "log": lambda a: F.log(a[0]),
     "sqrt": lambda a: F.sqrt(a[0]),
     "pow": lambda a: F.pow(a[0], a[1]),
-    # parse (parse_scalar_expression.rs:7-14)
-    "parse_json": lambda a: F.parse_json(a[0]),
+    # parse_json is special-cased in _call (VARIANT result)
     # temporal (temporal_scalar_expression.rs:7-10)
     "now": lambda a: F.current_timestamp(),
     "ago": lambda a: F.current_timestamp() - a[0],
@@ -376,7 +398,9 @@ class ExprParser:
                 idx = self._or()
                 self.expect("]")
                 key = idx.lit
-                if isinstance(key, str):
+                if c.variant:
+                    c = _variant_get(c, key)
+                elif isinstance(key, str):
                     c = KE(c.col.getItem(key))
                 elif not isinstance(key, bool) and isinstance(key, (int, float)):
                     c = KE(c.col.getItem(int(key)))
@@ -389,7 +413,10 @@ class ExprParser:
                     raise KqlError(
                         f"expected field name after '.', got {field.text!r}"
                     )
-                c = KE(c.col.getField(field.text))
+                if c.variant:
+                    c = _variant_get(c, field.text)
+                else:
+                    c = KE(c.col.getField(field.text))
             else:
                 return c
 
@@ -556,6 +583,10 @@ class ExprParser:
                 raise KqlError("percentile needs (x, p)")
             return KE(F.percentile_approx(args[0].col,
                                           _lit_int(args[1]) / 100.0))
+        if lname == "parse_json":  # VARIANT result (kql.pest:198-203)
+            if len(args) != 1:
+                raise KqlError("parse_json needs (s)")
+            return KE(F.parse_json(args[0].col), variant=True)
         cols = [a.col for a in args]
         try:
             if lname in _FUNC_MAP_SIMPLE:

@@ -63,18 +63,14 @@ def _is_span() -> Column:
     return (F.col("role") == "tool") & F.col("tool").isNotNull()
 
 
-def signal_base(routed: DataFrame) -> DataFrame:
-    """Single-pass per-turn signal derivation over parsed+routed turns.
-
-    Input: ``route_turns(parse_turns(transcripts))`` output (needs
-    ``conv_id, turn_idx, role, tool, ts`` + parsed fields + ``sink``).
-
-    Adds: ``trace_id``, ``span_key`` (non-null on span turns),
-    ``cur_span_id`` (nearest preceding-or-self span), ``prev_span_id``
-    (nearest strictly-preceding span), ``next_span_ts`` (start of the
-    next span turn), ``conv_end_ts``. One Window operator total.
-    """
-    base = routed.withColumns(
+def signal_keys(routed: DataFrame) -> DataFrame:
+    """Narrow, per-row signal identity columns — ``trace_id`` and
+    ``span_key`` (non-null on span turns), both content-derived sha-256
+    prefixes. Shared by the batch window pass (:func:`signal_base`) and
+    the streaming stateful derivation
+    (`streaming.pipeline.streaming_spans`), so batch and stream assign
+    identical ids by construction."""
+    return routed.withColumns(
         {
             "trace_id": F.substring(F.sha2(F.col("conv_id"), 256), 1, 32),
             "span_key": F.when(
@@ -91,7 +87,23 @@ def signal_base(routed: DataFrame) -> DataFrame:
                 ),
             ),
         }
-    ).withColumn("_span_ts", F.when(_is_span(), F.col("ts")))
+    )
+
+
+def signal_base(routed: DataFrame) -> DataFrame:
+    """Single-pass per-turn signal derivation over parsed+routed turns.
+
+    Input: ``route_turns(parse_turns(transcripts))`` output (needs
+    ``conv_id, turn_idx, role, tool, ts`` + parsed fields + ``sink``).
+
+    Adds: ``trace_id``, ``span_key`` (non-null on span turns),
+    ``cur_span_id`` (nearest preceding-or-self span), ``prev_span_id``
+    (nearest strictly-preceding span), ``next_span_ts`` (start of the
+    next span turn), ``conv_end_ts``. One Window operator total.
+    """
+    base = signal_keys(routed).withColumn(
+        "_span_ts", F.when(_is_span(), F.col("ts"))
+    )
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return base.withColumns(
         {
@@ -720,13 +732,26 @@ def merge_exp_histograms(
     )
 
 
-def summary_data_points(points: DataFrame) -> DataFrame:
+def summary_data_points(points: DataFrame, exact: bool = True,
+                        accuracy: int = 10000) -> DataFrame:
     """SUMMARY_DATA_POINTS (`docs/data_model.md:148-151`): count/sum +
-    quantile values per (metric, hour). Exact linear-interpolation
-    percentiles (not approx sketches) — deterministic and reproducible
-    across engines; at 100 TB swap in ``percentile_approx`` per data
-    point and keep the exact path for merges of pre-aggregated points."""
+    quantile values per (metric, hour).
+
+    ``exact=True`` (the oracle-gated default) uses exact
+    linear-interpolation percentiles — deterministic and reproducible
+    across engines, but the aggregation buffers every value of a group,
+    so a hot (metric, hour) group at 100 TB holds the whole group in one
+    buffer. ``exact=False`` is the scale path: ``percentile_approx``
+    (Greenwald-Khanna sketch, bounded memory ∝ ``accuracy`` regardless
+    of group size, mergeable map-side) — same plan shape, bounded
+    state."""
     v = F.col("value")
+    if exact:
+        def q(p: float) -> Column:
+            return F.percentile(v, F.lit(p))
+    else:
+        def q(p: float) -> Column:
+            return F.percentile_approx(v, F.lit(p), F.lit(accuracy))
     return (
         points.filter(v.isNotNull())
         .groupBy(
@@ -736,9 +761,9 @@ def summary_data_points(points: DataFrame) -> DataFrame:
         .agg(
             F.count(v).alias("point_count"),
             F.round(F.sum(v), 6).alias("sum_value"),
-            F.round(F.percentile(v, F.lit(0.5)), 6).alias("q50"),
-            F.round(F.percentile(v, F.lit(0.9)), 6).alias("q90"),
-            F.round(F.percentile(v, F.lit(0.99)), 6).alias("q99"),
+            F.round(q(0.5), 6).alias("q50"),
+            F.round(q(0.9), 6).alias("q90"),
+            F.round(q(0.99), 6).alias("q99"),
         )
     )
 

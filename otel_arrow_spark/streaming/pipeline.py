@@ -164,6 +164,153 @@ def conversation_sessions(transcripts: DataFrame,
     )
 
 
+SPAN_STATE_SCHEMA = StructType(
+    [
+        StructField("open_span_id", StringType()),
+        StructField("open_parent", StringType()),
+        StructField("open_name", StringType()),
+        StructField("open_start_us", LongType()),   # epoch micros
+        StructField("open_status", IntegerType()),
+        StructField("open_tool", StringType()),
+        StructField("open_host", StringType()),
+        StructField("open_turn_idx", IntegerType()),
+        StructField("trace_id", StringType()),
+        StructField("last_ts_us", LongType()),      # conv end so far
+    ]
+)
+
+SPAN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("trace_id", StringType()),
+        StructField("span_id", StringType()),
+        StructField("parent_span_id", StringType()),
+        StructField("name", StringType()),
+        StructField("kind", IntegerType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+        StructField("duration_us", LongType()),
+        StructField("status_code", IntegerType()),
+        StructField("tool", StringType()),
+        StructField("host", StringType()),
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+    ]
+)
+
+
+def streaming_spans(routed_stream: DataFrame,
+                    timeout_ms: int = 30_000) -> DataFrame:
+    """SPANS derived as a stream — the streaming form of the batch
+    ``signals.signal_base`` + ``spans_table`` pass, whose unbounded
+    conversation windows are not streamable. Instead, a per-conversation
+    state machine (``applyInPandasWithState``, Arrow-batched, state =
+    ONE open span + the running conversation-end timestamp — O(1) per
+    key):
+
+    - a span turn closes the previously open span of its conversation
+      (``end_ts`` = the new span's start, exactly the batch
+      ``next_span_ts`` frame) and becomes the open span;
+    - the conversation's final span is emitted when the key times out
+      (processing-time idle ≙ conversation end; its ``end_ts`` is the
+      last turn timestamp seen, the batch ``conv_end_ts``).
+
+    Ids come from :func:`otel_arrow_spark.signals.signal_keys` — the
+    same content-derived sha-256 prefixes as batch, so batch/stream
+    parity holds row-for-row on every emitted span (gated in tests).
+    Assumes per-conversation event-time order across micro-batches (the
+    file source replays in order; within a batch, rows are sorted here).
+    """
+    import pandas as pd
+
+    from otel_arrow_spark.signals import (
+        SPAN_KIND_CLIENT, STATUS_ERROR, STATUS_OK, STATUS_UNSET, signal_keys,
+    )
+
+    base = signal_keys(routed_stream).select(
+        "conv_id", "turn_idx", "ts", "trace_id", "span_key",
+        "event_name", "tool", "host", "severity",
+    )
+
+    def _row(conv_id, st, end_us):
+        start = pd.Timestamp(st["open_start_us"], unit="us")
+        end = pd.Timestamp(end_us, unit="us")
+        return {
+            "trace_id": st["trace_id"],
+            "span_id": st["open_span_id"],
+            "parent_span_id": st["open_parent"],
+            "name": st["open_name"],
+            "kind": SPAN_KIND_CLIENT,
+            "start_ts": start,
+            "end_ts": end,
+            "duration_us": int(end_us - st["open_start_us"]),
+            "status_code": st["open_status"],
+            "tool": st["open_tool"],
+            "host": st["open_host"],
+            "conv_id": conv_id,
+            "turn_idx": st["open_turn_idx"],
+        }
+
+    def _update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            vals = state.get
+            st = dict(zip(SPAN_STATE_SCHEMA.fieldNames(), vals))
+            state.remove()
+            if st["open_span_id"] is not None:
+                yield pd.DataFrame([_row(conv_id, st, st["last_ts_us"])])
+            return
+
+        if state.exists:
+            st = dict(zip(SPAN_STATE_SCHEMA.fieldNames(), state.get))
+        else:
+            st = {f: None for f in SPAN_STATE_SCHEMA.fieldNames()}
+        out: list[dict] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("turn_idx")
+            for r in pdf.itertuples(index=False):
+                ts_us = int(pd.Timestamp(r.ts).value // 1000)
+                st["last_ts_us"] = max(st["last_ts_us"] or 0, ts_us)
+                st["trace_id"] = r.trace_id
+                if r.span_key is None or (
+                    isinstance(r.span_key, float) and pd.isna(r.span_key)
+                ):
+                    continue
+                if st["open_span_id"] is not None:
+                    out.append(_row(conv_id, st, ts_us))
+                sev = None if pd.isna(r.severity) else int(r.severity)
+                st.update(
+                    open_parent=st["open_span_id"],
+                    open_span_id=r.span_key,
+                    open_name=(
+                        r.event_name
+                        if isinstance(r.event_name, str)
+                        else f"tool:{r.tool}"
+                    ),
+                    open_start_us=ts_us,
+                    open_status=(
+                        STATUS_UNSET if sev is None
+                        else (STATUS_ERROR if sev <= 3 else STATUS_OK)
+                    ),
+                    open_tool=r.tool,
+                    open_host=None if pd.isna(r.host) else r.host,
+                    open_turn_idx=int(r.turn_idx),
+                )
+        state.update(tuple(st[f] for f in SPAN_STATE_SCHEMA.fieldNames()))
+        state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return base.groupBy("conv_id").applyInPandasWithState(
+        _update,
+        outputStructType=SPAN_OUTPUT_SCHEMA,
+        stateStructType=SPAN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def metric_value_expr() -> "F.Column":
     """Narrow metric-value extraction shared with the batch signals path
     (`signals.metric_points` semantics, minus the span-linkage window —

@@ -302,3 +302,30 @@ def test_summarize_postpipe_stages(events):
     assert 0 < len(out) <= 3
     assert all(r.big == "y" and r.n > 100 for r in out)
     assert [r.n for r in out] == sorted((r.n for r in out), reverse=True)
+
+
+def test_parse_json_variant_paths(spark):
+    """parse_json produces a VARIANT (KQL dynamic, kql.pest:198-203):
+    paths chain through objects and arrays via try_variant_get, a
+    missing path is NULL (not an ANSI error), and to*() conversions cast
+    the variant to concrete types."""
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tags": ["a", "b"], "meta": {"v": 1.5}}'),
+         (2, '{"k": 9}')],
+        "id int, props string",
+    )
+    rows = {
+        r.id: r
+        for r in kql(
+            df,
+            "T | project id,"
+            " k = tolong(parse_json(props)['k']),"
+            " v = todouble(parse_json(props)['meta']['v']),"
+            " t1 = tostring(parse_json(props).tags[1]),"
+            " gone = tolong(parse_json(props)['absent'])",
+        ).collect()
+    }
+    assert rows[1].k == 7 and rows[2].k == 9
+    assert rows[1].v == 1.5 and rows[2].v is None
+    assert rows[1].t1 == "b" and rows[2].t1 is None
+    assert rows[1].gone is None and rows[2].gone is None

@@ -367,3 +367,53 @@ def test_exemplar_attrs_subset_of_exemplars(base):
     ea = exemplar_attrs_table(points).collect()
     assert ea and {r.parent_id for r in ea} <= ex_ids
     points.unpersist()
+
+
+def test_summary_percentiles_exact_vs_approx(base):
+    """`summary_data_points(exact=False)` is the bounded-memory scale
+    path (Greenwald-Khanna sketch, state ∝ accuracy, mergeable map-side)
+    vs the oracle-gated exact path that buffers whole groups. Same
+    schema, same groups; and the GK guarantee is a RANK bound, not a
+    value bound — the sketch returns a real group element whose rank is
+    within ε·n of the target. So the assertion is the rank bound itself
+    (±1 rank of slack on top of ε·n ≈ 0 at this accuracy): counting the
+    group's values below/at the approx answer must bracket the target
+    rank p·n. Value- or interpolation-based tolerances are wrong here —
+    element spacing is data-dependent and tiny groups interpolate
+    between elements."""
+    from otel_arrow_spark.signals import metric_points, summary_data_points
+
+    pts = metric_points(base).cache()
+    exact = summary_data_points(pts, exact=True)
+    approx = summary_data_points(pts, exact=False)
+    assert exact.columns == approx.columns
+    assert exact.count() == approx.count()
+
+    v = F.col("value")
+    keyed = pts.filter(v.isNotNull()).select(
+        "metric_name",
+        F.date_trunc("hour", F.col("time_ts")).alias("hour"),
+        "value",
+    )
+    j = keyed.join(
+        approx.select("metric_name", "hour", "q50", "q99"),
+        ["metric_name", "hour"],
+    )
+    eps = 1e-6
+    ranks = j.groupBy("metric_name", "hour").agg(
+        F.count(v).alias("n"),
+        F.sum((v < F.col("q50") - eps).cast("long")).alias("lt50"),
+        F.sum((v <= F.col("q50") + eps).cast("long")).alias("le50"),
+        F.sum((v < F.col("q99") - eps).cast("long")).alias("lt99"),
+        F.sum((v <= F.col("q99") + eps).cast("long")).alias("le99"),
+    )
+    # element rank interval (lt, le] must overlap [floor(p·n), ceil(p·n)+1]
+    def _ok(p: float, lt, le):
+        t = F.col("n") * p
+        return (F.col(lt) <= F.ceil(t)) & (F.col(le) >= F.floor(t))
+
+    bad = ranks.filter(
+        ~_ok(0.5, "lt50", "le50") | ~_ok(0.99, "lt99", "le99")
+    ).count()
+    assert bad == 0
+    pts.unpersist()

@@ -186,3 +186,65 @@ def test_streaming_histograms_equal_batch(spark, stream_dirs, catalogs):
         }
 
     assert snap(streamed) == snap(batch_df) and streamed.count() > 0
+
+
+def test_streaming_spans_equal_batch(spark, stream_dirs):
+    """Streaming SPANS (per-conversation state machine) must equal the
+    batch signal_base→spans_table derivation row-for-row on every closed
+    span — batch/stream parity for the traces star schema. The
+    conversation-final span closes on idle timeout, which an
+    availableNow run never reaches, so parity is over the spans closed
+    by a successor span (every non-final span per conversation)."""
+    from pyspark.sql import Window
+
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+    from otel_arrow_spark.signals import signal_base, spans_table
+    from otel_arrow_spark.streaming import read_transcript_stream
+    from otel_arrow_spark.streaming.pipeline import streaming_spans
+
+    in_dir, _out, _ckpt = stream_dirs
+    stream = route_turns(parse_turns(read_transcript_stream(spark, in_dir)))
+    q = (
+        streaming_spans(stream, timeout_ms=5_000)
+        .writeStream.format("memory")
+        .queryName("spans_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.sql("SELECT * FROM spans_stream")
+
+    batch = spans_table(
+        signal_base(route_turns(parse_turns(spark.read.parquet(in_dir))))
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+    batch_marked = batch.withColumn("_final", F.row_number().over(w) == 1)
+
+    def snap(df):
+        return {
+            r.span_id: (
+                r.trace_id, r.parent_span_id, r.name, r.kind, r.start_ts,
+                r.end_ts, r.duration_us, r.status_code, r.tool, r.host,
+                r.conv_id, r.turn_idx,
+            )
+            for r in df.collect()
+        }
+
+    s = snap(streamed)
+    b_rows = batch_marked.collect()
+    b = snap(batch_marked.drop("_final"))
+    finals = {r.span_id for r in b_rows if r._final}
+    closed = set(b) - finals
+    assert len(s) > 0
+    # every streamed span must be byte-identical to its batch twin
+    assert all(s[k] == b[k] for k in s), {
+        k: (s[k], b.get(k)) for k in s if s[k] != b.get(k)
+    }
+    # every successor-closed span must have been emitted; any extras are
+    # conversation-final spans flushed by the idle timeout (whether a
+    # given final flushed before the availableNow run ended is timing-
+    # dependent, but its CONTENT is exact either way, asserted above)
+    assert closed <= set(s)
+    assert set(s) - closed <= finals
