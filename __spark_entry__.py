@@ -825,6 +825,107 @@ def q_kql_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mv-expand` + `top` through the KQL text lifecycle: tokenize
+    document text (split → one row per token, empty arrays drop rows —
+    KQL mv-expand default), aggregate token frequencies, and take the
+    top 20 as a single TakeOrderedAndProject stage (per-partition heaps;
+    no global sort shuffle — the scale shape for top-k over an
+    unbounded token relation). Ties broken on the token for a
+    deterministic oracle hash."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        'documents | mv-expand tok = split(text, " ")'
+        " | where strlen(tok) >= 4"
+        " | summarize n = count() by tok"
+        " | top 20 by n desc, tok asc",
+    )
+
+
+def q_kql_text_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table KQL: `join kind=inner (subquery) on $left…==$right…`
+    resolved from a table registry, composed with summarize + top. The
+    join is an equi-join Catalyst is free to broadcast (customer is the
+    small side after projection). Long-sum via tolong keeps the oracle
+    bit-exact (double-sum association is engine-dependent; DuckDB
+    double→int CAST rounds while Spark truncates, so the oracle
+    truncates explicitly)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    orders, customer = _tables(spark, sf_dir, "orders", "customer")
+    return kql(
+        orders,
+        "orders | where o_totalprice > 150000"
+        " | join kind=inner (customer | project c_custkey, c_mktsegment)"
+        "   on $left.o_custkey == $right.c_custkey"
+        " | summarize n = count(), total_k = sum(tolong(o_totalprice))"
+        "   by c_mktsegment"
+        " | top 5 by total_k desc, c_mktsegment asc",
+        tables={"orders": orders, "customer": customer},
+    )
+
+
+def q_kql_text_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`union` (KQL outer default): branches align by name, columns
+    missing on one side null-fill — asserted by `nv`, which counts only
+    rows from the branch that kept `event_type`."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | where event_type == 'click' | project event_id, value"
+        " | union (events | where event_type == 'view'"
+        "          | project event_id, value, event_type)"
+        " | summarize n = count(), nv = countif(isnotnull(event_type)),"
+        "   s = sum(tolong(value))",
+        tables={"events": events},
+    )
+
+
+def q_kql_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `parse` operator (simple mode): the whole pattern compiles to
+    ONE anchored regex; fields are capture groups via regexp_extract —
+    the text-lifecycle twin of the pipeline's grok parse stage
+    (`parse.py`). Typed field → try_cast, so an unmatched row yields
+    NULL (filtered here) rather than an ANSI error."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        'events | parse props with "{\\"k\\": " kval:long "}"'
+        " | where isnotnull(kval)"
+        " | summarize n = count(), mn = min(kval), mx = max(kval),"
+        "   s = sum(kval) by event_type",
+    )
+
+
+def q_kql_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional + analytic aggregates through the text lifecycle:
+    sumif/avgif/minif (agg over `when(pred, expr)`, NULL-skipping —
+    exactly SQL's `CASE WHEN pred THEN expr END`), arg_max (max_by over
+    a UNIQUE ranking column, so ties can't make it nondeterministic),
+    stdev (sample). All map-side-combinable JVM aggregates."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend bucket = user_id % 10"
+        " | summarize n = count(),"
+        "   err_val = sumif(tolong(value), event_type == 'error'),"
+        "   click_avg = round(avgif(value, event_type == 'click'), 6),"
+        "   last_type = arg_max(event_id, event_type),"
+        "   sd = round(stdev(value), 6),"
+        "   vmin = minif(value, value >= 50.0)"
+        " by bucket",
+    )
+
+
 def q_kql_text_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_spark.operators.kql_parser import kql
 
@@ -1132,6 +1233,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(_emb(spark, sf_dir))
 
 
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED k-means centroids (Lloyd's iterations as
+    pure DataFrame ops, `similarity.kmeans_centroids`). Deterministic
+    (k-smallest-vec_id init, fixed iteration count) but k-means is not
+    SQL-expressible, so this entry is rows-only gated (no `oracle_sql`
+    twin — the driver records the weaker check); recall ≥0.9 vs
+    brute-force is pytest-gated on the clustered fixture."""
+    from otel_arrow_spark.dataops.similarity import ivf_ann_topk_trained
+
+    return ivf_ann_topk_trained(
+        _emb(spark, sf_dir), k_cells=8, iters=3, probes=2
+    )
+
+
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH: query bucket + all Hamming-1 buckets (5 probes
     at nbits=4) — the standard recall extension, probing only on the
@@ -1236,6 +1351,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_reconstruct_spans": q_otlp_reconstruct_spans,
         "kql_text_where_summarize": q_kql_text_where_summarize,
         "kql_text_topk": q_kql_text_topk,
+        "kql_mv_expand": q_kql_mv_expand,
+        "kql_text_join": q_kql_text_join,
+        "kql_text_union": q_kql_text_union,
+        "kql_text_parse": q_kql_text_parse,
+        "kql_agg_suite": q_kql_agg_suite,
         "kql_text_scalars": q_kql_text_scalars,
         "kql_variant_json": q_kql_variant_json,
         "ottl_transform": q_ottl_transform,
@@ -1259,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "curation_stats": q_curation_stats,
@@ -1652,6 +1773,50 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
         "kql_text_topk": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"
+        ),
+        "kql_mv_expand": (
+            "SELECT tok, COUNT(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"
+            ") WHERE length(tok) >= 4 "
+            "GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20"
+        ),
+        "kql_text_join": (
+            "SELECT c_mktsegment, COUNT(*) AS n, "
+            "CAST(SUM(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT)"
+            " AS total_k "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE o_totalprice > 150000 "
+            "GROUP BY c_mktsegment "
+            "ORDER BY total_k DESC, c_mktsegment ASC LIMIT 5"
+        ),
+        "kql_agg_suite": (
+            "SELECT user_id % 10 AS bucket, COUNT(*) AS n, "
+            "CAST(SUM(CASE WHEN event_type = 'error' "
+            "THEN CAST(trunc(value) AS BIGINT) END) AS BIGINT) AS err_val, "
+            "ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 6)"
+            " AS click_avg, "
+            "arg_max(event_type, event_id) AS last_type, "
+            "ROUND(STDDEV_SAMP(value), 6) AS sd, "
+            "MIN(CASE WHEN value >= 50.0 THEN value END) AS vmin "
+            "FROM events GROUP BY 1"
+        ),
+        "kql_text_parse": (
+            "SELECT event_type, COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx, "
+            "CAST(SUM(k) AS BIGINT) AS s FROM ("
+            "SELECT event_type, TRY_CAST("
+            "regexp_extract(props, '^\\{\"k\": (.*?)\\}', 1) AS BIGINT) AS k "
+            "FROM events) WHERE k IS NOT NULL GROUP BY event_type"
+        ),
+        "kql_text_union": (
+            "SELECT COUNT(*) AS n, "
+            "COUNT(CASE WHEN event_type IS NOT NULL THEN 1 END) AS nv, "
+            "CAST(SUM(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS s "
+            "FROM ("
+            "SELECT event_id, value, NULL AS event_type FROM events "
+            "WHERE event_type = 'click' "
+            "UNION ALL "
+            "SELECT event_id, value, event_type FROM events "
+            "WHERE event_type = 'view')"
         ),
         "kql_text_scalars": (
             "SELECT p_partkey, "

@@ -57,6 +57,12 @@ def content_checksum(df: DataFrame) -> int:
     under ANSI mode), so it is invariant to partitioning and row order (the
     rebuild's version of the reference's vPath-set equivalence,
     `go/pkg/otel/assert/equiv.go:99-150`).
+
+    Test/assertion helper ONLY: it runs a dedicated action and collects
+    the 1-row aggregate. The pipeline hot path computes the identical
+    checksum for free on the write action via ``df.observe`` (see
+    :class:`SliceRunner`) — use that form anywhere a big relation is
+    already being materialized.
     """
     row = (
         df.select(

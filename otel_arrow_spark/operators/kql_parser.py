@@ -240,6 +240,19 @@ _AGG_MAP = {
     "dcount": lambda a: F.countDistinct(a[0]),
     "make_list": lambda a: F.collect_list(a[0]),
     "make_set": lambda a: F.array_sort(F.collect_set(a[0])),
+    # conditional aggregates: agg over `when(pred, expr)` — NULLs (rows
+    # failing the predicate) are ignored by the aggregate, matching
+    # KQL *if() and SQL `CASE WHEN pred THEN expr END` semantics
+    "sumif": lambda a: F.sum(F.when(a[1], a[0])),
+    "avgif": lambda a: F.avg(F.when(a[1], a[0])),
+    "minif": lambda a: F.min(F.when(a[1], a[0])),
+    "maxif": lambda a: F.max(F.when(a[1], a[0])),
+    # arg_max/arg_min(ExprToRank, ExprToReturn) — KQL argument order;
+    # ties are arbitrary (use a unique ranking expr for determinism)
+    "arg_max": lambda a: F.max_by(a[1], a[0]),
+    "arg_min": lambda a: F.min_by(a[1], a[0]),
+    "stdev": lambda a: F.stddev_samp(a[0]),
+    "variance": lambda a: F.var_samp(a[0]),
 }
 
 
@@ -700,36 +713,107 @@ def _parse_assignments(s: str) -> list[tuple[str | None, str]]:
 
 _LET_RE = re.compile(r"^\s*let\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", re.S)
 
+# one `parse` pattern token: quoted literal | `*` | field name[:type]
+_PARSE_TOKEN_RE = re.compile(
+    r"""\s*(?:("(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')"""
+    r"""|(\*)"""
+    r"""|([A-Za-z_][A-Za-z0-9_]*)(?:\s*:\s*([a-z]+))?)"""
+)
 
-def kql(df: DataFrame, query: str) -> DataFrame:
+
+_JOIN_KINDS = {
+    # KQL join flavors → Spark join types (`join` docs; the reference
+    # grammar has no tabular join — this is beyond-reference surface)
+    "inner": "inner",
+    "innerunique": "inner",  # + left-side key dedup, below
+    "leftouter": "left",
+    "rightouter": "right",
+    "fullouter": "full",
+    "leftanti": "left_anti",
+    "anti": "left_anti",
+    "leftsemi": "left_semi",
+    # Spark has no right_semi/right_anti physical types: implemented by
+    # swapping sides onto left_semi/left_anti (output = right's columns,
+    # the KQL semantics).
+    "rightanti": "left_anti",
+    "rightsemi": "left_semi",
+}
+
+
+def _parse_source(src: str, tables: dict[str, DataFrame] | None,
+                  bindings: dict) -> DataFrame:
+    """Resolve a join/union source: a bare table name or a parenthesized
+    subquery (``(T | where …)``), recursing through the same stage
+    machinery. Tables come from the ``tables=`` registry passed to
+    :func:`kql`."""
+    src = src.strip()
+    if src.startswith("(") and src.endswith(")"):
+        src = src[1:-1].strip()
+    stages = _split_pipes(src)
+    if not stages:
+        raise KqlError("empty join/union source")
+    name = stages[0].strip()
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise KqlError(
+            f"join/union source must start with a table name, got {name!r}"
+        )
+    if not tables or name not in tables:
+        raise KqlError(
+            f"unknown table {name!r} — pass it via kql(..., tables={{...}})"
+        )
+    return _apply_stages(tables[name], stages[1:], bindings, tables)
+
+
+def kql(df: DataFrame, query: str,
+        tables: dict[str, DataFrame] | None = None) -> DataFrame:
     """Run a KQL pipeline string against a DataFrame.
 
     The leading table name is implicit (the input DataFrame); a leading
-    bare identifier stage is accepted and ignored for compatibility with
-    full queries (``T | where …``). ``let name = expr;`` statements bind
+    bare identifier stage resolves from ``tables`` when registered there,
+    and is otherwise accepted and ignored for compatibility with full
+    queries (``T | where …``). ``let name = expr;`` statements bind
     constants substituted into later expressions — Catalyst's constant
     folding then plays the reference's fold-of-let-statics
     (`expressions/src/pipeline_expression.rs:75-88`). Stages after
     ``summarize`` run over the aggregate (post-summarize pipe
-    expressions, `tabular_expressions.rs:350-490`).
+    expressions, `tabular_expressions.rs:350-490`). Multi-table stages
+    (``join kind=… (source) on …``, ``union …``) resolve their sources
+    from ``tables``.
     """
-    from otel_arrow_spark.operators import kql as ops
-
     bindings: dict[str, KE] = {}
+    tables = dict(tables) if tables else {}
     statements = _split_top_level(query, ";")
     for stmt in statements[:-1]:
         m = _LET_RE.match(stmt)
         if not m:
             raise KqlError(f"expected `let name = expr;`, got {stmt!r}")
-        bindings[m.group(1)] = parse_expr_ke(m.group(2), bindings)
+        rhs = m.group(2).strip()
+        head = _split_pipes(rhs)[0].strip()
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", head) and head in tables:
+            # table-valued let: `let T2 = T | where …;` — binds a new
+            # relation into the registry (a registered table name on the
+            # RHS head wins over a scalar reading of the same token)
+            tables[m.group(1)] = _parse_source(rhs, tables, bindings)
+        else:
+            bindings[m.group(1)] = parse_expr_ke(m.group(2), bindings)
     query = statements[-1]
+
+    stages = _split_pipes(query)
+    if stages and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", stages[0]):
+        name = stages[0].strip()
+        if tables and name in tables:
+            df = tables[name]
+        stages = stages[1:]
+    return _apply_stages(df, stages, bindings, tables)
+
+
+def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
+                  tables: dict[str, DataFrame] | None = None) -> DataFrame:
+    from otel_arrow_spark.operators import kql as ops
 
     def pe(s: str) -> Column:
         return parse_expr(s, bindings)
 
-    stages = _split_pipes(query)
-    if stages and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", stages[0]):
-        stages = stages[1:]
     for stage in stages:
         m = re.match(r"^([a-z-]+)\s*(.*)$", stage, re.S)
         if not m:
@@ -806,6 +890,187 @@ def kql(df: DataFrame, query: str) -> DataFrame:
                 df = df.select(
                     *[pe(e) for _n, e in _parse_assignments(rest)]
                 ).distinct()
+        elif op == "top":
+            # `top N by expr [asc|desc][, tiebreak ...]` — sort+limit,
+            # which Catalyst plans as TakeOrderedAndProject (per-
+            # partition heaps, no global sort shuffle; plan-asserted in
+            # tests).
+            m2 = re.match(r"^(\d+)\s+by\s+(.+)$", rest, re.S)
+            if not m2:
+                raise KqlError("top needs `top N by expr [asc|desc]`")
+            cols = []
+            for part in _split_commas(m2.group(2)):
+                toks = part.rsplit(None, 1)
+                if len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
+                    c = pe(toks[0])
+                    cols.append(
+                        c.asc() if toks[1].lower() == "asc" else c.desc()
+                    )
+                else:
+                    # KQL top default order is descending
+                    cols.append(pe(part).desc())
+            df = df.orderBy(*cols).limit(int(m2.group(1)))
+        elif op == "mv-expand":
+            # `mv-expand name = expr` (or a bare array column) — one
+            # element per output row; null/empty arrays yield no rows
+            # (KQL default). One item per stage: multi-column KQL
+            # mv-expand zips arrays, which sequential explodes would
+            # silently turn into a cross product.
+            items = _parse_assignments(rest)
+            if len(items) != 1:
+                raise KqlError("mv-expand takes exactly one item per stage")
+            name, expr = items[0]
+            if name is None:
+                name = expr.strip()
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+                    raise KqlError(
+                        "mv-expand needs `name = expr` for non-column"
+                        " expressions"
+                    )
+            df = df.withColumn(name, F.explode(pe(expr)))
+        elif op == "parse":
+            # `parse [kind=simple] expr with [*] "lit" name[:type] …` —
+            # the KQL text-extraction operator (the reference's home
+            # domain: one regex over the line, `parse.py`'s per-format
+            # grok twin). Compiles the whole pattern to ONE anchored
+            # regex; each field is a capture group read by
+            # regexp_extract — narrow, codegen'd, no Python. Non-final
+            # fields match lazily up to the next literal, the final
+            # field takes the rest (KQL simple-mode semantics). Typed
+            # fields use try_cast: a failed match extracts '' which
+            # casts to NULL, not an ANSI error.
+            m2 = re.match(
+                r"^(?:kind\s*=\s*simple\s+)?(.+?)\s+with\s+(.+)$",
+                rest, re.S,
+            )
+            if not m2:
+                raise KqlError(
+                    "parse needs `parse [kind=simple] expr with pattern`"
+                )
+            src = pe(m2.group(1))
+            spec = m2.group(2).strip()
+            toks: list[tuple[str, str | None, str | None]] = []
+            pos = 0
+            while pos < len(spec):
+                m3 = _PARSE_TOKEN_RE.match(spec, pos)
+                if not m3:
+                    raise KqlError(
+                        f"bad parse pattern at {spec[pos:pos + 20]!r}"
+                    )
+                pos = m3.end()
+                if m3.group(1):
+                    toks.append(("lit", _unquote(m3.group(1)), None))
+                elif m3.group(2):
+                    toks.append(("star", None, None))
+                else:
+                    toks.append(("field", m3.group(3), m3.group(4)))
+            parts: list[str] = []
+            fields: list[tuple[str, str | None, int]] = []
+            for i, (tk, a, ty) in enumerate(toks):
+                last = i == len(toks) - 1
+                if tk == "lit":
+                    parts.append(re.escape(a))
+                elif tk == "star":
+                    parts.append(".*" if last else ".*?")
+                else:
+                    fields.append((a, ty, len(fields) + 1))
+                    parts.append("(.*)" if last else "(.*?)")
+            if not fields:
+                raise KqlError("parse pattern extracts no fields")
+            pattern = "^" + "".join(parts)
+            cols = {}
+            for name, ty, g in fields:
+                c = F.regexp_extract(src, pattern, g)
+                if ty in ("long", "int"):
+                    c = c.try_cast("bigint")
+                elif ty in ("double", "real"):
+                    c = c.try_cast("double")
+                elif ty == "datetime":
+                    c = c.try_cast("timestamp")
+                elif ty not in (None, "string"):
+                    raise KqlError(f"unsupported parse type {ty!r}")
+                cols[name] = c
+            df = df.withColumns(cols)
+        elif op == "join":
+            # `join [kind=k] (source) on key[, $left.a == $right.b ...]`
+            # Equi-join only (KQL likewise); bare keys merge into one
+            # output column (KQL shows the key once), `$left/$right`
+            # pairs keep both sides. Colliding non-key right columns are
+            # renamed `name1`, the KQL dedup convention.
+            m2 = re.match(
+                r"^(?:kind\s*=\s*([a-z]+)\s+)?"
+                r"(\(.*\)|[A-Za-z_][A-Za-z0-9_]*)\s+on\s+(.+)$",
+                rest, re.S,
+            )
+            if not m2:
+                raise KqlError("join needs `join [kind=k] (source) on keys`")
+            kind = m2.group(1) or "innerunique"  # the KQL default
+            if kind not in _JOIN_KINDS:
+                raise KqlError(f"unsupported join kind {kind!r}")
+            right = _parse_source(m2.group(2), tables, bindings)
+            keys: list[str] = []
+            pairs: list[tuple[str, str]] = []
+            for item in _split_commas(m2.group(3)):
+                item = item.strip()
+                mm = re.fullmatch(
+                    r"\$left\.([A-Za-z_][A-Za-z0-9_]*)\s*==\s*"
+                    r"\$right\.([A-Za-z_][A-Za-z0-9_]*)", item,
+                )
+                if mm:
+                    pairs.append((mm.group(1), mm.group(2)))
+                elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", item):
+                    keys.append(item)
+                else:
+                    raise KqlError(f"bad join key {item!r}")
+            if kind == "innerunique":
+                # KQL default: left side deduplicated on the join keys
+                # (first match wins — arbitrary within a key, like KQL).
+                df = df.dropDuplicates(keys + [l for l, _ in pairs])
+            if kind in ("rightanti", "rightsemi"):
+                if pairs:
+                    lal, ral = right.alias("_l"), df.alias("_r")
+                    cond = None
+                    for lk, rk in pairs + [(k, k) for k in keys]:
+                        piece = F.col(f"_l.{rk}") == F.col(f"_r.{lk}")
+                        cond = piece if cond is None else (cond & piece)
+                    df = lal.join(ral, cond, _JOIN_KINDS[kind])
+                else:
+                    df = right.join(df, keys, _JOIN_KINDS[kind])
+            elif pairs:
+                keys_as_pairs = pairs + [(k, k) for k in keys]
+                left_cols = set(df.columns)
+                ren: dict[str, str] = {}
+                for c in right.columns:
+                    if c in left_cols:
+                        right = right.withColumnRenamed(c, c + "1")
+                        ren[c] = c + "1"
+                lal, ral = df.alias("_l"), right.alias("_r")
+                cond = None
+                for lk, rk in keys_as_pairs:
+                    piece = F.col(f"_l.{lk}") == F.col(f"_r.{ren.get(rk, rk)}")
+                    cond = piece if cond is None else (cond & piece)
+                df = lal.join(ral, cond, _JOIN_KINDS[kind])
+            else:
+                for c in right.columns:
+                    if c in df.columns and c not in keys:
+                        right = right.withColumnRenamed(c, c + "1")
+                df = df.join(right, keys, _JOIN_KINDS[kind])
+        elif op == "union":
+            # `union [kind=inner|outer] source[, source ...]` — outer
+            # (the KQL default) aligns by name and null-fills missing
+            # columns; inner keeps only the common columns.
+            m2 = re.match(r"^(?:kind\s*=\s*(inner|outer)\s+)?(.+)$",
+                          rest, re.S)
+            ukind = m2.group(1) or "outer"
+            for item in _split_commas(m2.group(2)):
+                other = _parse_source(item, tables, bindings)
+                if ukind == "outer":
+                    df = df.unionByName(other, allowMissingColumns=True)
+                else:
+                    common = [c for c in df.columns if c in other.columns]
+                    df = df.select(*common).unionByName(
+                        other.select(*common)
+                    )
         else:
             raise KqlError(f"unknown operator {op!r}")
     return df

@@ -329,3 +329,186 @@ def test_parse_json_variant_paths(spark):
     assert rows[1].v == 1.5 and rows[2].v is None
     assert rows[1].t1 == "b" and rows[2].t1 is None
     assert rows[1].gone is None and rows[2].gone is None
+
+
+def test_top_is_take_ordered(events):
+    """`top N by e` sorts+limits in one stage and must plan a
+    TakeOrderedAndProject (per-partition heaps), never a global Sort."""
+    got = kql(events, "events | top 5 by value desc, event_id asc"
+                      " | project event_id, value")
+    exp = (events.orderBy(F.col("value").desc(), F.col("event_id").asc())
+           .limit(5).select("event_id", "value"))
+    same(got, exp)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # bare expr defaults to descending (KQL)
+    got2 = kql(events, "events | top 3 by value | project value").collect()
+    assert [r.value for r in got2] == sorted(
+        (r.value for r in got2), reverse=True
+    )
+
+
+def test_mv_expand(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "c")], "id int, s string"
+    )
+    out = kql(
+        df, 'T | mv-expand tok = split(s, " ") | where tok != ""'
+    ).collect()
+    assert sorted((r.id, r.tok) for r in out) == [(1, "a"), (1, "b"), (3, "c")]
+    # null arrays yield no rows (KQL mv-expand default)
+    df2 = spark.createDataFrame([(1, None)], "id int, s string")
+    assert kql(df2, 'T | mv-expand tok = split(s, " ")').count() == 0
+    with pytest.raises(KqlError):
+        kql(df, 'T | mv-expand a = split(s, " "), b = split(s, ",")')
+
+
+def test_join_kinds_and_column_dedup(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    )
+    right = spark.createDataFrame(
+        [(1, "x", 7), (2, "y", 8), (9, "z", 9)], "k int, s string, w int"
+    )
+    t = {"L": left, "R": right}
+    # bare key merges into one column; colliding non-key col renamed s1
+    out = kql(left, "L | join kind=inner R on k | order by k asc", tables=t)
+    assert out.columns == ["k", "s", "v", "s1", "w"]
+    assert [(r.k, r.s, r.s1) for r in out.collect()] == [
+        (1, "a", "x"), (2, "b", "y")
+    ]
+    # $left/$right pair form keeps both key columns
+    out2 = kql(
+        left,
+        "L | join kind=leftanti (R | where w >= 8) on $left.k == $right.k",
+        tables=t,
+    )
+    assert sorted(r.k for r in out2.collect()) == [1, 3]
+    # subquery source composes stages before the join
+    out3 = kql(
+        left,
+        "L | join kind=leftouter (R | project k, w) on k | order by k asc",
+        tables=t,
+    )
+    assert [(r.k, r.w) for r in out3.collect()] == [(1, 7), (2, 8), (3, None)]
+    with pytest.raises(KqlError):
+        kql(left, "L | join kind=inner MISSING on k", tables=t)
+    with pytest.raises(KqlError):
+        kql(left, "L | join kind=bogus R on k", tables=t)
+
+
+def test_join_innerunique_dedups_left(spark):
+    left = spark.createDataFrame(
+        [(1, "first"), (1, "dup"), (2, "only")], "k int, tag string"
+    )
+    right = spark.createDataFrame([(1, 100), (2, 200)], "k int, w int")
+    out = kql(left, "L | join R on k", tables={"L": left, "R": right})
+    # KQL default innerunique: one left row per key survives
+    assert sorted(r.k for r in out.collect()) == [1, 2]
+
+
+def test_union_outer_and_inner(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, s string")
+    b = spark.createDataFrame([(2, 5.0)], "id int, v double")
+    t = {"A": a, "B": b}
+    out = kql(a, "A | union B | order by id asc", tables=t).collect()
+    assert [(r.id, r.s, r.v) for r in out] == [(1, "x", None), (2, None, 5.0)]
+    out2 = kql(a, "A | union kind=inner B", tables=t)
+    assert out2.columns == ["id"]
+    assert sorted(r.id for r in out2.collect()) == [1, 2]
+
+
+def test_leading_identifier_resolves_from_tables(spark):
+    a = spark.createDataFrame([(1,)], "id int")
+    b = spark.createDataFrame([(2,), (3,)], "id int")
+    out = kql(a, "B | where id > 2", tables={"A": a, "B": b})
+    assert [r.id for r in out.collect()] == [3]
+
+
+def test_join_right_semi_anti_and_pair_rename(spark):
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame(
+        [(2, "a"), (3, "b")], "k int, tag string"
+    )
+    t = {"L": left, "R": right}
+    # rightsemi/rightanti output the RIGHT side's columns
+    semi = kql(left, "L | join kind=rightsemi R on k", tables=t)
+    assert semi.columns == ["k", "tag"]
+    assert [(r.k, r.tag) for r in semi.collect()] == [(2, "a")]
+    anti = kql(left, "L | join kind=rightanti R on k", tables=t)
+    assert [(r.k, r.tag) for r in anti.collect()] == [(3, "b")]
+    # same-name $left/$right key: right's column renamed k1, both kept
+    out = kql(
+        left, "L | join kind=inner R on $left.k == $right.k", tables=t
+    )
+    assert out.columns == ["k", "k1", "tag"]
+    assert [(r.k, r.k1) for r in out.collect()] == [(2, 2)]
+
+
+def test_parse_operator(spark):
+    df = spark.createDataFrame(
+        [(1, "dur=123 ms code=OK"), (2, "dur=9 ms code=ERR"), (3, "garbage")],
+        "id int, line string",
+    )
+    out = {
+        r.id: r
+        for r in kql(
+            df, 'T | parse line with "dur=" d:long " ms code=" code'
+        ).collect()
+    }
+    assert out[1].d == 123 and out[1].code == "OK"
+    assert out[2].d == 9 and out[2].code == "ERR"
+    # unmatched: typed field casts '' -> NULL, string field stays ''
+    assert out[3].d is None and out[3].code == ""
+    # leading * skips an arbitrary prefix
+    out2 = {
+        r.id: r.c
+        for r in kql(df, 'T | parse line with * "code=" c').collect()
+    }
+    assert out2[1] == "OK" and out2[2] == "ERR" and out2[3] == ""
+    with pytest.raises(KqlError):
+        kql(df, 'T | parse line with "only literals"')
+
+
+def test_let_table_binding(spark):
+    ev = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "click")], "id int, t string"
+    )
+    out = kql(
+        ev,
+        "let Clicks = T | where t == 'click';"
+        " Clicks | summarize n = count()",
+        tables={"T": ev},
+    ).collect()
+    assert out[0].n == 2
+    # table lets compose with joins
+    out2 = kql(
+        ev,
+        "let Clicks = T | where t == 'click';"
+        " T | join kind=leftsemi Clicks on id",
+        tables={"T": ev},
+    )
+    assert sorted(r.id for r in out2.collect()) == [1, 3]
+
+
+def test_conditional_and_analytic_aggregates(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "b", 20.0), (4, "b", None)],
+        "id int, g string, v double",
+    )
+    out = {
+        r.g: r
+        for r in kql(
+            df,
+            "T | summarize s = sumif(v, v >= 20.0),"
+            "  m = maxif(id, isnotnull(v)),"
+            "  am = arg_max(v, id), an = arg_min(v, id),"
+            "  sd = round(stdev(v), 4) by g",
+        ).collect()
+    }
+    assert out["a"].s == 30.0 and out["b"].s == 20.0
+    assert out["a"].m == 2 and out["b"].m == 3
+    # arg_max/arg_min return the id at the extreme v; NULL v never wins
+    assert out["a"].am == 2 and out["a"].an == 1
+    assert out["b"].am == 3 and out["b"].an == 3
+    assert out["b"].sd is None  # single non-null value, sample stdev
