@@ -101,6 +101,13 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
         release_caches()  # per-query persists must not accumulate
+        # session-residue control (outside the timed window): drop any
+        # stray cached relations and hint a full GC so query N+1 does
+        # not inherit query N's heap. Solo re-benches showed late-
+        # session readings inflating 1.5-2.7× with no code change
+        # (BENCH/r3_perf_floor.md).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     out = {
         "metric": "headline query wall time (sum) at sf; pipeline turns/sec extra",
@@ -128,27 +135,51 @@ def regressions_vs_floor(timings: dict[str, float],
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    floors = sorted(
+    paths = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,  # newest floor wins per query
     )
-    if not floors:
+    if not paths:
         return {"floor": None, "flagged": []}
-    with open(floors[-1]) as f:
-        try:
-            prev = json.load(f)
-        except ValueError:
-            return {"floor": os.path.basename(floors[-1]), "flagged": []}
-    # driver records {"parsed": <our json line>, ...}; accept both shapes
-    prev_q = (prev.get("parsed") or prev).get("queries") or {}
+    # The driver's record wraps (and may head-truncate) our JSON line —
+    # BENCH_r02.json is `{"n":…, "tail": "<clipped json>"}` — so a
+    # structural parse can silently yield NO floors (it did in r2→r3).
+    # Instead scan each file's raw text for `"<query>": <seconds>` per
+    # known query name: robust to every wrapper shape seen so far.
+    prev_q: dict[str, float] = {}
+    src: dict[str, str] = {}
+    for path in paths:
+        with open(path) as f:
+            raw = f.read()
+        for q in timings:
+            if q in prev_q:
+                continue
+            m = re.search(rf'\\?"{re.escape(q)}\\?":\s*([0-9]+\.[0-9]+)', raw)
+            if m:
+                prev_q[q] = float(m.group(1))
+                src[q] = os.path.basename(path)
+    # solo warm floors (tools/solo_rebench.py) attach context to flags:
+    # an in-bench reading at the tail of an 80-query session inherits
+    # residue a solo warm run does not (BENCH/r3_perf_floor.md).
+    solo: dict[str, float] = {}
+    solo_path = os.path.join(here, "BENCH", "solo_floors.json")
+    if os.path.exists(solo_path):
+        with open(solo_path) as f:
+            solo = json.load(f)
     flagged = [
-        {"query": q, "now": t, "floor": prev_q[q],
-         "ratio": round(t / prev_q[q], 2)}
+        {"query": q, "now": t, "floor": prev_q[q], "floor_src": src[q],
+         "ratio": round(t / prev_q[q], 2),
+         **({"solo_warm_floor": solo[q]} if q in solo else {})}
         for q, t in timings.items()
         if q in prev_q and prev_q[q] > 0 and t > 1.0
         and t / prev_q[q] > threshold
     ]
-    return {"floor": os.path.basename(floors[-1]), "flagged": flagged}
+    return {
+        "floor": paths[0] and os.path.basename(paths[0]),
+        "floors_found": len(prev_q),
+        "flagged": flagged,
+    }
 
 
 if __name__ == "__main__":
