@@ -1191,6 +1191,17 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_dup_corpus(spark, sf_dir))
 
 
+def q_dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH pairs → connected components via min-label
+    propagation (`dedup.connected_components` — per-round equi-join +
+    map-side min, frontier localCheckpoint'ed so round N+1 never replays
+    rounds 1..N). Oracle: DuckDB recursive transitive closure over the
+    identical pair relation."""
+    from otel_arrow_spark.dataops.dedup import neardup_clusters
+
+    return neardup_clusters(_dup_corpus(spark, sf_dir))
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_spark.dataops.dedup import ngram_jaccard_pairs
 
@@ -1372,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_neardup_clusters": q_dedup_neardup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1912,6 +1924,7 @@ def _dataops_oracles() -> dict[str, str]:
         "dedup_exact_groups": dedup.exact_dup_groups_oracle_sql(),
         "dedup_minhash_sigs": dedup.minhash_signatures_oracle_sql(),
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle_sql(),
+        "dedup_neardup_clusters": dedup.neardup_clusters_oracle_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),
         "dedup_simhash": dedup.simhash_oracle_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_oracle_sql(),

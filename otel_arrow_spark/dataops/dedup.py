@@ -620,3 +620,115 @@ FROM embeddings a JOIN embeddings b
   ON a.vec_id < b.vec_id {block}
 WHERE ROUND({cos}, 6) >= {tau}
 """
+
+
+def connected_components(pairs: DataFrame, universe: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Cluster ids over an undirected pair graph: every node's cluster
+    is the MINIMUM node id reachable from it (deterministic canonical
+    label — the near-dup analog of the reference's content-dedup
+    `dense_rank` ids, `signals.py:280` pattern).
+
+    Min-label propagation, pure DataFrame iterations: each round every
+    node takes ``min(own label, min(neighbor labels))`` — one equi-join
+    + one map-side-combinable min aggregate per round — and stops when a
+    round changes nothing. Converges in O(graph diameter) rounds; LSH
+    near-dup components are short chains in practice (``max_iter`` is a
+    safety bound, not the expected count). Each round's frontier is
+    ``localCheckpoint``-ed: the iteration result is materialized and its
+    lineage CUT, so round N+1's plan does not replay rounds 1..N (at
+    cluster scale swap in a reliable ``checkpoint`` dir). The per-round
+    convergence check is a 1-row count action — the bounded driver-loop
+    shape of :func:`~otel_arrow_spark.dataops.similarity.kmeans_centroids`,
+    never data-sized. For graphs with giant components / adversarial
+    diameter, the alternating large-star/small-star variant (O(log n)
+    rounds) is the drop-in upgrade; same per-round plan shape.
+
+    ``universe`` (one ``doc_id`` column) supplies the full node set:
+    docs in no pair become singleton clusters of themselves.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        universe.select("doc_id")
+        .join(labels.withColumnRenamed("lbl", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+def neardup_clusters(docs: DataFrame, tau: float = 0.5,
+                     max_iter: int = 25, **lsh_kw) -> DataFrame:
+    """Near-dup CLUSTER assignment: MinHash-LSH candidate pairs
+    (:func:`minhash_lsh_pairs`, hot-bucket-capped) → connected
+    components → ``(doc_id, cluster_id)`` for the whole corpus
+    (singletons = own id). The step after pair-finding that a real
+    curation pipeline needs: pick one canonical doc per cluster rather
+    than greedily dropping pair-members."""
+    pairs = minhash_lsh_pairs(docs, tau=tau, **lsh_kw).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(pairs, docs.select("doc_id"), max_iter)
+
+
+def neardup_clusters_oracle_sql(corpus_sql: str = DUP_CORPUS_SQL,
+                                tau: float = 0.5) -> str:
+    """DuckDB twin: recursive transitive closure over the same pair
+    relation; cluster = min reachable node (LEAST with self)."""
+    pairs_sql = minhash_lsh_pairs_oracle_sql(corpus_sql, tau=tau)
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+corpus2 AS ({corpus_sql})
+SELECT d.doc_id,
+  CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+    AS cluster_id
+FROM corpus2 d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""

@@ -427,3 +427,39 @@ def test_trained_ivf_recall_and_determinism(clustered_emb):
     for cid, v1 in m1.items():
         v2 = m2[cid]
         assert max(abs(a - b) for a, b in zip(v1, v2)) < 1e-6
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain 1-2-3, pair 10-11, singleton 99: labels are the min node
+    id per component; convergence beats max_iter on a diameter-2 chain."""
+    from otel_arrow_spark.dataops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    universe = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, universe).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_neardup_clusters_cover_pair_graph(spark, corpus):
+    """Every LSH pair lands in one cluster; cluster ids are canonical
+    minima (a cluster's id is one of its members and is its min)."""
+    from otel_arrow_spark.dataops.dedup import (
+        minhash_lsh_pairs, neardup_clusters, release_caches,
+    )
+
+    labels = {r.doc_id: r.cluster_id
+              for r in neardup_clusters(corpus).collect()}
+    pairs = minhash_lsh_pairs(corpus).select("doc_a", "doc_b").collect()
+    release_caches()
+    assert pairs, "fixture must produce near-dup pairs"
+    for p in pairs:
+        assert labels[p.doc_a] == labels[p.doc_b]
+    for doc, lbl in labels.items():
+        assert lbl <= doc and lbl in labels and labels[lbl] == lbl
