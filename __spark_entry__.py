@@ -926,6 +926,36 @@ def q_kql_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_make_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`make-series`: regular time-series arrays with gap fill — two
+    map-side-combinable aggregations ((key, bin) then key), dense grid
+    materialized per-row via `transform(sequence(0,n-1), …)` over a
+    bin→value map, NO grid join. Gated through per-key scalar digests of
+    the series (length, total, peak, boundary bins, zero-bin count — the
+    last directly witnesses the default fill); the raw arrays incl. the
+    timestamp axis are pytest-asserted (arrays stay out of the oracle
+    boundary: cross-engine array dtype comparison is untested there)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    series = kql(
+        events,
+        "events | make-series n = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 15m"
+        " by event_type",
+    )
+    zero = F.lit(0).cast("long")
+    return series.select(
+        "event_type",
+        F.size("n").alias("n_bins"),
+        F.aggregate("n", zero, lambda a, x: a + x).alias("total"),
+        F.array_max("n").alias("peak"),
+        F.element_at("n", 1).alias("first_bin"),
+        F.element_at("n", 192).alias("last_bin"),
+        F.size(F.filter("n", lambda x: x == zero)).alias("zero_bins"),
+    )
+
+
 def q_kql_text_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_spark.operators.kql_parser import kql
 
@@ -1367,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_union": q_kql_text_union,
         "kql_text_parse": q_kql_text_parse,
         "kql_agg_suite": q_kql_agg_suite,
+        "kql_make_series": q_kql_make_series,
         "kql_text_scalars": q_kql_text_scalars,
         "kql_variant_json": q_kql_variant_json,
         "ottl_transform": q_ottl_transform,
@@ -1800,6 +1831,27 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "WHERE o_totalprice > 150000 "
             "GROUP BY c_mktsegment "
             "ORDER BY total_k DESC, c_mktsegment ASC LIMIT 5"
+        ),
+        "kql_make_series": (
+            "WITH r AS (SELECT event_type, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-03'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 900) AS INT)"
+            " AS i, COUNT(*) AS v FROM r GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type FROM r), "
+            "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+            "(SELECT unnest(range(0, 192)) AS i) gs), "
+            "f AS (SELECT g.event_type, g.i, COALESCE(b.v, 0) AS v "
+            "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+            "AND g.i = b.i) "
+            "SELECT event_type, CAST(COUNT(*) AS INT) AS n_bins, "
+            "CAST(SUM(v) AS BIGINT) AS total, MAX(v) AS peak, "
+            "MAX(CASE WHEN i = 0 THEN v END) AS first_bin, "
+            "MAX(CASE WHEN i = 191 THEN v END) AS last_bin, "
+            "CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS INT)"
+            " AS zero_bins "
+            "FROM f GROUP BY event_type"
         ),
         "kql_agg_suite": (
             "SELECT user_id % 10 AS bucket, COUNT(*) AS n, "

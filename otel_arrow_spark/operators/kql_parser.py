@@ -928,6 +928,92 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         " expressions"
                     )
             df = df.withColumn(name, F.explode(pe(expr)))
+        elif op == "make-series":
+            # `make-series name = agg() [default = d] on ts_col
+            #  from datetime(…) to datetime(…) step <timespan> [by keys]`
+            # → one row per key with a REGULAR series array (every bin
+            # present, gaps filled with the default) + the matching
+            # timestamp array. Two map-side-combinable aggregations
+            # ((keys, bin) then keys); the dense grid materializes as a
+            # per-row `transform(sequence(0,n-1), …)` over a bin→value
+            # map — no grid join, no shuffle beyond the two aggs. n is
+            # fixed at plan time from the literal from/to/step.
+            m2 = re.match(
+                r"^([A-Za-z_]\w*)\s*=\s*(.+?)"
+                r"(?:\s+default\s*=\s*(\S+))?"
+                r"\s+on\s+([A-Za-z_]\w*)"
+                r"\s+from\s+datetime\(\s*['\"]?([^)'\"]+)['\"]?\s*\)"
+                r"\s+to\s+datetime\(\s*['\"]?([^)'\"]+)['\"]?\s*\)"
+                r"\s+step\s+([\d.]+(?:ms|d|h|m|s))"
+                r"(?:\s+by\s+(.+))?$",
+                rest, re.S,
+            )
+            if not m2:
+                raise KqlError(
+                    "make-series needs `name = agg() [default = d] on col"
+                    " from datetime(..) to datetime(..) step <span>"
+                    " [by keys]`"
+                )
+            (sname, aggsrc, dflt, oncol, f_s, t_s,
+             stepsrc, bysrc) = m2.groups()
+            from datetime import datetime as _dt
+
+            start = _dt.fromisoformat(f_s.strip())
+            end = _dt.fromisoformat(t_s.strip())
+            mnum = re.match(r"[\d.]+", stepsrc)
+            unit = stepsrc[mnum.end():]
+            step_s = float(mnum.group()) * {
+                "d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 0.001
+            }[unit]
+            n_bins = int(-(-((end - start).total_seconds()) // step_s))
+            if not 0 < n_bins <= 1_000_000:
+                raise KqlError(f"make-series grid of {n_bins} bins")
+            # parquet often yields TIMESTAMP_NTZ, which refuses a direct
+            # double cast — normalize to session-tz timestamp first
+            onc = F.col(oncol).cast("timestamp")
+            startc = F.lit(f_s.strip()).cast("timestamp")
+            keys = []
+            if bysrc:
+                keys = [
+                    (pe(e).alias(nm) if nm else pe(e))
+                    for nm, e in _parse_assignments(bysrc)
+                ]
+            key_names = [
+                df.select(k).columns[0] for k in keys
+            ]
+            dflt_col = pe(dflt) if dflt is not None else F.lit(None)
+            bin_idx = F.floor(
+                (onc.cast("double") - startc.cast("double")) / step_s
+            ).cast("int")
+            seq = F.sequence(F.lit(0), F.lit(n_bins - 1))
+            df = (
+                df.filter((onc >= startc) & (bin_idx < n_bins)
+                          & (bin_idx >= 0))
+                .groupBy(*keys, bin_idx.alias("_msi"))
+                .agg(pe(aggsrc).alias("_msv"))
+                .groupBy(*key_names)
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("_msi", "_msv"))
+                    ).alias("_msm")
+                )
+                .select(
+                    *key_names,
+                    F.transform(
+                        seq,
+                        lambda i: F.coalesce(
+                            F.try_element_at(F.col("_msm"), i), dflt_col
+                        ),
+                    ).alias(sname),
+                    F.transform(
+                        seq,
+                        lambda i: startc + F.make_dt_interval(
+                            F.lit(0), F.lit(0), F.lit(0),
+                            i.cast("double") * F.lit(step_s),
+                        ),
+                    ).alias(oncol),
+                )
+            )
         elif op == "parse":
             # `parse [kind=simple] expr with [*] "lit" name[:type] …` —
             # the KQL text-extraction operator (the reference's home

@@ -512,3 +512,34 @@ def test_conditional_and_analytic_aggregates(spark):
     assert out["a"].am == 2 and out["a"].an == 1
     assert out["b"].am == 3 and out["b"].an == 3
     assert out["b"].sd is None  # single non-null value, sample stdev
+
+
+def test_make_series_gap_fill_and_axis(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:30:00", 1.0),
+         ("a", "2024-01-01 02:15:00", 3.0),
+         ("a", "2024-01-01 02:45:00", 5.0),
+         ("b", "2024-01-01 01:10:00", 7.0),
+         ("a", "2024-01-02 00:00:00", 9.0)],  # outside [from, to)
+        "k string, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    out = {
+        r.k: r
+        for r in kql(
+            df,
+            "T | make-series s = sum(v) default = 0.0 on ts"
+            " from datetime(2024-01-01)"
+            " to datetime(2024-01-01 04:00:00) step 1h by k",
+        ).collect()
+    }
+    assert [float(x) for x in out["a"].s] == [1.0, 0.0, 8.0, 0.0]
+    assert [float(x) for x in out["b"].s] == [0.0, 7.0, 0.0, 0.0]
+    # regular timestamp axis, one entry per bin
+    axis = [str(t) for t in out["a"].ts]
+    assert axis == [
+        "2024-01-01 00:00:00", "2024-01-01 01:00:00",
+        "2024-01-01 02:00:00", "2024-01-01 03:00:00",
+    ]
+    with pytest.raises(KqlError):
+        kql(df, "T | make-series s = sum(v) on ts from datetime(2024-01-01)"
+                " to datetime(2024-01-01) step 1h")  # empty grid
