@@ -956,6 +956,24 @@ def q_kql_make_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `lookup`: dimension join with an EXPLICIT broadcast on the
+    right side (BroadcastHashJoin regardless of AQE size estimates —
+    plan-asserted in pytest), the text-lifecycle form of the pipeline's
+    `enrich.py` broadcast enrich stage."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    orders, customer = _tables(spark, sf_dir, "orders", "customer")
+    return kql(
+        orders,
+        "orders | lookup (customer"
+        " | project o_custkey = c_custkey, seg = c_mktsegment)"
+        " on o_custkey"
+        " | summarize n = count() by seg",
+        tables={"orders": orders, "customer": customer},
+    )
+
+
 def q_kql_text_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_spark.operators.kql_parser import kql
 
@@ -1329,6 +1347,21 @@ def q_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_stats(_dup_corpus(spark, sf_dir))
 
 
+def q_curation_clustered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical curation: near-dup connected-component clusters
+    (one survivor per cluster) instead of greedy pair drops, then the
+    same per-source kept/dropped accounting as ``curation_stats``."""
+    from otel_arrow_spark.dataops.curation import curate_clustered
+
+    return (
+        curate_clustered(_dup_corpus(spark, sf_dir))
+        .groupBy(
+            "source", F.coalesce("drop_reason", F.lit("kept")).alias("outcome")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_spark.dataops.multimodal import media_byte_features
 
@@ -1398,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_parse": q_kql_text_parse,
         "kql_agg_suite": q_kql_agg_suite,
         "kql_make_series": q_kql_make_series,
+        "kql_lookup": q_kql_lookup,
         "kql_text_scalars": q_kql_text_scalars,
         "kql_variant_json": q_kql_variant_json,
         "ottl_transform": q_ottl_transform,
@@ -1426,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "curation_stats": q_curation_stats,
+        "curation_clustered_stats": q_curation_clustered_stats,
         "kql_makeset": q_kql_makeset,
         "media_byte_features": q_media_byte_features,
     }
@@ -1832,6 +1867,11 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "GROUP BY c_mktsegment "
             "ORDER BY total_k DESC, c_mktsegment ASC LIMIT 5"
         ),
+        "kql_lookup": (
+            "SELECT c_mktsegment AS seg, COUNT(*) AS n "
+            "FROM orders LEFT JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1"
+        ),
         "kql_make_series": (
             "WITH r AS (SELECT event_type, ts FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-01' "
@@ -1965,6 +2005,14 @@ def _curation_oracle() -> str:
     return curation_stats_oracle_sql()
 
 
+def _curation_clustered_oracle() -> str:
+    from otel_arrow_spark.dataops.curation import (
+        curation_clustered_stats_oracle_sql,
+    )
+
+    return curation_clustered_stats_oracle_sql()
+
+
 def _dataops_oracles() -> dict[str, str]:
     from otel_arrow_spark.dataops import dedup, multimodal, similarity, textstats
 
@@ -1987,6 +2035,7 @@ def _dataops_oracles() -> dict[str, str]:
         "ann_lsh_multiprobe": similarity.lsh_ann_topk_oracle_sql(probes=5),
         "ann_ivf_multiprobe": similarity.ivf_ann_topk_oracle_sql(probes=2),
         "curation_stats": _curation_oracle(),
+        "curation_clustered_stats": _curation_clustered_oracle(),
         "kql_makeset": (
             "SELECT o_orderstatus, "
             "string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)"

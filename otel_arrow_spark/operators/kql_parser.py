@@ -1141,6 +1141,33 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     if c in df.columns and c not in keys:
                         right = right.withColumnRenamed(c, c + "1")
                 df = df.join(right, keys, _JOIN_KINDS[kind])
+        elif op == "lookup":
+            # `lookup [kind=leftouter|inner] (dim) on key[, …]` — KQL's
+            # dimension-join: same surface as `join` but the right side
+            # is a DIMENSION by contract, so it is broadcast explicitly
+            # (BroadcastHashJoin regardless of AQE's size estimate —
+            # the `enrich.py` pattern, lifted into the text lifecycle).
+            # Bare equi-keys only (KQL lookup likewise).
+            m2 = re.match(
+                r"^(?:kind\s*=\s*(leftouter|inner)\s+)?"
+                r"(\(.*\)|[A-Za-z_][A-Za-z0-9_]*)\s+on\s+(.+)$",
+                rest, re.S,
+            )
+            if not m2:
+                raise KqlError("lookup needs `lookup [kind=k] (dim) on keys`")
+            kind = {"leftouter": "left", "inner": "inner",
+                    None: "left"}[m2.group(1)]
+            right = _parse_source(m2.group(2), tables, bindings)
+            keys = []
+            for item in _split_commas(m2.group(3)):
+                item = item.strip()
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", item):
+                    raise KqlError(f"lookup key must be a column: {item!r}")
+                keys.append(item)
+            for c in right.columns:
+                if c in df.columns and c not in keys:
+                    right = right.withColumnRenamed(c, c + "1")
+            df = df.join(F.broadcast(right), keys, kind)
         elif op == "union":
             # `union [kind=inner|outer] source[, source ...]` — outer
             # (the KQL default) aligns by name and null-fills missing

@@ -463,3 +463,21 @@ def test_neardup_clusters_cover_pair_graph(spark, corpus):
         assert labels[p.doc_a] == labels[p.doc_b]
     for doc, lbl in labels.items():
         assert lbl <= doc and lbl in labels and labels[lbl] == lbl
+
+
+def test_curate_clustered_one_survivor_per_cluster(spark, corpus):
+    """Chain a~b, b~c must keep only the cluster minimum — the exact
+    case greedy pair-drop gets wrong (keeps a AND c)."""
+    from otel_arrow_spark.dataops.curation import curate_clustered
+    from otel_arrow_spark.dataops.dedup import release_caches
+
+    rows = curate_clustered(corpus).collect()
+    release_caches()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert any(len(m) > 1 for m in by_cluster.values()), "fixture too clean"
+    for cid, members in by_cluster.items():
+        survivors = [r for r in members
+                     if r.drop_reason not in ("exact_dup", "near_dup")]
+        assert [r.doc_id for r in survivors] == [cid]

@@ -543,3 +543,27 @@ def test_make_series_gap_fill_and_axis(spark):
     with pytest.raises(KqlError):
         kql(df, "T | make-series s = sum(v) on ts from datetime(2024-01-01)"
                 " to datetime(2024-01-01) step 1h")  # empty grid
+
+
+def test_lookup_broadcasts_dimension(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, s string"
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, tag string")
+    t = {"L": left, "D": dim}
+    out = kql(left, "L | lookup D on k | order by k asc", tables=t)
+    # dimension contract: explicit broadcast regardless of size estimate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert [(r.k, r.tag) for r in out.collect()] == [
+        (1, "x"), (2, "y"), (3, None)  # default kind=leftouter
+    ]
+    inner = kql(left, "L | lookup kind=inner (D | project k, tag) on k",
+                tables=t)
+    assert sorted(r.k for r in inner.collect()) == [1, 2]
+    # unlike `join` (innerunique), lookup keeps every left row
+    dup_left = spark.createDataFrame([(1, "p"), (1, "q")], "k int, s string")
+    both = kql(dup_left, "L | lookup D on k", tables={"L": dup_left, "D": dim})
+    assert sorted(r.s for r in both.collect()) == ["p", "q"]
+    with pytest.raises(KqlError):
+        kql(left, "L | lookup D on k + 1", tables=t)
