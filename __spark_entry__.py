@@ -1347,6 +1347,34 @@ def q_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_stats(_dup_corpus(spark, sf_dir))
 
 
+def q_sample_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-rate sampling: narrow filter, no shuffle, no
+    RNG state — the only sampler whose output is invariant to executor
+    count (the 100 TB contract)."""
+    from otel_arrow_spark.dataops.packing import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), rate=0.25)
+
+
+def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum counts via hash-rank (deterministic stand-in
+    for per-stratum reservoir sampling); one shuffle on the stratum."""
+    from otel_arrow_spark.dataops.packing import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), "source", k=20)
+
+
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (contiguous fill into 512-token packs over 8
+    hash-salted streams) with per-pack fill-factor accounting."""
+    from otel_arrow_spark.dataops.packing import pack_sequences, pack_stats
+
+    return pack_stats(
+        pack_sequences(_docs(spark, sf_dir), budget=512, n_streams=8),
+        budget=512,
+    )
+
+
 def q_curation_clustered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-canonical curation: near-dup connected-component clusters
     (one survivor per cluster) instead of greedy pair drops, then the
@@ -1461,6 +1489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "curation_stats": q_curation_stats,
         "curation_clustered_stats": q_curation_clustered_stats,
+        "sample_hash_docs": q_sample_hash_docs,
+        "sample_stratified_docs": q_sample_stratified_docs,
+        "pack_stats": q_pack_stats,
         "kql_makeset": q_kql_makeset,
         "media_byte_features": q_media_byte_features,
     }
@@ -2013,6 +2044,16 @@ def _curation_clustered_oracle() -> str:
     return curation_clustered_stats_oracle_sql()
 
 
+def _packing_oracle(which: str) -> str:
+    from otel_arrow_spark.dataops import packing
+
+    if which == "hash":
+        return packing.hash_sample_oracle_sql(rate=0.25)
+    if which == "stratified":
+        return packing.stratified_sample_oracle_sql("source", k=20)
+    return packing.pack_stats_oracle_sql(budget=512, n_streams=8)
+
+
 def _dataops_oracles() -> dict[str, str]:
     from otel_arrow_spark.dataops import dedup, multimodal, similarity, textstats
 
@@ -2036,6 +2077,9 @@ def _dataops_oracles() -> dict[str, str]:
         "ann_ivf_multiprobe": similarity.ivf_ann_topk_oracle_sql(probes=2),
         "curation_stats": _curation_oracle(),
         "curation_clustered_stats": _curation_clustered_oracle(),
+        "sample_hash_docs": _packing_oracle("hash"),
+        "sample_stratified_docs": _packing_oracle("stratified"),
+        "pack_stats": _packing_oracle("pack"),
         "kql_makeset": (
             "SELECT o_orderstatus, "
             "string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)"

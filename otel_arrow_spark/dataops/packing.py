@@ -1,0 +1,252 @@
+"""Training-data assembly: deterministic sampling and sequence packing.
+
+The two operations that sit between a curated corpus and a training
+run:
+
+* **sampling** — pick a reproducible subset (global rate or exact
+  per-stratum counts) without materializing a random state anywhere;
+* **packing** — assign documents to fixed-token-budget context windows
+  ("packs"), the step that turns a document table into training
+  sequences.
+
+Scale design (100 TB):
+
+* :func:`hash_sample` is a NARROW filter — no shuffle, no RNG state,
+  reproducible on any executor count; this is the only sampler that
+  survives a 1000-executor cluster unchanged.
+* :func:`stratified_sample` shuffles once on the stratum key (exact
+  per-stratum counts require grouping); a skewed stratum degrades to
+  one fat task, so rate-based :func:`hash_sample` with a per-stratum
+  rate map is preferred at scale when counts may be approximate.
+* :func:`pack_sequences` salts the corpus into ``n_streams``
+  independent streams (narrow hash), then runs ONE window cumsum per
+  stream — parallelism is chosen explicitly via ``n_streams``, not
+  inherited from the (possibly skewed) data. Boundary semantics are
+  contiguous fill: the document that crosses a pack boundary belongs
+  to the pack it started in (trainer-side truncation policy decides
+  the overflow); an exact greedy closure is a sequential recurrence,
+  provided by :func:`pack_sequences_greedy` via ``applyInPandas`` per
+  stream for consumers that need it.
+
+All hashes are SHA-256-derived (`hashing.h32`) so a DuckDB oracle
+reproduces every decision bit-for-bit.
+
+Reference analog: the reference's pipeline ends at telemetry sinks
+(`rust/otap-dataflow/crates/otap/src/parquet_exporter/mod.rs`); corpus
+assembly is the LLM-pipeline extension this repo adds as first-class,
+per the survey's training-data mandate (SURVEY.md §2, data ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from otel_arrow_spark.dataops.hashing import h32, h32_sql
+from otel_arrow_spark.dataops.textstats import TOKEN_RE
+
+_H32_SPACE = 1 << 32
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+def hash_sample(docs: DataFrame, rate: float, key_col: str = "doc_id",
+                seed: int | str = 0) -> DataFrame:
+    """Keep ~``rate`` of rows, decided purely by a hash of ``key_col``.
+
+    Narrow (no shuffle), independent of partitioning and executor
+    count, and stable across runs AND across engines — the property
+    random samplers lose the moment the cluster size changes. Keying
+    by a business id (not the row) also makes the sample *consistent*:
+    every row of a kept conversation/doc is kept together if the key
+    is the conversation id.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thresh = int(rate * _H32_SPACE)
+    return docs.filter(
+        h32(F.col(key_col).cast("string"), seed) < F.lit(thresh)
+    )
+
+
+def hash_sample_oracle_sql(rate: float, table: str = "documents",
+                           key_col: str = "doc_id",
+                           seed: int | str = 0) -> str:
+    thresh = int(rate * _H32_SPACE)
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {h32_sql(f'CAST({key_col} AS VARCHAR)', seed)} < {thresh}"
+    )
+
+
+def stratified_sample(docs: DataFrame, strata_col: str, k: int,
+                      key_col: str = "doc_id",
+                      seed: int | str = 0) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by hash
+    rank (deterministic stand-in for per-stratum reservoir sampling).
+
+    One shuffle on the stratum key; ties in the 32-bit hash are broken
+    by the key itself so the selection is total-ordered and unique.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        h32(F.col(key_col).cast("string"), seed), F.col(key_col)
+    )
+    return (
+        docs.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= k)
+        .drop("_srn")
+    )
+
+
+def stratified_sample_oracle_sql(strata_col: str, k: int,
+                                 table: str = "documents",
+                                 key_col: str = "doc_id",
+                                 seed: int | str = 0) -> str:
+    h = h32_sql(f"CAST({key_col} AS VARCHAR)", seed)
+    return f"""
+SELECT * EXCLUDE (_srn) FROM (
+  SELECT *, row_number() OVER
+    (PARTITION BY {strata_col} ORDER BY {h}, {key_col}) AS _srn
+  FROM {table}
+) WHERE _srn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def _with_stream_and_tokens(docs: DataFrame, n_streams: int,
+                            text_col: str, key_col: str,
+                            seed: int | str) -> DataFrame:
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.pmod(h32(F.col(key_col).cast("string"), seed),
+               F.lit(n_streams)).alias("stream"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("n_tokens"),
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int, n_streams: int = 8,
+                   text_col: str = "text", key_col: str = "doc_id",
+                   seed: int | str = 0) -> DataFrame:
+    """Contiguous-fill packing: hash-salt docs into ``n_streams``
+    streams, order each stream deterministically (hash, id), and cut
+    packs at cumulative-token boundaries of ``budget``.
+
+    ``pack_id = floor(exclusive_cumsum(n_tokens) / budget)`` — the doc
+    that straddles a boundary stays with the pack it started in, so a
+    pack may exceed ``budget`` by at most one document's tail (the
+    standard contiguous-fill contract; trainers truncate or roll the
+    tail). Returns one row per doc: ``(doc_id, stream, pack_id,
+    n_tokens, offset)`` where ``tok_offset`` is the doc's token start
+    within its stream.
+    """
+    if budget <= 0 or n_streams <= 0:
+        raise ValueError("budget and n_streams must be positive")
+    base = _with_stream_and_tokens(docs, n_streams, text_col, key_col, seed)
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(h32(F.col("doc_id").cast("string"), seed), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        "doc_id", "stream", "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("tok_offset"),
+    ).withColumn(
+        "pack_id", (F.col("tok_offset") / F.lit(budget)).cast("bigint")
+    )
+
+
+def pack_sequences_oracle_sql(budget: int, n_streams: int = 8,
+                              table: str = "documents",
+                              text_col: str = "text",
+                              key_col: str = "doc_id",
+                              seed: int | str = 0) -> str:
+    h = h32_sql(f"CAST({key_col} AS VARCHAR)", seed)
+    return f"""
+SELECT doc_id, stream, n_tokens, tok_offset,
+  CAST(floor(tok_offset / {budget}) AS BIGINT) AS pack_id
+FROM (
+  SELECT {key_col} AS doc_id,
+    ({h}) % {n_streams} AS stream,
+    CAST(len(regexp_extract_all({text_col}, '{TOKEN_RE}')) AS INT)
+      AS n_tokens,
+    CAST(COALESCE(SUM(CAST(len(regexp_extract_all({text_col},
+      '{TOKEN_RE}')) AS INT)) OVER (PARTITION BY ({h}) % {n_streams}
+      ORDER BY {h}, {key_col}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tok_offset
+  FROM {table}
+)
+"""
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-pack accounting: fill factor is the packing-quality metric
+    a pipeline actually monitors."""
+    return (
+        packed.groupBy("stream", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn(
+            "fill",
+            F.round(F.least(F.col("sum_tokens") / F.lit(budget),
+                            F.lit(1.0)), 4),
+        )
+    )
+
+
+def pack_stats_oracle_sql(budget: int, n_streams: int = 8,
+                          table: str = "documents") -> str:
+    inner = pack_sequences_oracle_sql(budget, n_streams, table)
+    return f"""
+SELECT stream, pack_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  round(least(CAST(SUM(n_tokens) AS DOUBLE) / {budget}, 1.0), 4) AS fill
+FROM ({inner})
+GROUP BY 1, 2
+"""
+
+
+def pack_sequences_greedy(docs: DataFrame, budget: int, n_streams: int = 8,
+                          text_col: str = "text", key_col: str = "doc_id",
+                          seed: int | str = 0) -> DataFrame:
+    """Exact greedy packing (close a pack when the NEXT doc would
+    overflow; oversized single docs get a pack of their own).
+
+    The closure rule is a sequential recurrence over each stream, so it
+    runs as one ``applyInPandas`` pass per stream — ``n_streams`` is
+    the explicit parallelism knob; each group is a few GB at most when
+    streams are sized to executors. Same ordering contract as
+    :func:`pack_sequences`, so the two agree whenever no document
+    straddles a boundary.
+    """
+    import pandas as pd
+
+    base = _with_stream_and_tokens(
+        docs, n_streams, text_col, key_col, seed
+    ).withColumn("_h", h32(F.col("doc_id").cast("string"), seed))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_h", "doc_id"], kind="mergesort")
+        pack_ids, fill, cur = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if fill > 0 and fill + t > budget:
+                cur += 1
+                fill = 0
+            pack_ids.append(cur)
+            fill += t
+        out = pdf.drop(columns=["_h"])
+        out["pack_id"] = pd.Series(pack_ids, index=pdf.index, dtype="int64")
+        return out
+
+    schema = "doc_id long, stream long, n_tokens int, pack_id long"
+    return base.groupBy("stream").applyInPandas(_pack, schema)

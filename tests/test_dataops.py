@@ -481,3 +481,60 @@ def test_curate_clustered_one_survivor_per_cluster(spark, corpus):
         survivors = [r for r in members
                      if r.drop_reason not in ("exact_dup", "near_dup")]
         assert [r.doc_id for r in survivors] == [cid]
+
+
+def test_hash_sample_deterministic_and_nested(spark, docs):
+    from otel_arrow_spark.dataops.packing import hash_sample
+
+    s10 = {r.doc_id for r in hash_sample(docs, 0.10).collect()}
+    s30 = {r.doc_id for r in hash_sample(docs, 0.30).collect()}
+    assert s10 and s10 < s30  # smaller rate is a strict subset
+    # invariant to physical layout: the sample is a pure key function
+    again = {r.doc_id
+             for r in hash_sample(docs.repartition(3), 0.10).collect()}
+    assert again == s10
+    n = docs.count()
+    assert 0.15 * n < len(s30) < 0.45 * n  # rate is approximately honored
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_stratified_sample_exact_counts(spark, docs):
+    from otel_arrow_spark.dataops.packing import stratified_sample
+
+    k = 7
+    got = (
+        stratified_sample(docs, "source", k)
+        .groupBy("source").count().collect()
+    )
+    want = {r.source: min(r["count"], k)
+            for r in docs.groupBy("source").count().collect()}
+    assert {r.source: r["count"] for r in got} == want
+
+
+def test_pack_sequences_contiguous_and_greedy(spark, docs):
+    from otel_arrow_spark.dataops.packing import (
+        pack_sequences, pack_sequences_greedy,
+    )
+
+    budget = 512
+    packed = pack_sequences(docs, budget, n_streams=4).collect()
+    by_stream: dict[int, list] = {}
+    for r in packed:
+        by_stream.setdefault(r.stream, []).append(r)
+    assert len(by_stream) == 4
+    for rows in by_stream.values():
+        rows.sort(key=lambda r: r.tok_offset)
+        run = 0
+        for r in rows:
+            assert r.tok_offset == run          # exclusive cumsum
+            assert r.pack_id == r.tok_offset // budget
+            run += r.n_tokens
+    # greedy: a pack never exceeds budget unless it is one oversized doc
+    greedy = pack_sequences_greedy(docs, budget, n_streams=4).collect()
+    sums: dict[tuple, list] = {}
+    for r in greedy:
+        sums.setdefault((r.stream, r.pack_id), []).append(r.n_tokens)
+    assert any(len(v) > 1 for v in sums.values())
+    for toks in sums.values():
+        assert sum(toks) <= budget or len(toks) == 1
