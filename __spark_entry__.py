@@ -845,6 +845,43 @@ def q_kql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_text_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`top-nested` through the KQL text lifecycle: hierarchical top-k —
+    the global top-3 event types by row count, then each type's top-2
+    users by total value. Scale shape: level 1 is an aggregate +
+    TakeOrderedAndProject (no global sort); level 2 aggregates once,
+    broadcast-semi-joins the tiny kept-parent set BEFORE ranking, and
+    ranks inside kept parents only (KQL `top-nested`,
+    reference grammar `kql-parser` tabular operators)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | top-nested 3 of event_type by count(),"
+        " top-nested 2 of user_id by s = sum(value)"
+        " | extend s = round(s, 6)",
+    )
+
+
+def q_kql_text_datatable_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`datatable` literal source + `lookup` dimension join in one text
+    query: a pure-Catalyst literal relation (no file, no RDD) broadcast
+    against the fact side, then a map-side-combinable count. Unmatched
+    event types keep a NULL label (leftouter, the KQL lookup default)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | lookup kind=leftouter "
+        "(datatable(event_type: string, label: string) "
+        '["click", "ui", "view", "ui", "purchase", "commerce", '
+        '"error", "ops"]) on event_type'
+        " | summarize n = count() by label",
+    )
+
+
 def q_kql_text_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table KQL: `join kind=inner (subquery) on $left…==$right…`
     resolved from a table registry, composed with summarize + top. The
@@ -1454,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_where_summarize": q_kql_text_where_summarize,
         "kql_text_topk": q_kql_text_topk,
         "kql_mv_expand": q_kql_mv_expand,
+        "kql_text_top_nested": q_kql_text_top_nested,
+        "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
         "kql_text_union": q_kql_text_union,
         "kql_text_parse": q_kql_text_parse,
@@ -1888,6 +1927,27 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"
             ") WHERE length(tok) >= 4 "
             "GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20"
+        ),
+        "kql_text_top_nested": (
+            "WITH l1 AS ("
+            "SELECT event_type, COUNT(*) AS aggregated_event_type "
+            "FROM events GROUP BY event_type "
+            "ORDER BY aggregated_event_type DESC, event_type ASC LIMIT 3), "
+            "l2 AS ("
+            "SELECT e.event_type, e.user_id, SUM(e.value) AS s_raw "
+            "FROM events e JOIN l1 USING (event_type) "
+            "GROUP BY e.event_type, e.user_id "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY e.event_type "
+            "ORDER BY s_raw DESC, e.user_id ASC) <= 2) "
+            "SELECT l2.event_type, l1.aggregated_event_type, l2.user_id, "
+            "ROUND(l2.s_raw, 6) AS s FROM l2 JOIN l1 USING (event_type)"
+        ),
+        "kql_text_datatable_lookup": (
+            "SELECT d.label AS label, COUNT(*) AS n "
+            "FROM events e LEFT JOIN (VALUES "
+            "('click', 'ui'), ('view', 'ui'), ('purchase', 'commerce'), "
+            "('error', 'ops')) d(event_type, label) "
+            "ON e.event_type = d.event_type GROUP BY d.label"
         ),
         "kql_text_join": (
             "SELECT c_mktsegment, COUNT(*) AS n, "

@@ -740,12 +740,79 @@ _JOIN_KINDS = {
 }
 
 
+_SOURCE_OPS = ("range ", "datatable", "print ", "print\t")
+
+
+def _literal_source(head: str, bindings: dict) -> DataFrame:
+    """Nullary KQL sources that synthesize a relation from literals:
+    ``range x from a to b step c`` (inclusive, numeric or
+    datetime+timespan — `F.sequence` is inclusive, matching KQL),
+    ``datatable(col: type, …) [v, …]`` (row-major literal list) and
+    ``print name = expr, …`` (one row). All build a one-row plan on the
+    active session and stay pure Catalyst literals."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise KqlError("range/datatable/print need an active SparkSession")
+    one = spark.range(1).select()
+
+    def pe(s: str) -> Column:
+        return parse_expr(s, bindings)
+
+    m = re.match(
+        r"^range\s+([A-Za-z_]\w*)\s+from\s+(.+?)\s+to\s+(.+?)"
+        r"\s+step\s+(.+)$", head, re.S,
+    )
+    if m:
+        name, lo, hi, step = m.groups()
+        return one.select(
+            F.explode(F.sequence(pe(lo), pe(hi), pe(step))).alias(name)
+        )
+    m = re.match(r"^datatable\s*\((.*?)\)\s*\[(.*)\]$", head, re.S)
+    if m:
+        _DT_TYPES = {
+            "string": "string", "long": "bigint", "int": "int",
+            "real": "double", "datetime": "timestamp", "bool": "boolean",
+            "boolean": "boolean",
+        }
+        cols = []
+        for part in _split_commas(m.group(1)):
+            cm = re.match(r"^([A-Za-z_]\w*)\s*:\s*([a-z]+)$", part.strip())
+            if not cm or cm.group(2) not in _DT_TYPES:
+                raise KqlError(f"bad datatable column {part.strip()!r}")
+            cols.append((cm.group(1), _DT_TYPES[cm.group(2)]))
+        vals = [v for v in _split_commas(m.group(2)) if v.strip()]
+        if not cols or not vals or len(vals) % len(cols):
+            raise KqlError(
+                f"datatable needs a multiple of {len(cols)} values, "
+                f"got {len(vals)}"
+            )
+        rows = [
+            F.struct(*[
+                pe(vals[r * len(cols) + i]).cast(t).alias(n)
+                for i, (n, t) in enumerate(cols)
+            ])
+            for r in range(len(vals) // len(cols))
+        ]
+        return one.select(
+            F.explode(F.array(*rows)).alias("_r")
+        ).select("_r.*")
+    m = re.match(r"^print\s+(.+)$", head, re.S)
+    if m:
+        sel = []
+        for i, (name, expr) in enumerate(_parse_assignments(m.group(1))):
+            sel.append(pe(expr).alias(name or f"print_{i}"))
+        return one.select(*sel)
+    raise KqlError(f"bad literal source {head!r}")
+
+
 def _parse_source(src: str, tables: dict[str, DataFrame] | None,
                   bindings: dict) -> DataFrame:
-    """Resolve a join/union source: a bare table name or a parenthesized
-    subquery (``(T | where …)``), recursing through the same stage
-    machinery. Tables come from the ``tables=`` registry passed to
-    :func:`kql`."""
+    """Resolve a join/union source: a bare table name, a literal source
+    (``range``/``datatable``/``print``), or a parenthesized subquery
+    (``(T | where …)``), recursing through the same stage machinery.
+    Tables come from the ``tables=`` registry passed to :func:`kql`."""
     src = src.strip()
     if src.startswith("(") and src.endswith(")"):
         src = src[1:-1].strip()
@@ -753,6 +820,10 @@ def _parse_source(src: str, tables: dict[str, DataFrame] | None,
     if not stages:
         raise KqlError("empty join/union source")
     name = stages[0].strip()
+    if name.startswith(_SOURCE_OPS) or name.startswith("datatable"):
+        return _apply_stages(
+            _literal_source(name, bindings), stages[1:], bindings, tables
+        )
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
         raise KqlError(
             f"join/union source must start with a table name, got {name!r}"
@@ -799,7 +870,11 @@ def kql(df: DataFrame, query: str,
     query = statements[-1]
 
     stages = _split_pipes(query)
-    if stages and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", stages[0]):
+    if stages and (stages[0].strip().startswith(_SOURCE_OPS)
+                   or stages[0].strip().startswith("datatable")):
+        df = _literal_source(stages[0].strip(), bindings)
+        stages = stages[1:]
+    elif stages and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", stages[0]):
         name = stages[0].strip()
         if tables and name in tables:
             df = tables[name]
@@ -1184,6 +1259,91 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     df = df.select(*common).unionByName(
                         other.select(*common)
                     )
+        elif op == "sample":
+            # `sample N` — KQL's row sample. Engine choice: order by a
+            # 64-bit hash of the row content and keep N, which Catalyst
+            # plans as TakeOrderedAndProject (per-partition heaps, no
+            # global sort shuffle). The "sample" is therefore
+            # deterministic across runs AND partitionings — the same
+            # reproducibility role the content-derived ids play in
+            # `signals.py` — while a hash is still uniform over the
+            # data. Map-typed columns are excluded from the hash (Spark
+            # hash functions reject MapType).
+            try:
+                n = int(rest)
+            except ValueError:
+                raise KqlError(f"sample needs an integer, got {rest!r}")
+            from pyspark.sql.types import MapType
+
+            hcols = [
+                f.name for f in df.schema.fields
+                if not isinstance(f.dataType, MapType)
+            ]
+            if not hcols:
+                raise KqlError("sample needs at least one hashable column")
+            df = df.orderBy(F.xxhash64(*hcols)).limit(n)
+        elif op == "sample-distinct":
+            # `sample-distinct N of expr` — N distinct values of expr,
+            # hash-ordered for the same determinism as `sample`.
+            m2 = re.match(r"^(\d+)\s+of\s+(.+)$", rest, re.S)
+            if not m2:
+                raise KqlError("sample-distinct needs `N of expr`")
+            vals = df.select(pe(m2.group(2))).distinct()
+            df = vals.orderBy(F.xxhash64(vals.columns[0])).limit(
+                int(m2.group(1))
+            )
+        elif op == "top-nested":
+            # `top-nested N of col by [name =] agg()[, top-nested ...]`
+            # — hierarchical top-k: level 1 keeps the global top-N keys
+            # by the aggregate; each deeper level keeps the per-parent
+            # top-N. Scale shape: level 1 is agg + TakeOrderedAndProject
+            # (no global sort); deeper levels aggregate the full input
+            # once, broadcast-SEMI-join against the tiny kept parent set
+            # (≤ ∏Nᵢ rows) BEFORE ranking, then rank inside each parent
+            # with a window whose partitions are the kept parents only.
+            # Ties break on the key value ascending so results are
+            # deterministic (KQL leaves ties arbitrary).
+            from pyspark.sql import Window
+
+            kept = None
+            prev_cols: list[str] = []
+            out_cols: list[str] = []
+            for lvl in re.split(r",\s*top-nested\s+", rest):
+                m2 = re.match(
+                    r"^(\d+)\s+of\s+([A-Za-z_]\w*)\s+by\s+"
+                    r"(?:([A-Za-z_]\w*)\s*=\s*)?(.+)$",
+                    lvl.strip(), re.S,
+                )
+                if not m2:
+                    raise KqlError(
+                        "top-nested needs `N of col by [name =] agg()`"
+                    )
+                n, col, aname, aggsrc = m2.groups()
+                aname = aname or f"aggregated_{col}"
+                grp = df.groupBy(*prev_cols, col).agg(pe(aggsrc).alias(aname))
+                if kept is not None:
+                    grp = grp.join(
+                        F.broadcast(kept.select(*prev_cols)),
+                        prev_cols, "semi",
+                    )
+                if prev_cols:
+                    w = Window.partitionBy(*prev_cols).orderBy(
+                        F.col(aname).desc(), F.col(col).asc()
+                    )
+                    grp = (
+                        grp.withColumn("_tn_rank", F.row_number().over(w))
+                        .filter(F.col("_tn_rank") <= int(n))
+                        .drop("_tn_rank")
+                    )
+                    grp = grp.join(F.broadcast(kept), prev_cols, "inner")
+                else:
+                    grp = grp.orderBy(
+                        F.col(aname).desc(), F.col(col).asc()
+                    ).limit(int(n))
+                kept = grp
+                prev_cols = prev_cols + [col]
+                out_cols += [col, aname]
+            df = kept.select(*out_cols)
         else:
             raise KqlError(f"unknown operator {op!r}")
     return df

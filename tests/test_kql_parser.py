@@ -567,3 +567,71 @@ def test_lookup_broadcasts_dimension(spark):
     assert sorted(r.s for r in both.collect()) == ["p", "q"]
     with pytest.raises(KqlError):
         kql(left, "L | lookup D on k + 1", tables=t)
+
+
+def test_literal_sources_range_datatable_print(spark):
+    out = kql(None, "range x from 1 to 10 step 3")
+    assert [r.x for r in out.collect()] == [1, 4, 7, 10]  # inclusive, KQL
+    out = kql(
+        None,
+        'datatable(name: string, v: long)\n'
+        '  ["a", 1, "b", 2, "c", 3]\n'
+        "| where v > 1 | order by v asc",
+    )
+    assert [(r.name, r.v) for r in out.collect()] == [("b", 2), ("c", 3)]
+    assert dict(out.dtypes) == {"name": "string", "v": "bigint"}
+    one = kql(None, 'print a = 1 + 2, strcat("x", "y")').collect()[0]
+    assert one.a == 3 and one.print_1 == "xy"
+    # a literal source is a valid join source too
+    base = spark.range(5).selectExpr("id as x")
+    out = kql(
+        base,
+        "T | join kind=inner"
+        " (range x from 0 to 3 step 1 | extend y = x * 10) on x",
+        tables={"T": base},
+    )
+    assert sorted((r.x, r.y) for r in out.collect()) == [
+        (0, 0), (1, 10), (2, 20), (3, 30)
+    ]
+    with pytest.raises(KqlError):
+        kql(None, 'datatable(k: string, v: long) ["a", 1, "b"]')  # 3 % 2
+    with pytest.raises(KqlError):
+        kql(None, "datatable(v: frobnicate) [1]")
+
+
+def test_sample_is_deterministic_take_ordered(spark):
+    df = spark.range(100).selectExpr("id", "id % 7 as g")
+    a = kql(df, "T | sample 10")
+    b = kql(df.repartition(13), "T | sample 10")
+    # deterministic across runs AND partitionings (hash-ordered pick)
+    assert sorted(r.id for r in a.collect()) == sorted(
+        r.id for r in b.collect()
+    )
+    assert a.count() == 10
+    # per-partition heaps, no global sort shuffle
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    vals = kql(df, "T | sample-distinct 3 of g").collect()
+    assert len(vals) == 3
+    assert len({r.g for r in vals}) == 3
+
+
+def test_top_nested_hierarchical_topk(spark):
+    rows = (
+        [("t1", "h1", 10)] * 4 + [("t1", "h2", 1)] * 3
+        + [("t2", "h1", 5)] * 3 + [("t2", "h3", 2)] * 2
+        + [("t3", "h9", 100)]
+    )
+    df = spark.createDataFrame(rows, "tool string, host string, v int")
+    out = kql(
+        df,
+        "T | top-nested 2 of tool by count(),"
+        " top-nested 1 of host by s = sum(v)",
+    )
+    assert out.columns == ["tool", "aggregated_tool", "host", "s"]
+    got = sorted((r.tool, r.aggregated_tool, r.host, r.s)
+                 for r in out.collect())
+    # t1 (7 rows) and t2 (5 rows) win level 1; per-tool best host by sum(v)
+    assert got == [("t1", 7, "h1", 40), ("t2", 5, "h1", 15)]
+    with pytest.raises(KqlError):
+        kql(df, "T | top-nested 2 of tool")
