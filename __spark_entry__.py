@@ -864,6 +864,34 @@ def q_kql_text_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_text_scalar_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-out of the SURVEY §2.10 scalar inventory through the text
+    lifecycle: sign/log10, reverse/strrep/indexof/countof/tohex,
+    startofmonth/dayofweek/hourofday/datetime_diff, capture and
+    extract_all (array result) — every one a JVM-side Catalyst
+    expression, cross-checked value-exact against DuckDB
+    (`text_scalar_expressions.rs:17-185`, `math_scalar_expression.rs:7-34`,
+    `temporal_scalar_expression.rs:7-10` inventories)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | where value > 0"
+        " | project event_id, sg = sign(value - 50.0),"
+        " lg = round(log10(value + 1.0), 6),"
+        " rv = reverse(event_type), rp = strrep(event_type, 2),"
+        ' ix = indexof(event_type, "ic"), co = countof(event_type, "e"),'
+        " hx = tohex(user_id), sm = startofmonth(ts),"
+        " dw = dayofweek(ts), hd = hourofday(ts),"
+        ' dd = datetime_diff("hour", ts, datetime(2024-01-01)),'
+        ' cp = capture(event_type, "^(..)"),'
+        # array results flatten to CSV for the cross-engine hash (the
+        # buckets_csv convention of the histogram gates)
+        ' ea = array_join(extract_all("([aeiou])", event_type), ",")',
+    )
+
+
 def q_kql_text_datatable_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`datatable` literal source + `lookup` dimension join in one text
     query: a pure-Catalyst literal relation (no file, no RDD) broadcast
@@ -1492,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_topk": q_kql_text_topk,
         "kql_mv_expand": q_kql_mv_expand,
         "kql_text_top_nested": q_kql_text_top_nested,
+        "kql_text_scalar_suite2": q_kql_text_scalar_suite2,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
         "kql_text_union": q_kql_text_union,
@@ -1941,6 +1970,23 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "ORDER BY s_raw DESC, e.user_id ASC) <= 2) "
             "SELECT l2.event_type, l1.aggregated_event_type, l2.user_id, "
             "ROUND(l2.s_raw, 6) AS s FROM l2 JOIN l1 USING (event_type)"
+        ),
+        "kql_text_scalar_suite2": (
+            "SELECT event_id, CAST(sign(value - 50.0) AS DOUBLE) AS sg, "
+            "ROUND(log10(value + 1.0), 6) AS lg, "
+            "reverse(event_type) AS rv, repeat(event_type, 2) AS rp, "
+            "CAST(strpos(event_type, 'ic') - 1 AS BIGINT) AS ix, "
+            "CAST((length(event_type) - "
+            "length(replace(event_type, 'e', ''))) AS BIGINT) AS co, "
+            "lower(to_hex(user_id)) AS hx, "
+            "date_trunc('month', ts) AS sm, "
+            "CAST(isodow(ts) - 1 AS BIGINT) AS dw, "
+            "CAST(hour(ts) AS BIGINT) AS hd, "
+            "date_diff('hour', TIMESTAMP '2024-01-01', ts) AS dd, "
+            "regexp_extract(event_type, '^(..)', 1) AS cp, "
+            "array_to_string(regexp_extract_all(event_type, '([aeiou])', 1)"
+            ", ',') AS ea "
+            "FROM events WHERE value > 0"
         ),
         "kql_text_datatable_lookup": (
             "SELECT d.label AS label, COUNT(*) AS n "

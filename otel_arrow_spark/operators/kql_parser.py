@@ -217,6 +217,34 @@ _FUNC_MAP_SIMPLE = {
     "array_concat": lambda a: F.concat(*a),
     "array_length": lambda a: F.size(a[0]),
     "pack_array": lambda a: F.array(*a),
+    # math (cont.)
+    "sign": lambda a: F.signum(a[0]),
+    "log2": lambda a: F.log2(a[0]),
+    "log10": lambda a: F.log10(a[0]),
+    # text (cont.)
+    "reverse": lambda a: F.reverse(a[0]),
+    "strrep": lambda a: F.repeat(a[0], a[1]),
+    # KQL indexof is 0-based, -1 when absent; position is 1-based, 0
+    "indexof": lambda a: (F.position(a[1], a[0]) - 1).cast("bigint"),
+    "countof": lambda a: F.when(
+        F.length(a[1]) > 0,
+        (F.length(a[0]) - F.length(F.replace(a[0], a[1], F.lit(""))))
+        / F.length(a[1]),
+    ).cast("bigint"),
+    "tohex": lambda a: F.lower(F.hex(a[0])),
+    # temporal (cont.) — startofweek truncates to MONDAY (the Spark /
+    # ISO / DuckDB convention; KQL's Sunday week start is a documented
+    # deviation), dayofweek counts days since Monday 0..6 accordingly
+    "startofweek": lambda a: F.date_trunc("week", a[0]),
+    "startofmonth": lambda a: F.date_trunc("month", a[0]),
+    "dayofweek": lambda a: F.weekday(a[0]).cast("bigint"),
+    "hourofday": lambda a: F.hour(a[0]).cast("bigint"),
+    "getyear": lambda a: F.year(a[0]).cast("bigint"),
+    "getmonth": lambda a: F.month(a[0]).cast("bigint"),
+    "dayofmonth": lambda a: F.dayofmonth(a[0]).cast("bigint"),
+    # GetType (scalar_expressions.rs:41) — engine type name of the arg
+    "gettype": lambda a: F.typeof(a[0]),
+    "typeof": lambda a: F.typeof(a[0]),
     # misc
     "strlen_bytes": lambda a: F.octet_length(a[0]),
     "hash_sha256": lambda a: F.sha2(a[0], 256),
@@ -575,6 +603,59 @@ class ExprParser:
                 raise KqlError("round needs (x[, digits])")
             digits = _lit_int(args[1]) if len(args) > 1 else 0
             return KE(F.round(args[0].col, digits))
+        if lname in ("extract_all", "parse_regex"):
+            # extract_all(pattern, s) — array of matches; with a capture
+            # group the group's text, else the whole match
+            # (parse_scalar_expression.rs:7-14 ParseRegex)
+            if len(args) != 2:
+                raise KqlError("extract_all needs (pattern, s)")
+            pat = _lit_str(args[0])
+            grp = 1 if re.compile(pat).groups >= 1 else 0
+            return KE(F.regexp_extract_all(args[1].col, F.lit(pat), grp))
+        if lname == "capture":
+            # capture(s, pattern[, group]) — single-capture twin of
+            # extract (text exec `text_scalar_expressions.rs` Capture)
+            if len(args) < 2:
+                raise KqlError("capture needs (s, pattern[, group])")
+            grp = _lit_int(args[2]) if len(args) > 2 else 1
+            return KE(F.regexp_extract(args[0].col, _lit_str(args[1]), grp))
+        if lname == "array_slice":
+            # array_slice(arr, start, end) — KQL 0-based INCLUSIVE ends;
+            # Spark slice is 1-based (start, length)
+            if len(args) != 3:
+                raise KqlError("array_slice needs (arr, start, end)")
+            lo, hi = _lit_int(args[1]), _lit_int(args[2])
+            if lo < 0 or hi < lo:
+                raise KqlError("array_slice supports 0 <= start <= end")
+            return KE(F.slice(args[0].col, lo + 1, hi - lo + 1))
+        if lname == "totimespan":
+            # literal timespan string "1h" / "90s" / "250ms"
+            # (convert_scalar_expression.rs:7-24 ToTimespan)
+            src = _lit_str(args[0])
+            m = re.fullmatch(r"([\d.]+)(d|h|m|s|ms)", src)
+            if not m:
+                raise KqlError(f"totimespan needs '<n><d|h|m|s|ms>', got {src!r}")
+            secs = float(m.group(1)) * {
+                "d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 0.001
+            }[m.group(2)]
+            return KE(
+                F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(secs)),
+                src,
+            )
+        if lname == "datetime_diff":
+            # datetime_diff('part', d1, d2) = d1 - d2 in whole parts;
+            # timestamp_diff(unit, start, end) = end - start
+            if len(args) != 3:
+                raise KqlError("datetime_diff needs (part, d1, d2)")
+            return KE(F.timestamp_diff(
+                _lit_str(args[0]).upper(), args[2].col, args[1].col
+            ))
+        if lname == "datetime_add":
+            if len(args) != 3:
+                raise KqlError("datetime_add needs (part, amount, d)")
+            return KE(F.timestamp_add(
+                _lit_str(args[0]).upper(), args[1].col, args[2].col
+            ))
         if lname == "extract_json":
             if len(args) != 2:
                 raise KqlError("extract_json needs (path, s)")

@@ -635,3 +635,36 @@ def test_top_nested_hierarchical_topk(spark):
     assert got == [("t1", 7, "h1", 40), ("t2", 5, "h1", 15)]
     with pytest.raises(KqlError):
         kql(df, "T | top-nested 2 of tool")
+
+
+def test_scalar_suite2_functions(spark):
+    df = spark.createDataFrame(
+        [("abcabc", -4.5, "2024-03-15 13:45:30")],
+        "s string, x double, ts string",
+    ).selectExpr("s", "x", "cast(ts as timestamp) ts")
+    r = kql(
+        df,
+        'T | project sg = sign(x), l2 = log2(8.0), rv = reverse(s),'
+        ' rp = strrep(s, 2), ix = indexof(s, "ca"), ix2 = indexof(s, "zz"),'
+        ' co = countof(s, "bc"), hx = tohex(255), sw = startofweek(ts),'
+        ' dw = dayofweek(ts), hd = hourofday(ts), ty = gettype(x),'
+        ' ea = extract_all("[a-z](b)", s), cp = capture(s, "a(b+)c"),'
+        ' sl = array_slice(split(s, ""), 1, 3),'
+        ' dd = datetime_diff("hour", ts, datetime(2024-03-15)),'
+        ' da = datetime_add("day", 2, ts), tsp = totimespan("90s")',
+    ).collect()[0]
+    assert r.sg == -1.0 and r.l2 == 3.0
+    assert r.rv == "cbacba" and r.rp == "abcabcabcabc"
+    assert r.ix == 2 and r.ix2 == -1 and r.co == 2  # 0-based, -1 absent
+    assert r.hx == "ff"
+    assert str(r.sw) == "2024-03-11 00:00:00"  # Monday week start
+    assert r.dw == 4 and r.hd == 13 and r.ty == "double"
+    assert list(r.ea) == ["b", "b"] and r.cp == "b"
+    assert list(r.sl) == ["b", "c", "a"]
+    assert r.dd == 13
+    assert str(r.da) == "2024-03-17 13:45:30"
+    assert r.tsp.total_seconds() == 90.0
+    with pytest.raises(KqlError):
+        kql(df, 'T | project z = totimespan("soon")')
+    with pytest.raises(KqlError):
+        kql(df, "T | project z = array_slice(split(s, \"\"), 3, 1)")
