@@ -1429,6 +1429,38 @@ def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(_docs(spark, sf_dir), "source", k=20)
 
 
+MIXTURE_RATES = {"src0": 2.3, "src1": 1.0, "src2": 0.4, "src3": 0.0}
+
+
+def q_sample_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: per-source target rates, hash-
+    deterministic; rate>1 upsamples via copy explosion (expected
+    multiplicity exactly the rate), rate<1 downsamples, absent
+    sources drop. Narrow — no shuffle, invariant to partitioning."""
+    from otel_arrow_spark.dataops.packing import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), MIXTURE_RATES).select(
+        "doc_id", "source", "copy_idx"
+    )
+
+
+def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥2 distinct
+    word 3-grams with the (synthetic, every-97th-doc) benchmark set.
+    One corpus pass — shingle, explode, broadcast join against the
+    tiny benchmark probe set, partial-aggregated distinct counts
+    (GPT-3 Appx C-style n-gram collision hygiene; gate uses n=3 for
+    discriminative synthetic-corpus overlap, production default n=8)."""
+    from otel_arrow_spark.dataops.decontam import (
+        benchmark_set, contamination_flags,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return contamination_flags(
+        docs, benchmark_set(docs), n=3, min_shared=2
+    )
+
+
 def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (contiguous fill into 512-token packs over 8
     hash-salted streams) with per-pack fill-factor accounting."""
@@ -1559,6 +1591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_clustered_stats": q_curation_clustered_stats,
         "sample_hash_docs": q_sample_hash_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
+        "sample_mixture_docs": q_sample_mixture_docs,
+        "decontam_flags": q_decontam_flags,
         "pack_stats": q_pack_stats,
         "kql_makeset": q_kql_makeset,
         "media_byte_features": q_media_byte_features,
@@ -2160,6 +2194,24 @@ def _packing_oracle(which: str) -> str:
     return packing.pack_stats_oracle_sql(budget=512, n_streams=8)
 
 
+def _mixture_oracle() -> str:
+    from otel_arrow_spark.dataops.packing import mixture_sample_oracle_sql
+
+    return (
+        "SELECT doc_id, source, copy_idx FROM ("
+        + mixture_sample_oracle_sql(MIXTURE_RATES)
+        + ")"
+    )
+
+
+def _decontam_oracle() -> str:
+    from otel_arrow_spark.dataops.decontam import (
+        contamination_flags_oracle_sql,
+    )
+
+    return contamination_flags_oracle_sql(n=3, min_shared=2)
+
+
 def _dataops_oracles() -> dict[str, str]:
     from otel_arrow_spark.dataops import dedup, multimodal, similarity, textstats
 
@@ -2185,6 +2237,8 @@ def _dataops_oracles() -> dict[str, str]:
         "curation_clustered_stats": _curation_clustered_oracle(),
         "sample_hash_docs": _packing_oracle("hash"),
         "sample_stratified_docs": _packing_oracle("stratified"),
+        "sample_mixture_docs": _mixture_oracle(),
+        "decontam_flags": _decontam_oracle(),
         "pack_stats": _packing_oracle("pack"),
         "kql_makeset": (
             "SELECT o_orderstatus, "

@@ -114,6 +114,71 @@ SELECT * EXCLUDE (_srn) FROM (
 """
 
 
+def mixture_sample(docs: DataFrame, rates: dict[str, float],
+                   strata_col: str = "source", key_col: str = "doc_id",
+                   seed: int | str = "mix") -> DataFrame:
+    """Domain-mixture resampling to per-stratum target rates — the
+    "mixture weights" step of a pre-training data pipeline (sample web
+    at 0.3×, upweight code 2×, …).
+
+    ``rate < 1`` downsamples (hash-threshold keep, as
+    :func:`hash_sample`); ``rate >= 1`` upsamples: ``floor(rate)``
+    copies of every row plus one extra for the hash-selected fractional
+    tail, so the expected multiplicity is exactly ``rate`` and the
+    realized choice is deterministic per key. Strata absent from
+    ``rates`` are dropped (rate 0). Output adds ``copy_idx`` (1-based)
+    so downstream shuffles spread the copies.
+
+    Scale shape: narrow — a map-literal lookup, one hash, one
+    ``explode(sequence())``; no shuffle, no driver-side state, stable
+    under repartitioning (the property a `rand()`-based sampler loses
+    whenever the cluster size changes).
+    """
+    items: list = []
+    for k, v in rates.items():
+        if v < 0:
+            raise ValueError(f"rate for {k!r} must be >= 0, got {v}")
+        items += [F.lit(k), F.lit(float(v))]
+    r = F.coalesce(
+        F.create_map(*items)[F.col(strata_col)], F.lit(0.0)
+    )
+    u = h32(F.col(key_col).cast("string"), seed) / F.lit(float(_H32_SPACE))
+    n_copies = (
+        F.floor(r) + (u < (r - F.floor(r))).cast("long")
+    ).cast("int")
+    return (
+        docs.withColumn("_nc", n_copies)
+        .filter(F.col("_nc") >= 1)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_nc"))))
+        .drop("_nc")
+    )
+
+
+def mixture_sample_oracle_sql(rates: dict[str, float],
+                              table: str = "documents",
+                              strata_col: str = "source",
+                              key_col: str = "doc_id",
+                              seed: int | str = "mix") -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}" for k, v in rates.items()
+    )
+    h = h32_sql(f"CAST({key_col} AS VARCHAR)", seed)
+    return f"""
+WITH r AS (
+  SELECT *, CASE {strata_col} {cases} ELSE 0.0 END AS _r,
+         CAST({h} AS DOUBLE) / {float(_H32_SPACE)!r} AS _u
+  FROM {table}
+), n AS (
+  SELECT *, CAST(floor(_r) +
+    (CASE WHEN _u < _r - floor(_r) THEN 1 ELSE 0 END) AS INT) AS _nc
+  FROM r
+)
+SELECT * EXCLUDE (_r, _u, _nc),
+       CAST(unnest(range(1, _nc + 1)) AS INT) AS copy_idx
+FROM n WHERE _nc >= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------

@@ -538,3 +538,73 @@ def test_pack_sequences_contiguous_and_greedy(spark, docs):
     assert any(len(v) > 1 for v in sums.values())
     for toks in sums.values():
         assert sum(toks) <= budget or len(toks) == 1
+
+
+def test_mixture_sample_rates_and_determinism(spark, docs):
+    from otel_arrow_spark.dataops.packing import mixture_sample
+
+    rates = {"src0": 2.0, "src1": 0.5, "src2": 0.0}
+    out = mixture_sample(docs, rates)
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n0 = docs.filter(F.col("source") == "src0").count()
+    # integer rate 2.0: exactly 2 copies of every src0 doc, copy_idx 1..2
+    assert by_src["src0"] == 2 * n0
+    assert sorted(
+        r.copy_idx
+        for r in out.filter(F.col("source") == "src0").collect()
+    ) == sorted([1, 2] * n0)
+    # fractional rate: subset, roughly half
+    n1 = docs.filter(F.col("source") == "src1").count()
+    assert 0 < by_src["src1"] < n1
+    # rate 0 / absent sources drop entirely
+    assert "src2" not in by_src
+    assert out.filter(~F.col("source").isin("src0", "src1")).count() == 0
+    # deterministic under repartitioning
+    a = sorted(map(tuple, out.select("doc_id", "copy_idx").collect()))
+    b = sorted(map(tuple, mixture_sample(docs.repartition(13), rates)
+                   .select("doc_id", "copy_idx").collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"src0": -0.1})
+
+
+def test_decontam_flags_planted_overlap(spark):
+    from otel_arrow_spark.dataops.decontam import (
+        bench_ngrams, benchmark_set, contamination_flags, decontaminate,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),      # benchmark doc
+        (97, "eta theta iota kappa lambda mu"),           # benchmark doc
+        (1, "alpha beta gamma delta other words here"),   # 2 shared 4-grams? no: 1
+        (2, "xx alpha beta gamma delta epsilon yy"),      # shares 2 distinct 4-grams
+        (3, "totally unrelated content with zero overlap"),
+        (4, "eta theta iota kappa lambda mu trailing"),   # shares 3 with doc 97
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = benchmark_set(docs, modulus=97)
+    assert sorted(r.bench_id for r in bench.collect()) == [0, 97]
+    flags = {
+        r.doc_id: r
+        for r in contamination_flags(docs, bench, n=4, min_shared=2).collect()
+    }
+    assert set(flags) == {2, 4}
+    assert flags[2].shared_ngrams == 2 and flags[2].first_bench_id == 0
+    assert flags[4].shared_ngrams == 3 and flags[4].n_bench_docs == 1
+    # benchmark docs never flag themselves; min_shared=1 picks up doc 1
+    one = contamination_flags(docs, bench, n=4, min_shared=1)
+    assert sorted(r.doc_id for r in one.collect()) == [1, 2, 4]
+    clean = decontaminate(docs, bench, n=4, min_shared=2)
+    assert sorted(r.doc_id for r in clean.collect()) == [0, 1, 3, 97]
+    # stop-gram cap: an n-gram present in > max_bench_df bench docs drops
+    dup_bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (97, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    probe = bench_ngrams(
+        benchmark_set(dup_bench, modulus=97), n=4, max_bench_df=1
+    )
+    assert probe.count() == 0
