@@ -892,6 +892,43 @@ def q_kql_text_scalar_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_text_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate pivot` with an explicit value list: per-day counts
+    pivoted to one column per event type — a single hash aggregation
+    (no value-discovery job; the 100 TB shape). Missing combinations
+    coalesce to 0 to match the COUNT(CASE …) oracle."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend d = startofday(ts) | project d, event_type"
+        ' | evaluate pivot(event_type, count(), "click", "view",'
+        ' "purchase", "error", "signup")'
+        " | extend click = coalesce(click, 0), view = coalesce(view, 0),"
+        " purchase = coalesce(purchase, 0), error = coalesce(error, 0),"
+        " signup = coalesce(signup, 0)",
+    )
+
+
+def q_kql_text_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mv-apply` per-record subquery: tokenize each document, filter
+    tokens inside the subquery, aggregate back to one row per record —
+    explode + ONE hash aggregation keyed by the original row (no
+    self-join on a generated id)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        "documents | project doc_id, text"
+        ' | mv-apply tok = split(text, " ") on ('
+        "where strlen(tok) >= 4"
+        " | summarize n_long = count(), u_long = dcount(tok))"
+        " | project doc_id, n_long, u_long",
+    )
+
+
 def q_kql_text_datatable_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`datatable` literal source + `lookup` dimension join in one text
     query: a pure-Catalyst literal relation (no file, no RDD) broadcast
@@ -1553,6 +1590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_mv_expand": q_kql_mv_expand,
         "kql_text_top_nested": q_kql_text_top_nested,
         "kql_text_scalar_suite2": q_kql_text_scalar_suite2,
+        "kql_text_pivot": q_kql_text_pivot,
+        "kql_text_mv_apply": q_kql_text_mv_apply,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
         "kql_text_union": q_kql_text_union,
@@ -2021,6 +2060,22 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "array_to_string(regexp_extract_all(event_type, '([aeiou])', 1)"
             ", ',') AS ea "
             "FROM events WHERE value > 0"
+        ),
+        "kql_text_pivot": (
+            "SELECT date_trunc('day', ts) AS d, "
+            "COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click, "
+            "COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view, "
+            "COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)"
+            " AS purchase, "
+            "COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error, "
+            "COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup "
+            "FROM events GROUP BY 1"
+        ),
+        "kql_text_mv_apply": (
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_long, "
+            "CAST(COUNT(DISTINCT tok) AS BIGINT) AS u_long "
+            "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) WHERE length(tok) >= 4 GROUP BY doc_id"
         ),
         "kql_text_datatable_lookup": (
             "SELECT d.label AS label, COUNT(*) AS n "

@@ -281,6 +281,12 @@ _AGG_MAP = {
     "arg_min": lambda a: F.min_by(a[1], a[0]),
     "stdev": lambda a: F.stddev_samp(a[0]),
     "variance": lambda a: F.var_samp(a[0]),
+    "dcountif": lambda a: F.countDistinct(F.when(a[1], a[0])),
+    # KQL dcount is approximate by design (HLL); the bare form above is
+    # EXACT (cross-engine oracle hashability). dcount_approx opts into
+    # the sketch: HyperLogLog++, bounded state per group at any scale,
+    # mergeable map-side.
+    "dcount_approx": lambda a: F.approx_count_distinct(a[0]),
 }
 
 
@@ -1340,6 +1346,93 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     df = df.select(*common).unionByName(
                         other.select(*common)
                     )
+        elif op == "search":
+            # `search "term"` — case-insensitive containment over EVERY
+            # string column (KQL search over the current table). Compiles
+            # to one OR of contains() predicates — codegen'd, pushable;
+            # no UDF, no per-column passes.
+            m2 = re.match(r"""^(['"])(.*)\1$""", rest.strip(), re.S)
+            if not m2:
+                raise KqlError('search needs a quoted term: search "x"')
+            term = m2.group(2).lower()
+            from pyspark.sql.types import StringType
+
+            scols = [
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, StringType)
+            ]
+            if not scols:
+                raise KqlError("search needs at least one string column")
+            cond = None
+            for c in scols:
+                piece = F.lower(F.col(c)).contains(term)
+                cond = piece if cond is None else (cond | piece)
+            df = df.filter(cond)
+        elif op == "evaluate":
+            # `evaluate pivot(pivotCol, agg() [, v1, v2, …])` — the KQL
+            # pivot plugin: remaining columns become group keys, one
+            # output column per pivot value. With an explicit value list
+            # the plan is a single hash aggregation (the 100 TB shape);
+            # without one Spark first runs a distinct-values job on the
+            # pivot column (documented cost), then sorts the discovered
+            # values so column order is deterministic.
+            m2 = re.match(
+                r"^pivot\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*\s*\(.*?\))"
+                r"\s*(?:,\s*(.+?)\s*)?\)$",
+                rest, re.S,
+            )
+            if not m2:
+                raise KqlError(
+                    "evaluate supports pivot(col, agg() [, values…])"
+                )
+            pcol, aggsrc, valsrc = m2.groups()
+            vals = None
+            if valsrc:
+                vals = [
+                    _unquote(v.strip()) if v.strip()[:1] in "'\""
+                    else v.strip()
+                    for v in _split_commas(valsrc)
+                ]
+            # group keys = every column except the pivot column and the
+            # aggregate's inputs (KQL pivot plugin contract)
+            agg_cols = set(re.findall(r"[A-Za-z_]\w*", aggsrc))
+            keys = [
+                c for c in df.columns if c != pcol and c not in agg_cols
+            ]
+            gb = df.groupBy(*keys)
+            piv = gb.pivot(pcol, vals) if vals is not None else gb.pivot(pcol)
+            df = piv.agg(pe(aggsrc))
+        elif op == "mv-apply":
+            # `mv-apply name = expr on (stage | …)` — per-record
+            # subquery over an exploded array. Row identity is preserved
+            # WITHOUT a self-join: the exploded relation keeps every
+            # original column plus a per-row id, and each `summarize`
+            # inside the subquery is rewritten to group by (original
+            # columns, row id) — so "aggregate per record" is one hash
+            # aggregation and the original row never has to be joined
+            # back (a rejoin on a generated id is the classic
+            # recomputation hazard). The id only disambiguates duplicate
+            # input rows inside this single plan.
+            m2 = re.match(
+                r"^([A-Za-z_]\w*)\s*=\s*(.+?)\s+on\s*\((.+)\)\s*$",
+                rest, re.S,
+            )
+            if not m2:
+                raise KqlError("mv-apply needs `name = expr on (stages)`")
+            name, arrsrc, sub = m2.groups()
+            base_cols = list(df.columns)
+            mv = df.withColumn(
+                "_mvid", F.monotonically_increasing_id()
+            ).withColumn(name, F.explode(pe(arrsrc)))
+            substages = []
+            for st in _split_pipes(sub):
+                if re.match(r"^summarize\b", st.strip()):
+                    joiner = ", " if " by " in st else " by "
+                    st = st + joiner + ", ".join(base_cols + ["_mvid"])
+                substages.append(st)
+            df = _apply_stages(mv, substages, bindings, tables)
+            if "_mvid" in df.columns:
+                df = df.drop("_mvid")
         elif op == "sample":
             # `sample N` — KQL's row sample. Engine choice: order by a
             # 64-bit hash of the row content and keep N, which Catalyst

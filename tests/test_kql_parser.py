@@ -668,3 +668,78 @@ def test_scalar_suite2_functions(spark):
         kql(df, 'T | project z = totimespan("soon")')
     with pytest.raises(KqlError):
         kql(df, "T | project z = array_slice(split(s, \"\"), 3, 1)")
+
+
+def test_search_all_string_columns(spark):
+    df = spark.createDataFrame(
+        [("d1", "Web", "alpha beta"), ("d2", "code", "gamma"),
+         ("d3", "ops", "WEBBED feet")],
+        "id string, src string, text string",
+    )
+    got = sorted(r.id for r in kql(df, 'T | search "web"').collect())
+    assert got == ["d1", "d3"]  # matches src on d1, text on d3
+    with pytest.raises(KqlError):
+        kql(df.select(F.col("id").cast("int")), 'T | search "x"')
+
+
+def test_evaluate_pivot(spark):
+    df = spark.createDataFrame(
+        [("g1", "a", 1.0), ("g1", "a", 2.0), ("g1", "b", 3.0),
+         ("g2", "b", 4.0)],
+        "g string, k string, v double",
+    )
+    out = kql(df, 'T | project g, k | evaluate pivot(k, count(), "a", "b")')
+    rows = {r.g: (r.a, r.b) for r in out.collect()}
+    assert rows == {"g1": (2, 1), "g2": (None, 1)}
+    # discovered values are sorted -> deterministic column order
+    out2 = kql(df, "T | project g, k | evaluate pivot(k, count())")
+    assert out2.columns == ["g", "a", "b"]
+    # aggregate other than count
+    out3 = kql(df, 'T | project g, k, v | evaluate pivot(k, sum(v), "a")')
+    assert {r.g: r.a for r in out3.collect()} == {"g1": 3.0, "g2": None}
+    with pytest.raises(KqlError):
+        kql(df, "T | evaluate frobnicate(k)")
+
+
+def test_mv_apply_per_record_subquery(spark):
+    df = spark.createDataFrame(
+        [("d1", "a b c a b"), ("d2", "x y"), ("d3", "a a a"), ("d4", "")],
+        "id string, text string",
+    )
+    out = kql(
+        df,
+        'T | mv-apply tok = split(text, " ") on ('
+        "where strlen(tok) > 0"
+        " | summarize n_toks = count(), u_toks = dcount(tok))",
+    )
+    rows = {r.id: (r.n_toks, r.u_toks) for r in out.collect()}
+    # d4's only token is '' -> filtered -> the all-filtered record drops
+    # (KQL mv-apply with an aggregating subquery keeps matching rows)
+    assert rows == {"d1": (5, 3), "d2": (2, 2), "d3": (3, 1)}
+    assert "_mvid" not in out.columns
+    # duplicate input rows stay distinct records (the row-id's job)
+    dup = spark.createDataFrame(
+        [("z", "p q"), ("z", "p q")], "id string, text string"
+    )
+    out2 = kql(
+        dup,
+        'T | mv-apply tok = split(text, " ") on ('
+        "summarize n = count())",
+    )
+    assert [r.n for r in out2.collect()] == [2, 2]
+    # non-aggregating subquery == expand + filter
+    out3 = kql(df, 'T | mv-apply tok = split(text, " ") on ('
+                   'where tok == "x")')
+    assert [(r.id, r.tok) for r in out3.collect()] == [("d2", "x")]
+
+
+def test_dcountif_and_dcount_approx(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("b", 3)], "k string, v int"
+    )
+    row = kql(
+        df,
+        'T | summarize d = dcountif(v, k == "a"), ap = dcount_approx(v)',
+    ).collect()[0]
+    assert row.d == 2  # {1,2} where k=a
+    assert row.ap == 3  # HLL exact at this tiny cardinality
