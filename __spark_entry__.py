@@ -929,6 +929,48 @@ def q_kql_text_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_text_serialize_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialized-window family over a partitioned window: `sort by`
+    serializes (KQL semantics), `serialize by user_id` re-partitions the
+    window so row_number/prev/next/row_cumsum run as ONE parallel Window
+    operator per user group — no global single-partition pass (the
+    100 TB shape; analog of the reference's cursor ordering,
+    `rust/experimental/query_engine` serialized-scan semantics).
+    event_id breaks ts ties so the order — and the lag/lead values — are
+    deterministic in both engines."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | sort by user_id asc, ts asc, event_id asc"
+        " | serialize by user_id"
+        " | extend rn = row_number(), prev_type = prev(event_type),"
+        ' next_type = next(event_type, 1, "none"),'
+        " cum_len = row_cumsum(tolong(strlen(event_type)))"
+        " | where rn <= 3"
+        " | project user_id, event_id, rn, prev_type, next_type, cum_len",
+    )
+
+
+def q_kql_text_serialize_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare global serialized window — the legitimate use: AFTER the
+    aggregation, when the relation is tiny (one row per event type).
+    row_number/row_cumsum run over a single ordered partition of ~5
+    rows; the heavy lifting (count by type) is the usual parallel hash
+    aggregation."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | summarize n = count() by event_type"
+        " | sort by event_type asc"
+        " | extend rn = row_number(), running = row_cumsum(n)"
+        " | project event_type, n, rn, running",
+    )
+
+
 def q_kql_text_datatable_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`datatable` literal source + `lookup` dimension join in one text
     query: a pure-Catalyst literal relation (no file, no RDD) broadcast
@@ -1592,6 +1634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_scalar_suite2": q_kql_text_scalar_suite2,
         "kql_text_pivot": q_kql_text_pivot,
         "kql_text_mv_apply": q_kql_text_mv_apply,
+        "kql_text_serialize_windows": q_kql_text_serialize_windows,
+        "kql_text_serialize_global": q_kql_text_serialize_global,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
         "kql_text_union": q_kql_text_union,
@@ -2076,6 +2120,28 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "CAST(COUNT(DISTINCT tok) AS BIGINT) AS u_long "
             "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
             "FROM documents) WHERE length(tok) >= 4 GROUP BY doc_id"
+        ),
+        "kql_text_serialize_windows": (
+            "SELECT user_id, event_id, rn, prev_type, next_type, cum_len "
+            "FROM (SELECT user_id, event_id, "
+            "CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn, "
+            "LAG(event_type) OVER w AS prev_type, "
+            "COALESCE(LEAD(event_type) OVER w, 'none') AS next_type, "
+            "CAST(SUM(LENGTH(event_type)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_len "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "WHERE rn <= 3"
+        ),
+        "kql_text_serialize_global": (
+            "SELECT event_type, n, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS INTEGER)"
+            " AS rn, "
+            "CAST(SUM(n) OVER (ORDER BY event_type "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running "
+            "FROM (SELECT event_type, COUNT(*) AS n "
+            "FROM events GROUP BY event_type)"
         ),
         "kql_text_datatable_lookup": (
             "SELECT d.label AS label, COUNT(*) AS n "

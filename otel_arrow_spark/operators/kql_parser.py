@@ -60,7 +60,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -294,10 +294,16 @@ class ExprParser:
     """Pratt parser for KQL scalar expressions → KE node."""
 
     def __init__(self, toks: list[Tok], pos: int = 0,
-                 bindings: dict[str, "KE | Column"] | None = None):
+                 bindings: dict[str, "KE | Column"] | None = None,
+                 wspec=None):
         self.toks = toks
         self.pos = pos
         self.bindings = bindings or {}
+        # Window spec of the current serialized row set (set by
+        # `sort by` / `serialize`); None outside one. Window functions
+        # (row_number/prev/next/row_cumsum/…) are only legal when set —
+        # same rule as KQL, where they require a serialized input.
+        self.wspec = wspec
 
     def peek(self) -> Tok:
         return self.toks[self.pos]
@@ -687,6 +693,53 @@ class ExprParser:
             if len(args) != 1:
                 raise KqlError("parse_json needs (s)")
             return KE(F.parse_json(args[0].col), variant=True)
+        if lname in ("row_number", "prev", "next", "row_cumsum",
+                     "row_rank_min", "row_rank_dense"):
+            # Serialized-window functions. Legal only on a serialized
+            # row set (after `sort by`, optionally re-partitioned by
+            # `serialize by k…`) — the same precondition KQL enforces.
+            # Each compiles to ONE Catalyst Window expression over the
+            # stage-provided spec; with `serialize by` keys the window
+            # is partitioned (parallel, the 100 TB shape), without them
+            # it is a single ordered partition (KQL's own semantics for
+            # a fully serialized table — use on small/aggregated
+            # relations only; the docstring on `serialize` says so).
+            if self.wspec is None:
+                raise KqlError(
+                    f"{lname}() requires a serialized row set: "
+                    "`sort by …` first (add `serialize by key` to keep "
+                    "the window partitioned)"
+                )
+            w = self.wspec
+            if lname == "row_number":
+                if len(args) > 1:
+                    raise KqlError("row_number takes ([start])")
+                start = _lit_int(args[0]) if args else 1
+                return KE(F.row_number().over(w) + F.lit(start - 1))
+            if lname == "row_rank_min":
+                return KE(F.rank().over(w))
+            if lname == "row_rank_dense":
+                return KE(F.dense_rank().over(w))
+            if lname == "row_cumsum":
+                if len(args) != 1:
+                    raise KqlError(
+                        "row_cumsum needs (x) (restart arg unsupported)"
+                    )
+                return KE(F.sum(args[0].col).over(
+                    w.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)))
+            # prev(x[, offset[, default]]) / next(…)
+            if not args or len(args) > 3:
+                raise KqlError(f"{lname} needs (x[, offset[, default]])")
+            off = _lit_int(args[1]) if len(args) > 1 else 1
+            if len(args) > 2:
+                if not args[2].is_lit:
+                    raise KqlError(f"{lname} default must be a literal")
+                dflt = args[2].lit
+            else:
+                dflt = None
+            fn = F.lag if lname == "prev" else F.lead
+            return KE(fn(args[0].col, off, dflt).over(w))
         cols = [a.col for a in args]
         try:
             if lname in _FUNC_MAP_SIMPLE:
@@ -705,16 +758,18 @@ def _unquote(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", body)
 
 
-def parse_expr_ke(s: str, bindings: dict[str, "KE | Column"] | None = None) -> KE:
-    p = ExprParser(tokenize(s), bindings=bindings)
+def parse_expr_ke(s: str, bindings: dict[str, "KE | Column"] | None = None,
+                  wspec=None) -> KE:
+    p = ExprParser(tokenize(s), bindings=bindings, wspec=wspec)
     c = p.parse()
     if p.peek().kind != "eof":
         raise KqlError(f"trailing tokens at {p.peek().text!r}")
     return c
 
 
-def parse_expr(s: str, bindings: dict[str, "KE | Column"] | None = None) -> Column:
-    return parse_expr_ke(s, bindings).col
+def parse_expr(s: str, bindings: dict[str, "KE | Column"] | None = None,
+               wspec=None) -> Column:
+    return parse_expr_ke(s, bindings, wspec=wspec).col
 
 
 # ---------------------------------------------------------------------------
@@ -973,14 +1028,28 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                   tables: dict[str, DataFrame] | None = None) -> DataFrame:
     from otel_arrow_spark.operators import kql as ops
 
+    # Serialization state (KQL: `sort by` output IS a serialized row
+    # set; `serialize by k…` re-partitions the window). `order` holds
+    # the sort Columns, `wspec` the Window spec window functions
+    # compile against. Order-destroying stages reset both — the KQL
+    # rule that summarize/join/… de-serialize the table.
+    sctx: dict = {"order": None, "wspec": None}
+    _ORDER_DESTROYING = {
+        "summarize", "join", "lookup", "union", "distinct", "count",
+        "sample", "sample-distinct", "mv-expand", "mv-apply",
+        "make-series", "evaluate", "top-nested", "search",
+    }
+
     def pe(s: str) -> Column:
-        return parse_expr(s, bindings)
+        return parse_expr(s, bindings, wspec=sctx["wspec"])
 
     for stage in stages:
         m = re.match(r"^([a-z-]+)\s*(.*)$", stage, re.S)
         if not m:
             raise KqlError(f"bad stage {stage!r}")
         op, rest = m.group(1), m.group(2).strip()
+        if op in _ORDER_DESTROYING:
+            sctx["order"] = sctx["wspec"] = None
         if op == "where":
             df = df.filter(pe(rest))
         elif op == "extend":
@@ -1038,6 +1107,45 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     # KQL default sort order is descending (kql docs)
                     cols.append(pe(part).desc())
             df = df.orderBy(*cols)
+            # sort output is serialized (KQL semantics): window
+            # functions become legal, over a GLOBAL ordered window
+            # until `serialize by k…` re-partitions it.
+            sctx["order"] = cols
+            sctx["wspec"] = Window.orderBy(*cols)
+        elif op == "serialize":
+            # `serialize [by k1, k2…] [name = expr, …]`
+            #
+            # Standard KQL `serialize` freezes the *current* row order —
+            # but a distributed table has no deterministic natural
+            # order, so this engine requires a preceding `sort by` (the
+            # honest deviation; an unsorted serialize would be
+            # nondeterministic at any scale).
+            #
+            # `serialize by k…` is this engine's scale extension: the
+            # window becomes partitionBy(k…).orderBy(sort keys) — one
+            # parallel window per key group (the 100 TB shape; bare
+            # `serialize` is a single ordered partition and belongs
+            # only on small/aggregated relations).
+            if sctx["order"] is None:
+                raise KqlError(
+                    "serialize requires a preceding `sort by` — a "
+                    "distributed table has no natural row order"
+                )
+            m2 = re.match(r"^by\s+([^=]+?)\s*(?:$|(?=[A-Za-z_]\w*\s*=))",
+                          rest, re.S)
+            assigns_src = rest
+            if m2:
+                keys = [pe(k) for k in _split_commas(m2.group(1))]
+                sctx["wspec"] = Window.partitionBy(*keys).orderBy(
+                    *sctx["order"])
+                assigns_src = rest[m2.end():].strip()
+            if assigns_src:
+                cols = {}
+                for name, expr in _parse_assignments(assigns_src):
+                    if name is None:
+                        raise KqlError("serialize needs name = expr")
+                    cols[name] = pe(expr)
+                df = df.withColumns(cols)
         elif op in ("take", "limit"):
             try:
                 df = df.limit(int(rest))
@@ -1477,8 +1585,6 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             # with a window whose partitions are the kept parents only.
             # Ties break on the key value ascending so results are
             # deterministic (KQL leaves ties arbitrary).
-            from pyspark.sql import Window
-
             kept = None
             prev_cols: list[str] = []
             out_cols: list[str] = []

@@ -743,3 +743,54 @@ def test_dcountif_and_dcount_approx(spark):
     ).collect()[0]
     assert row.d == 2  # {1,2} where k=a
     assert row.ap == 3  # HLL exact at this tiny cardinality
+
+
+def test_serialize_window_functions(spark):
+    df = spark.createDataFrame(
+        [("c1", 1, 10.0), ("c1", 2, 20.0), ("c1", 3, 30.0),
+         ("c2", 1, 5.0), ("c2", 2, 7.0)],
+        "conv string, idx int, v double",
+    )
+    out = kql(
+        df,
+        "T | sort by conv asc, idx asc | serialize by conv"
+        " | extend rn = row_number(), pv = prev(v), nv = next(v, 1, -1.0),"
+        " cum = row_cumsum(v)"
+        " | project conv, idx, rn, pv, nv, cum",
+    )
+    rows = {(r.conv, r.idx): (r.rn, r.pv, r.nv, r.cum)
+            for r in out.collect()}
+    assert rows[("c1", 1)] == (1, None, 20.0, 10.0)
+    assert rows[("c1", 3)] == (3, 20.0, -1.0, 60.0)
+    assert rows[("c2", 2)] == (2, 5.0, -1.0, 12.0)
+    # global serialized window (no `by`): sort alone serializes
+    out2 = kql(
+        df,
+        "T | sort by conv asc, idx asc"
+        " | extend rn = row_number(100), cum = row_cumsum(v)"
+        " | project conv, idx, rn, cum",
+    )
+    rows2 = {(r.conv, r.idx): (r.rn, r.cum) for r in out2.collect()}
+    assert rows2[("c1", 1)] == (100, 10.0)
+    assert rows2[("c2", 2)] == (104, 72.0)
+
+
+def test_serialize_preconditions_and_reset(spark):
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    # window fn without serialization → error
+    with pytest.raises(KqlError):
+        kql(df, "T | extend rn = row_number()")
+    # serialize without sort → error
+    with pytest.raises(KqlError):
+        kql(df, "T | serialize by k")
+    # summarize de-serializes
+    with pytest.raises(KqlError):
+        kql(df, "T | sort by k asc | summarize n = count() by k"
+                " | extend rn = row_number()")
+    # rank variants
+    df2 = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2)], "k string, v int")
+    out = kql(df2, "T | sort by k asc, v asc | serialize by k"
+                   " | extend r = row_rank_min(), d = row_rank_dense()")
+    got = sorted((r.v, r.r, r.d) for r in out.collect())
+    assert got == [(1, 1, 1), (1, 1, 1), (2, 3, 2)]
