@@ -971,6 +971,40 @@ def q_kql_text_serialize_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (click → view → purchase) per user — the KQL
+    `scan` workhorse as chained window minima: step i = min(ts where
+    pred AND ts > t_{i-1}) over the user partition. Pure set minima →
+    order-free and deterministic; ONE Exchange serves the whole window
+    chain AND the final per-user collapse (plan-asserted in
+    tests/test_sequence.py)."""
+    from otel_arrow_spark.operators.sequence import funnel_steps
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return funnel_steps(
+        events, ["user_id"], "ts",
+        [("click", F.col("event_type") == "click"),
+         ("view", F.col("event_type") == "view"),
+         ("purchase", F.col("event_type") == "purchase")],
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30-min inactivity) per user — the
+    `row_window_session` shape: lag + running boundary count sharing
+    one Exchange/Sort, then two map-side-combinable aggregations
+    (per-session, per-user) that reuse the window's partitioning.
+    event_id breaks ts ties so session boundaries are deterministic
+    cross-engine."""
+    from otel_arrow_spark.operators.sequence import session_stats
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return session_stats(
+        events, ["user_id"], "ts", gap_seconds=1800.0,
+        tiebreak=["event_id"],
+    )
+
+
 def q_kql_text_datatable_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`datatable` literal source + `lookup` dimension join in one text
     query: a pure-Catalyst literal relation (no file, no RDD) broadcast
@@ -1636,6 +1670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_mv_apply": q_kql_text_mv_apply,
         "kql_text_serialize_windows": q_kql_text_serialize_windows,
         "kql_text_serialize_global": q_kql_text_serialize_global,
+        "funnel_conversion": q_funnel_conversion,
+        "session_stats": q_session_stats,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
         "kql_text_union": q_kql_text_union,
@@ -1704,6 +1740,8 @@ def _closure_oracle(select: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from otel_arrow_spark.operators import sequence as _seq
+
     return {
         "pipeline_sink_counts": _parsed_oracle(
             "SELECT sink, COUNT(*) AS n_rows FROM routed GROUP BY sink"
@@ -2133,6 +2171,15 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
             "WHERE rn <= 3"
+        ),
+        "funnel_conversion": _seq.funnel_oracle_sql(
+            ["user_id"], "ts",
+            [("click", "event_type = 'click'"),
+             ("view", "event_type = 'view'"),
+             ("purchase", "event_type = 'purchase'")],
+        ),
+        "session_stats": _seq.sessionize_oracle_sql(
+            ["user_id"], "ts", 1800.0, tiebreak=["event_id"],
         ),
         "kql_text_serialize_global": (
             "SELECT event_type, n, "

@@ -1180,6 +1180,33 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     # KQL top default order is descending
                     cols.append(pe(part).desc())
             df = df.orderBy(*cols).limit(int(m2.group(1)))
+        elif op == "top-hitters":
+            # `top-hitters N of c [by sumExpr]` — heavy hitters. Kusto
+            # computes this approximately; this engine computes it
+            # EXACTLY: a map-side-combinable hash aggregation on c
+            # (state = one row per distinct c, the same bound a sketch
+            # would amortize) followed by TakeOrderedAndProject — no
+            # global sort. Output column names match Kusto
+            # (approximate_count_/approximate_sum_) so queries port.
+            m2 = re.match(
+                r"^(\d+)\s+of\s+([A-Za-z_]\w*)(?:\s+by\s+(.+))?$",
+                rest, re.S,
+            )
+            if not m2:
+                raise KqlError(
+                    "top-hitters needs `top-hitters N of col [by expr]`"
+                )
+            n, c, by = int(m2.group(1)), m2.group(2), m2.group(3)
+            if by:
+                out = "approximate_sum_" + re.sub(r"\W+", "_", by.strip())
+                agg = F.sum(pe(by)).alias(out)
+            else:
+                out = f"approximate_count_{c}"
+                agg = F.count(F.lit(1)).alias(out)
+            df = (df.groupBy(c).agg(agg)
+                    .orderBy(F.col(out).desc(), F.col(c).asc())
+                    .limit(n))
+            sctx["order"] = sctx["wspec"] = None
         elif op == "mv-expand":
             # `mv-expand name = expr` (or a bare array column) — one
             # element per output row; null/empty arrays yield no rows
