@@ -971,6 +971,23 @@ def q_kql_text_serialize_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_text_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate bag_unpack` with an explicit typed key list: VARIANT
+    path extraction is one narrow projection (no discovery job), then a
+    map-side-combinable aggregate. The k column goes through Spark's
+    VARIANT type (`parse_json` → `try_variant_get`)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        'T | evaluate bag_unpack(parse_json(props), "k:long")'
+        " | summarize n = count(), sum_k = sum(k), max_k = max(k)"
+        " by event_type",
+        tables={"T": events},
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (click → view → purchase) per user — the KQL
     `scan` workhorse as chained window minima: step i = min(ts where
@@ -1672,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_serialize_global": q_kql_text_serialize_global,
         "funnel_conversion": q_funnel_conversion,
         "session_stats": q_session_stats,
+        "kql_text_bag_unpack": q_kql_text_bag_unpack,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
         "kql_text_union": q_kql_text_union,
@@ -2171,6 +2189,12 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
             "WHERE rn <= 3"
+        ),
+        "kql_text_bag_unpack": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k "
+            "FROM events GROUP BY event_type"
         ),
         "funnel_conversion": _seq.funnel_oracle_sql(
             ["user_id"], "ts",

@@ -1481,6 +1481,29 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     df = df.select(*common).unionByName(
                         other.select(*common)
                     )
+        elif op == "as":
+            # `as name` — bind the pipeline-so-far into the table
+            # registry so a later `join`/`union`/`lookup` subquery can
+            # reference it by name. Pure plan aliasing: the bound
+            # relation is the lazy DataFrame (Catalyst reuses the
+            # common subplan; nothing materializes here).
+            m2 = re.match(r"^(?:hint\.materialized\s*=\s*\w+\s+)?"
+                          r"([A-Za-z_]\w*)$", rest)
+            if not m2:
+                raise KqlError("as needs an identifier: `as name`")
+            if tables is None:
+                tables = {}
+            tables[m2.group(1)] = df
+        elif op == "getschema":
+            # `getschema` — the table's schema as rows (driver-side
+            # constant relation; never touches data).
+            spark = df.sparkSession
+            df = spark.createDataFrame(
+                [(f.name, i, f.dataType.simpleString())
+                 for i, f in enumerate(df.schema.fields)],
+                "ColumnName string, ColumnOrdinal long, ColumnType string",
+            )
+            sctx["order"] = sctx["wspec"] = None
         elif op == "search":
             # `search "term"` — case-insensitive containment over EVERY
             # string column (KQL search over the current table). Compiles
@@ -1504,6 +1527,57 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 cond = piece if cond is None else (cond | piece)
             df = df.filter(cond)
         elif op == "evaluate":
+            mbag = re.match(r"^bag_unpack\s*\((.+)\)\s*$", rest, re.S)
+            if mbag:
+                # `evaluate bag_unpack(expr [, "k1[:type]", …])` —
+                # expand a dynamic (VARIANT) property bag into columns.
+                # With an explicit key list this is ONE narrow
+                # projection (`try_variant_get` per key — the 100 TB
+                # shape). Without one, a key-discovery aggregation runs
+                # first (distinct json keys — same two-job cost profile
+                # as value-less pivot; keys sorted for determinism).
+                parts = _split_commas(mbag.group(1))
+                src = parts[0].strip()
+                bag = parse_expr_ke(src, bindings)
+                is_var_col = (
+                    src.strip() in df.columns
+                    and df.schema[src.strip()].dataType.typeName()
+                    == "variant"
+                )
+                if not (bag.variant or is_var_col):
+                    raise KqlError(
+                        "bag_unpack needs a dynamic value — wrap the "
+                        "column in parse_json(...)"
+                    )
+                if len(parts) > 1:
+                    specs = []
+                    for p in parts[1:]:
+                        s = _unquote(p.strip())
+                        name, _, typ = s.partition(":")
+                        specs.append((name, typ or "string"))
+                else:
+                    keyrows = (
+                        df.select(F.explode(F.json_object_keys(
+                            F.to_json(bag.col))).alias("k"))
+                        .distinct().collect()
+                    )
+                    specs = sorted((r.k, "string") for r in keyrows)
+                clash = [n for n, _ in specs if n in df.columns]
+                if clash:
+                    raise KqlError(
+                        f"bag_unpack key(s) {clash} collide with "
+                        "existing columns"
+                    )
+                # a bare-column source disappears from the output
+                # (Kusto bag_unpack contract)
+                keep = [c for c in df.columns
+                        if c != src.strip()]
+                df = df.select(
+                    *keep,
+                    *[F.try_variant_get(bag.col, f"$.{n}", t).alias(n)
+                      for n, t in specs],
+                )
+                continue
             # `evaluate pivot(pivotCol, agg() [, v1, v2, …])` — the KQL
             # pivot plugin: remaining columns become group keys, one
             # output column per pivot value. With an explicit value list
@@ -1518,7 +1592,8 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             )
             if not m2:
                 raise KqlError(
-                    "evaluate supports pivot(col, agg() [, values…])"
+                    "evaluate supports pivot(col, agg() [, values…]) "
+                    "and bag_unpack(expr [, keys…])"
                 )
             pcol, aggsrc, valsrc = m2.groups()
             vals = None

@@ -794,3 +794,46 @@ def test_serialize_preconditions_and_reset(spark):
                    " | extend r = row_rank_min(), d = row_rank_dense()")
     got = sorted((r.v, r.r, r.d) for r in out.collect())
     assert got == [(1, 1, 1), (1, 1, 1), (2, 3, 2)]
+
+
+def test_evaluate_bag_unpack(spark):
+    df = spark.createDataFrame(
+        [("e1", '{"k": 3, "s": "x"}'), ("e2", '{"k": 7}'), ("e3", None)],
+        "id string, props string",
+    )
+    out = kql(
+        df,
+        'T | evaluate bag_unpack(parse_json(props), "k:long", "s")'
+        " | project id, k, s",
+    )
+    rows = {r.id: (r.k, r.s) for r in out.collect()}
+    assert rows == {"e1": (3, "x"), "e2": (7, None), "e3": (None, None)}
+    # discovery mode: keys found by a distinct-keys job, sorted
+    out2 = kql(df, "T | project id, p = parse_json(props)"
+                   " | evaluate bag_unpack(p)")
+    assert out2.columns == ["id", "k", "s"]  # bare column source dropped
+    # collision with an existing column -> error
+    with pytest.raises(KqlError):
+        kql(df, 'T | evaluate bag_unpack(parse_json(props), "id")')
+    # non-dynamic source -> error
+    with pytest.raises(KqlError):
+        kql(df, "T | evaluate bag_unpack(props)")
+
+
+def test_as_and_getschema(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3)], "k string, v int")
+    # `as` binds the mid-pipe relation for a later join
+    out = kql(
+        df,
+        "T | summarize n = count() by k | as counts"
+        " | join kind=inner (counts) on k"
+        " | project k, n, n1",
+    )
+    assert {(r.k, r.n, r.n1) for r in out.collect()} == {
+        ("a", 1, 1), ("b", 2, 2)}
+    sch = kql(df, "T | getschema").collect()
+    assert [(r.ColumnName, r.ColumnOrdinal, r.ColumnType) for r in sch] == [
+        ("k", 0, "string"), ("v", 1, "int")]
+    with pytest.raises(KqlError):
+        kql(df, "T | as 9bad")
