@@ -367,3 +367,33 @@ def streaming_histogram_points(
             "bucket_counts",
         )
     )
+
+
+def streaming_gap_sessions(
+    turns: DataFrame,
+    gap: str = "30 seconds",
+    watermark: str = "2 hours",
+    key: str = "conv_id",
+) -> DataFrame:
+    """Event-time gap sessionization as a streaming aggregation — the
+    streaming twin of ``operators.sequence.sessionize`` (KQL
+    ``row_window_session`` shape). ``session_window`` merges events
+    whose [ts, ts+gap) extents overlap, so a session closes after a
+    strictly-larger-than-gap silence — the same boundary rule as the
+    batch operator's ``diff > gap`` test (exact-equality ties differ
+    only on measure-zero timestamps; the parity test asserts equality on
+    real data). State per key is one open session (bounded); a session
+    finalizes — and is emitted exactly once in append mode — when the
+    watermark passes its close.
+    """
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy(F.col(key), F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            key,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_rows",
+        )
+    )

@@ -145,3 +145,54 @@ def test_top_hitters_stage(spark):
     # plan: TakeOrderedAndProject, not a global sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_streaming_gap_sessions_equal_batch(spark, tmp_path):
+    """Batch `sessionize` and streaming `session_window` gap sessions
+    must agree on session count and per-session row counts — the
+    batch/stream parity gate for the sessionization operator."""
+    import datetime as dt
+
+    from otel_arrow_spark.operators.sequence import sessionize
+    from otel_arrow_spark.streaming.pipeline import streaming_gap_sessions
+
+    rows = []
+    base = dt.datetime(2026, 1, 1)
+    # conv a: 3 bursts separated by >30s; conv b: one burst
+    for i, off in enumerate([0, 5, 10, 60, 65, 200]):
+        rows.append(("a", i, base + dt.timedelta(seconds=off)))
+    for i, off in enumerate([0, 20, 29]):
+        rows.append(("b", i, base + dt.timedelta(seconds=off)))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    in_dir = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(df.schema).parquet(in_dir)
+    )
+    q = (
+        streaming_gap_sessions(stream, gap="30 seconds")
+        .writeStream.format("memory").queryName("gap_sessions")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.conv_id, r.session_start): r.n_rows
+        for r in spark.sql("SELECT * FROM gap_sessions").collect()
+    }
+
+    batch = sessionize(
+        spark.read.parquet(in_dir), ["conv_id"], "ts", 30.0,
+        tiebreak=["turn_idx"],
+    )
+    b = (
+        batch.groupBy("conv_id", "session_id")
+        .agg({"ts": "min", "*": "count"})
+        .withColumnRenamed("min(ts)", "session_start")
+        .withColumnRenamed("count(1)", "n_rows")
+    )
+    batched = {
+        (r.conv_id, r.session_start): r.n_rows for r in b.collect()
+    }
+    assert streamed == batched
+    assert len(batched) == 4  # a: 3 sessions, b: 1
