@@ -988,6 +988,40 @@ def q_kql_text_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup: the dup-injected variants play the
+    INCOMING batch, the base documents play the EXISTING corpus —
+    banded MinHash-LSH as a two-relation join (one shuffle
+    co-partitioning both sides on band keys, corpus-side bucket cap),
+    not a self-join. The continual-training flow: flag new docs that
+    near-duplicate what the training set already holds."""
+    from otel_arrow_spark.dataops.dedup import (
+        cross_corpus_neardup, dup_corpus,
+    )
+
+    full = dup_corpus(_docs(spark, sf_dir))
+    corpus = full.filter(F.col("doc_id") < 1000000)
+    new = full.filter(F.col("doc_id") >= 1000000)
+    return cross_corpus_neardup(new, corpus, tau=0.5)
+
+
+def q_kql_text_partition_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`partition by key ( top … )` — per-key subquery rewritten to a
+    key-partitioned row_number window (one shuffle, per-partition
+    heaps), never per-key jobs: the shuffle-strategy semantics at any
+    key cardinality (Kusto's native strategy caps at 64 partitions —
+    this rewrite has no cap)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | partition by event_type"
+        " (top 3 by value desc, event_id asc)"
+        " | project event_type, event_id, value",
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (click → view → purchase) per user — the KQL
     `scan` workhorse as chained window minima: step i = min(ts where
@@ -1690,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "session_stats": q_session_stats,
         "kql_text_bag_unpack": q_kql_text_bag_unpack,
+        "kql_text_partition_top": q_kql_text_partition_top,
+        "dedup_cross_corpus": q_dedup_cross_corpus,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
         "kql_text_union": q_kql_text_union,
@@ -2190,6 +2226,11 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
             "WHERE rn <= 3"
         ),
+        "kql_text_partition_top": (
+            "SELECT event_type, event_id, value FROM events "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY value DESC, event_id ASC) <= 3"
+        ),
         "kql_text_bag_unpack": (
             "SELECT event_type, COUNT(*) AS n, "
             "CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, "
@@ -2415,6 +2456,12 @@ def _dataops_oracles() -> dict[str, str]:
         "dedup_exact_groups": dedup.exact_dup_groups_oracle_sql(),
         "dedup_minhash_sigs": dedup.minhash_signatures_oracle_sql(),
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle_sql(),
+        "dedup_cross_corpus": dedup.cross_corpus_neardup_oracle_sql(
+            new_sql=f"SELECT * FROM ({dedup.DUP_CORPUS_SQL})"
+                    " WHERE doc_id >= 1000000",
+            corpus_sql=f"SELECT * FROM ({dedup.DUP_CORPUS_SQL})"
+                       " WHERE doc_id < 1000000",
+        ),
         "dedup_neardup_clusters": dedup.neardup_clusters_oracle_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),
         "dedup_simhash": dedup.simhash_oracle_sql(),

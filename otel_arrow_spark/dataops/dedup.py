@@ -732,3 +732,122 @@ SELECT d.doc_id,
 FROM corpus2 d LEFT JOIN reach r ON r.a = d.doc_id
 GROUP BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus (incremental) near-dup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+def cross_corpus_neardup(new: DataFrame, corpus: DataFrame,
+                         k: int = 8, bands: int = 4, n: int = 3,
+                         tau: float = 0.5, text_col: str = "text",
+                         max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                         ) -> DataFrame:
+    """Near-dup pairs between an incoming batch and an EXISTING corpus —
+    the continual-ingest dedup (new crawl vs what's already in the
+    training set). Same banded MinHash-LSH shape as
+    :func:`minhash_lsh_pairs` but a two-relation join, which scales
+    differently — and better — than the self-join:
+
+    - band keys are narrow per-row computations on each side; the only
+      shuffle co-partitions both sides on (band_id, band_key);
+    - the bucket cap applies to the CORPUS side (that's where a
+      degenerate bucket lives at 100 TB; a capped corpus bucket drops
+      candidate generation, not corpus rows);
+    - candidate verification recomputes shingle sets for the candidate
+      doc ids only, one join per side.
+
+    Returns (new_id, corpus_id, jaccard ≥ tau). Typical use drops or
+    down-weights flagged new docs before appending to the corpus.
+    """
+    ns = _persist(_with_sig(new, k, n, text_col, keep_shingles=True))
+    cs = _persist(_with_sig(corpus, k, n, text_col, keep_shingles=True))
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            F.posexplode(_band_keys(F.col("sig"), k, bands)).alias(
+                "band_id", "band_key"
+            ),
+        )
+
+    nb = banded(ns)
+    cb = _cap_buckets(banded(cs), ["band_id", "band_key"], max_bucket)
+    cands = (
+        nb.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    j = _jaccard(F.col("sa.sh"), F.col("sb.sh"))
+    return (
+        cands.join(ns.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        .join(cs.alias("sb"), F.col("corpus_id") == F.col("sb.doc_id"))
+        .select("new_id", "corpus_id", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def cross_corpus_neardup_oracle_sql(new_sql: str, corpus_sql: str,
+                                    k: int = 8, bands: int = 4, n: int = 3,
+                                    tau: float = 0.5,
+                                    max_bucket: int = DEFAULT_MAX_BUCKET,
+                                    ) -> str:
+    r = k // bands
+    cols = ", ".join(
+        minhash_value_sql("hs", s) + f" AS mh_{s}" for s in range(k)
+    )
+
+    def side(name: str, src: str) -> str:
+        band_rows = " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band_id, {h} AS band_key"
+            " FROM {name}_sigs".format(
+                b=b, name=name,
+                h=h32_sql(
+                    "concat_ws(',', "
+                    + ", ".join(f"mh_{b * r + j}::VARCHAR" for j in range(r))
+                    + ")",
+                    f"band{b}",
+                ),
+            )
+            for b in range(bands)
+        )
+        return f"""
+{name}_src AS ({src}),
+{name}_hashed AS (
+  SELECT doc_id, w, {hashed_shingles_sql(shingles_sql('w', n))} AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {name}_src)
+),
+{name}_sigs AS (SELECT doc_id, w, {cols} FROM {name}_hashed),
+{name}_banded_all AS ({band_rows}),
+{name}_sets AS (SELECT doc_id, {shingles_sql('w', n)} AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM {name}_src))"""
+
+    jac = ("ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+           "greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6)")
+    return f"""
+WITH {side('newb', new_sql)},
+{side('corp', corpus_sql)},
+corp_banded AS (
+  SELECT doc_id, band_id, band_key FROM corp_banded_all
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {max_bucket}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM newb_banded_all a JOIN corp_banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+)
+SELECT new_id, corpus_id, {jac} AS jaccard
+FROM cands
+JOIN newb_sets sa ON cands.new_id = sa.doc_id
+JOIN corp_sets sb ON cands.corpus_id = sb.doc_id
+WHERE {jac} >= {tau}
+"""

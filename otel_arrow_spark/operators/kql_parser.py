@@ -1481,6 +1481,83 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     df = df.select(*common).unionByName(
                         other.select(*common)
                     )
+        elif op == "partition":
+            # `partition [hint.strategy=…] by key ( stages )` — run the
+            # subquery per key value and union the results. NOT executed
+            # as per-key jobs (Kusto's legacy strategy caps at 64
+            # partitions for exactly the reason we avoid it): each
+            # subquery stage is REWRITTEN into a key-aware whole-table
+            # plan — `top N by e` becomes a row_number window
+            # partitioned by the key (one shuffle, per-partition heaps),
+            # `summarize … by g` gains the key as a group column, and
+            # row-local stages (where/extend/project*) pass through
+            # unchanged. This is the shuffle-strategy semantics at any
+            # key cardinality.
+            m2 = re.match(
+                r"^(?:hint\.\w+\s*=\s*\w+\s+)?by\s+([A-Za-z_]\w*)"
+                r"\s*\((.+)\)\s*$",
+                rest, re.S,
+            )
+            if not m2:
+                raise KqlError("partition needs `by key ( stages )`")
+            pkey, sub = m2.groups()
+            _ROW_LOCAL = ("where", "extend", "project", "project-away",
+                          "project-keep", "project-rename", "parse")
+            for st in _split_pipes(sub):
+                sm = re.match(r"^([a-z-]+)\s*(.*)$", st.strip(), re.S)
+                if not sm:
+                    raise KqlError(f"bad partition substage {st!r}")
+                sop, srest = sm.group(1), sm.group(2).strip()
+                if sop in _ROW_LOCAL:
+                    df = _apply_stages(df, [st.strip()], bindings, tables)
+                elif sop == "summarize":
+                    joiner = ", " if " by " in srest else " by "
+                    df = _apply_stages(
+                        df, ["summarize " + srest + joiner + pkey],
+                        bindings, tables,
+                    )
+                elif sop in ("top", "take", "limit"):
+                    if sop == "top":
+                        tm = re.match(r"^(\d+)\s+by\s+(.+)$", srest, re.S)
+                        if not tm:
+                            raise KqlError("top needs `top N by expr`")
+                        n = int(tm.group(1))
+                        order = []
+                        for part in _split_commas(tm.group(2)):
+                            toks = part.rsplit(None, 1)
+                            if (len(toks) == 2
+                                    and toks[1].lower() in ("asc", "desc")):
+                                c = pe(toks[0])
+                                order.append(
+                                    c.asc() if toks[1].lower() == "asc"
+                                    else c.desc()
+                                )
+                            else:
+                                order.append(pe(part).desc())
+                    else:
+                        try:
+                            n = int(srest)
+                        except ValueError:
+                            raise KqlError(
+                                f"{sop} needs an integer, got {srest!r}"
+                            )
+                        # per-key take needs SOME deterministic order;
+                        # require top instead
+                        raise KqlError(
+                            "partition: use `top N by expr` — a bare "
+                            f"`{sop}` has no deterministic per-key order"
+                        )
+                    w = Window.partitionBy(pkey).orderBy(*order)
+                    df = (
+                        df.withColumn("__prn", F.row_number().over(w))
+                        .filter(F.col("__prn") <= n)
+                        .drop("__prn")
+                    )
+                else:
+                    raise KqlError(
+                        f"partition subquery does not support {sop!r}"
+                    )
+            sctx["order"] = sctx["wspec"] = None
         elif op == "as":
             # `as name` — bind the pipeline-so-far into the table
             # registry so a later `join`/`union`/`lookup` subquery can

@@ -608,3 +608,25 @@ def test_decontam_flags_planted_overlap(spark):
         benchmark_set(dup_bench, modulus=97), n=4, max_bench_df=1
     )
     assert probe.count() == 0
+
+
+def test_cross_corpus_neardup(spark):
+    from otel_arrow_spark.dataops.dedup import (
+        cross_corpus_neardup, release_caches,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated text about spark window functions")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(101, "quick brown fox jumps over the lazy dog today"),  # near-dup of 1
+         (102, "nothing like anything in the existing corpus at all here")],
+        "doc_id long, text string",
+    )
+    out = cross_corpus_neardup(new, corpus, tau=0.4)
+    rows = {(r.new_id, r.corpus_id) for r in out.collect()}
+    assert (101, 1) in rows
+    assert all(nid != 102 for nid, _ in rows)
+    release_caches()

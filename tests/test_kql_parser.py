@@ -837,3 +837,30 @@ def test_as_and_getschema(spark):
         ("k", 0, "string"), ("v", 1, "int")]
     with pytest.raises(KqlError):
         kql(df, "T | as 9bad")
+
+
+def test_partition_operator(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+         ("b", 4, 5.0), ("b", 5, 15.0)],
+        "k string, id int, v double",
+    )
+    # per-key top-1 by v desc
+    out = kql(df, "T | partition by k (top 1 by v desc, id asc)")
+    assert {(r.k, r.id) for r in out.collect()} == {("a", 2), ("b", 5)}
+    assert "__prn" not in out.columns
+    # per-key summarize: key joins the group-by
+    out2 = kql(df, "T | partition by k (summarize n = count())")
+    assert {(r.k, r.n) for r in out2.collect()} == {("a", 3), ("b", 2)}
+    out3 = kql(
+        df,
+        "T | partition by k (where v > 8.0"
+        " | summarize s = sum(v) by parity = id % 2)",
+    )
+    assert {(r.k, r.parity, r.s) for r in out3.collect()} == {
+        ("a", 1, 30.0), ("a", 0, 30.0), ("b", 1, 15.0)}
+    # bare take inside partition is rejected (no deterministic order)
+    with pytest.raises(KqlError):
+        kql(df, "T | partition by k (take 1)")
+    with pytest.raises(KqlError):
+        kql(df, "T | partition by k (sort by v)")
