@@ -1033,7 +1033,24 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
     # the sort Columns, `wspec` the Window spec window functions
     # compile against. Order-destroying stages reset both — the KQL
     # rule that summarize/join/… de-serialize the table.
-    sctx: dict = {"order": None, "wspec": None}
+    #
+    # `pending_sort` makes the sort LAZY: a global orderBy placed
+    # eagerly before a window stage costs a rangepartition Exchange +
+    # full Sort whose order the window's own hash Exchange immediately
+    # destroys (measured: two Exchanges instead of one on the serialize
+    # path). The sort spec is recorded here and physically applied only
+    # where order is actually consumed — `take`/`limit` (first-N
+    # semantics) and the end of the pipeline (KQL's sorted-output
+    # guarantee, now over the usually much smaller post-filter result).
+    # Window functions never need the pre-sort: a Window spec sorts its
+    # own partitions.
+    sctx: dict = {"order": None, "wspec": None, "pending_sort": None}
+
+    def flush_sort() -> None:
+        nonlocal df
+        if sctx["pending_sort"] is not None:
+            df = df.orderBy(*sctx["pending_sort"])
+            sctx["pending_sort"] = None
     _ORDER_DESTROYING = {
         "summarize", "join", "lookup", "union", "distinct", "count",
         "sample", "sample-distinct", "mv-expand", "mv-apply",
@@ -1049,7 +1066,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             raise KqlError(f"bad stage {stage!r}")
         op, rest = m.group(1), m.group(2).strip()
         if op in _ORDER_DESTROYING:
-            sctx["order"] = sctx["wspec"] = None
+            sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
         if op == "where":
             df = df.filter(pe(rest))
         elif op == "extend":
@@ -1106,10 +1123,11 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 else:
                     # KQL default sort order is descending (kql docs)
                     cols.append(pe(part).desc())
-            df = df.orderBy(*cols)
-            # sort output is serialized (KQL semantics): window
-            # functions become legal, over a GLOBAL ordered window
-            # until `serialize by k…` re-partitions it.
+            # LAZY: recorded, flushed where order is consumed (see
+            # pending_sort above). sort output is serialized (KQL
+            # semantics): window functions become legal, over a GLOBAL
+            # ordered window until `serialize by k…` re-partitions it.
+            sctx["pending_sort"] = cols
             sctx["order"] = cols
             sctx["wspec"] = Window.orderBy(*cols)
         elif op == "serialize":
@@ -1147,6 +1165,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     cols[name] = pe(expr)
                 df = df.withColumns(cols)
         elif op in ("take", "limit"):
+            flush_sort()  # first-N consumes the pending order
             try:
                 df = df.limit(int(rest))
             except ValueError:
@@ -1180,6 +1199,11 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     # KQL top default order is descending
                     cols.append(pe(part).desc())
             df = df.orderBy(*cols).limit(int(m2.group(1)))
+            # top's own order supersedes any earlier sort; its output
+            # is serialized by that order (Kusto top contract)
+            sctx["pending_sort"] = None
+            sctx["order"] = cols
+            sctx["wspec"] = Window.orderBy(*cols)
         elif op == "top-hitters":
             # `top-hitters N of c [by sumExpr]` — heavy hitters. Kusto
             # computes this approximately; this engine computes it
@@ -1206,7 +1230,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             df = (df.groupBy(c).agg(agg)
                     .orderBy(F.col(out).desc(), F.col(c).asc())
                     .limit(n))
-            sctx["order"] = sctx["wspec"] = None
+            sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
         elif op == "mv-expand":
             # `mv-expand name = expr` (or a bare array column) — one
             # element per output row; null/empty arrays yield no rows
@@ -1557,7 +1581,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     raise KqlError(
                         f"partition subquery does not support {sop!r}"
                     )
-            sctx["order"] = sctx["wspec"] = None
+            sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
         elif op == "as":
             # `as name` — bind the pipeline-so-far into the table
             # registry so a later `join`/`union`/`lookup` subquery can
@@ -1580,7 +1604,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                  for i, f in enumerate(df.schema.fields)],
                 "ColumnName string, ColumnOrdinal long, ColumnType string",
             )
-            sctx["order"] = sctx["wspec"] = None
+            sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
         elif op == "search":
             # `search "term"` — case-insensitive containment over EVERY
             # string column (KQL search over the current table). Compiles
@@ -1805,4 +1829,5 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             df = kept.select(*out_cols)
         else:
             raise KqlError(f"unknown operator {op!r}")
+    flush_sort()  # KQL sorted-output guarantee, on the final relation
     return df
