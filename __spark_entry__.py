@@ -988,6 +988,41 @@ def q_kql_text_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_text_user_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`let`-bound user functions: a scalar fn (pure macro — the call
+    site compiles to the inlined Catalyst tree, no UDF) used inside a
+    table-valued fn applied with `invoke` (body inlines into the plan;
+    Catalyst optimizes across the call boundary)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "let norm = (x: real) { (x - 50.0) / 50.0 };"
+        "let hot = (T: (*), lo: real) { T | where value > lo"
+        " | extend nv = norm(value)"
+        " | summarize n = count(), avg_nv = avg(nv) by event_type };"
+        "T | invoke hot(10.0)",
+        tables={"T": events},
+    )
+
+
+def q_kql_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`percentiles_array` — exact multi-quantile per group (linear
+    interpolation, bit-identical to DuckDB quantile_cont; swap to
+    percentile_approx at 100 TB per the signals.py `exact=` pattern)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "T | summarize ps = percentiles_array(value, 25, 50, 95)"
+        " by event_type"
+        " | project event_type, p25 = ps[0], p50 = ps[1], p95 = ps[2]",
+        tables={"T": events},
+    )
+
+
 def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest near-dup: the dup-injected variants play the
     INCOMING batch, the base documents play the EXISTING corpus —
@@ -1726,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_bag_unpack": q_kql_text_bag_unpack,
         "kql_text_partition_top": q_kql_text_partition_top,
         "dedup_cross_corpus": q_dedup_cross_corpus,
+        "kql_text_user_fn": q_kql_text_user_fn,
+        "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
         "kql_text_union": q_kql_text_union,
@@ -2225,6 +2262,17 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
             "WHERE rn <= 3"
+        ),
+        "kql_text_user_fn": (
+            "SELECT event_type, COUNT(*) AS n, "
+            "AVG((value - 50.0) / 50.0) AS avg_nv "
+            "FROM events WHERE value > 10.0 GROUP BY event_type"
+        ),
+        "kql_agg_percentiles": (
+            "SELECT event_type, quantile_cont(value, 0.25) AS p25, "
+            "quantile_cont(value, 0.5) AS p50, "
+            "quantile_cont(value, 0.95) AS p95 "
+            "FROM events GROUP BY event_type"
         ),
         "kql_text_partition_top": (
             "SELECT event_type, event_id, value FROM events "

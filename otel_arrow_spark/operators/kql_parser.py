@@ -141,6 +141,32 @@ def _mklit(v) -> KE:
     return KE(F.lit(v), v)
 
 
+class KqlFunc:
+    """A `let`-bound user function: ``let f = (x: long) { x * 2 };``.
+
+    Pure macro: the body source re-parses at each call site with the
+    parameters bound to the argument expressions, so a scalar function
+    compiles to the same Catalyst tree the inlined expression would —
+    no Python UDF, nothing escapes codegen (the reference's
+    fold-of-let-statics taken one step further). Tabular functions
+    (first parameter typed ``(*)``/``(…)``) apply via the ``invoke``
+    stage. ``expanding`` guards against self-recursion (KQL user
+    functions are non-recursive too).
+    """
+
+    __slots__ = ("name", "params", "body", "expanding")
+
+    def __init__(self, name: str, params: list[tuple[str, str]], body: str):
+        self.name = name
+        self.params = params
+        self.body = body
+        self.expanding = False
+
+    @property
+    def table_params(self) -> list[str]:
+        return [p for p, k in self.params if k == "table"]
+
+
 def _variant_get(c: KE, key) -> KE:
     """One path step into a VARIANT value; missing paths yield NULL
     (``try_variant_get``), matching KQL dynamic access semantics. The
@@ -288,6 +314,20 @@ _AGG_MAP = {
     # mergeable map-side.
     "dcount_approx": lambda a: F.approx_count_distinct(a[0]),
 }
+
+
+def _percentiles_array(args: list[KE]) -> KE:
+    """percentiles_array(x, p1, p2, …) → array of exact percentiles.
+
+    Exact (`F.percentile`, linear interpolation — bit-identical to
+    DuckDB `quantile_cont`) for cross-engine oracles; at 100 TB swap to
+    `percentile_approx` per the summary_data_points pattern
+    (`signals.py` `exact=` switch).
+    """
+    if len(args) < 2:
+        raise KqlError("percentiles_array needs (x, p1[, p2…])")
+    ps = [_lit_int(a) / 100.0 for a in args[1:]]
+    return KE(F.percentile(args[0].col, F.array(*[F.lit(p) for p in ps])))
 
 
 class ExprParser:
@@ -518,6 +558,10 @@ class ExprParser:
                 return self._call(name)
             if name in self.bindings:  # `let` constant — Catalyst folds it
                 b = self.bindings[name]
+                if isinstance(b, KqlFunc):
+                    raise KqlError(
+                        f"{name} is a function — call it: {name}(…)"
+                    )
                 return b if isinstance(b, KE) else KE(b)
             return KE(F.col(name))
         raise KqlError(f"unexpected token {t.text!r}" if t.kind != "eof"
@@ -567,6 +611,28 @@ class ExprParser:
                 args.append(self._or())
         self.expect(")")
         lname = name.lower()
+        ufn = self.bindings.get(name)
+        if isinstance(ufn, KqlFunc):  # user function shadows builtins
+            if ufn.table_params:
+                raise KqlError(
+                    f"{name}() is table-valued — apply it with "
+                    f"`| invoke {name}(…)`"
+                )
+            if len(args) != len(ufn.params):
+                raise KqlError(
+                    f"{name}() takes {len(ufn.params)} arg(s), "
+                    f"got {len(args)}"
+                )
+            if ufn.expanding:
+                raise KqlError(f"recursive user function {name}()")
+            child = dict(self.bindings)
+            for (pname, _kind), a in zip(ufn.params, args):
+                child[pname] = a
+            ufn.expanding = True
+            try:
+                return parse_expr_ke(ufn.body, child, wspec=self.wspec)
+            finally:
+                ufn.expanding = False
         if lname == "case":  # case(p1, v1, …, default) (kql.pest:151-153)
             if len(args) < 3 or len(args) % 2 == 0:
                 raise KqlError("case() needs odd ≥3 args")
@@ -689,6 +755,8 @@ class ExprParser:
                 raise KqlError("percentile needs (x, p)")
             return KE(F.percentile_approx(args[0].col,
                                           _lit_int(args[1]) / 100.0))
+        if lname == "percentiles_array":
+            return _percentiles_array(args)
         if lname == "parse_json":  # VARIANT result (kql.pest:198-203)
             if len(args) != 1:
                 raise KqlError("parse_json needs (s)")
@@ -1001,6 +1069,26 @@ def kql(df: DataFrame, query: str,
         if not m:
             raise KqlError(f"expected `let name = expr;`, got {stmt!r}")
         rhs = m.group(2).strip()
+        if rhs.startswith("(") and rhs.endswith("}") and "{" in rhs:
+            # user function: `let f = (x: long[, …]) { body };` —
+            # params split at the FIRST top-level `{` (bodies containing
+            # `{` are not supported; KQL dynamic literals in function
+            # bodies are rare and can use parse_json instead)
+            psrc, _, body = rhs.partition("{")
+            psrc = psrc.strip()
+            if not (psrc.startswith("(") and psrc.endswith(")")):
+                raise KqlError(f"bad function parameters in {rhs!r}")
+            params: list[tuple[str, str]] = []
+            for p in _split_commas(psrc[1:-1]):
+                if not p.strip():
+                    continue
+                pname, _, ptyp = p.partition(":")
+                kind = "table" if ptyp.strip().startswith("(") else "scalar"
+                params.append((pname.strip(), kind))
+            bindings[m.group(1)] = KqlFunc(
+                m.group(1), params, body.rstrip().rstrip("}").strip()
+            )
+            continue
         head = _split_pipes(rhs)[0].strip()
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", head) and head in tables:
             # table-valued let: `let T2 = T | where …;` — binds a new
@@ -1581,6 +1669,46 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     raise KqlError(
                         f"partition subquery does not support {sop!r}"
                     )
+            sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
+        elif op == "invoke":
+            # `invoke f(args…)` — apply a table-valued user function to
+            # the pipeline-so-far: the first table parameter binds to
+            # the current relation, scalar arguments bind as constants,
+            # and the body pipeline compiles INLINE into this plan (no
+            # materialization boundary — Catalyst optimizes across the
+            # call).
+            m2 = re.match(r"^([A-Za-z_]\w*)\s*\((.*)\)\s*$", rest, re.S)
+            if not m2:
+                raise KqlError("invoke needs `invoke f(args…)`")
+            fname, argsrc = m2.groups()
+            fn = bindings.get(fname)
+            if not isinstance(fn, KqlFunc):
+                raise KqlError(f"{fname} is not a user function")
+            tps = fn.table_params
+            if not tps:
+                raise KqlError(
+                    f"{fname}() has no table parameter — use it as a "
+                    "scalar function"
+                )
+            scalars = [p for p, k in fn.params if k == "scalar"]
+            argsrcs = [a for a in _split_commas(argsrc) if a.strip()]
+            if len(argsrcs) != len(scalars):
+                raise KqlError(
+                    f"invoke {fname}() takes {len(scalars)} scalar "
+                    f"arg(s), got {len(argsrcs)}"
+                )
+            if fn.expanding:
+                raise KqlError(f"recursive user function {fname}()")
+            child_bind = dict(bindings)
+            for pname, a in zip(scalars, argsrcs):
+                child_bind[pname] = parse_expr_ke(a, bindings)
+            child_tables = dict(tables) if tables else {}
+            child_tables[tps[0]] = df
+            fn.expanding = True
+            try:
+                df = _parse_source(fn.body, child_tables, child_bind)
+            finally:
+                fn.expanding = False
             sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
         elif op == "as":
             # `as name` — bind the pipeline-so-far into the table

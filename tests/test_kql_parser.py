@@ -864,3 +864,55 @@ def test_partition_operator(spark):
         kql(df, "T | partition by k (take 1)")
     with pytest.raises(KqlError):
         kql(df, "T | partition by k (sort by v)")
+
+
+def test_user_scalar_function(spark):
+    df = spark.createDataFrame(
+        [("a", 2.0), ("b", 5.0)], "k string, v double")
+    out = kql(
+        df,
+        "let square_plus = (x: real, c: real) { x * x + c };"
+        "T | extend y = square_plus(v, 1.0) | project k, y",
+    )
+    assert {(r.k, r.y) for r in out.collect()} == {("a", 5.0), ("b", 26.0)}
+    # functions compose with builtins and other functions
+    out2 = kql(
+        df,
+        "let inc = (x: real) { x + 1.0 };"
+        "let inc2 = (x: real) { inc(inc(x)) };"
+        "T | extend y = inc2(v) | project k, y",
+    )
+    assert {(r.k, r.y) for r in out2.collect()} == {("a", 4.0), ("b", 7.0)}
+    # bare reference / wrong arity are errors
+    with pytest.raises(KqlError):
+        kql(df, "let f = (x: real) { x };T | extend y = f")
+    with pytest.raises(KqlError):
+        kql(df, "let f = (x: real) { x };T | extend y = f(v, v)")
+
+
+def test_user_tabular_function_invoke(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("b", 4.0), ("b", 6.0)],
+        "k string, v double",
+    )
+    out = kql(
+        df,
+        "let big = (T: (*), lo: real) {"
+        " T | where v > lo | summarize n = count(), s = sum(v) by k };"
+        "T | invoke big(3.0)",
+    )
+    assert {(r.k, r.n, r.s) for r in out.collect()} == {
+        ("a", 1, 9.0), ("b", 2, 10.0)}
+    # scalar call of a tabular fn / invoke of a scalar fn are errors
+    with pytest.raises(KqlError):
+        kql(df, "let g = (T: (*)) { T };T | extend y = g()")
+    with pytest.raises(KqlError):
+        kql(df, "let f = (x: real) { x };T | invoke f(1.0)")
+
+
+def test_percentiles_array(spark):
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "k string, v double")
+    out = kql(df, "T | summarize ps = percentiles_array(v, 25, 50, 95) by k")
+    [r] = out.collect()
+    assert r.ps == [25.75, 50.5, 95.05]
