@@ -988,6 +988,32 @@ def q_kql_text_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_text_scan_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `scan` — the sequential pattern matcher, run per user over
+    the ordered event stream: step predicates as Catalyst booleans
+    (JVM), the O(n) state machine as ONE `applyInPandas` per
+    `serialize by` group (Arrow both ways). Counts matched rows per
+    (event_type, step) so the output is small and stable. No SQL oracle:
+    scan's prefix-dependent state is the one tabular op that is not
+    SQL-expressible — the driver records the rows-only check; exact
+    per-row semantics are pinned by tests/test_kql_parser.py::
+    test_scan_operator."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "T | sort by user_id asc, ts asc, event_id asc"
+        " | serialize by user_id"
+        ' | scan with ('
+        ' step s_click: event_type == "click";'
+        ' step s_view: event_type == "view";'
+        ' step s_buy: event_type == "purchase")'
+        " | summarize n = count() by step",
+        tables={"T": events},
+    )
+
+
 def q_kql_text_user_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`let`-bound user functions: a scalar fn (pure macro — the call
     site compiles to the inlined Catalyst tree, no UDF) used inside a
@@ -1762,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_partition_top": q_kql_text_partition_top,
         "dedup_cross_corpus": q_dedup_cross_corpus,
         "kql_text_user_fn": q_kql_text_user_fn,
+        "kql_text_scan_matches": q_kql_text_scan_matches,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,

@@ -1132,7 +1132,9 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
     # guarantee, now over the usually much smaller post-filter result).
     # Window functions never need the pre-sort: a Window spec sorts its
     # own partitions.
-    sctx: dict = {"order": None, "wspec": None, "pending_sort": None}
+    sctx: dict = {"order": None, "wspec": None,
+                  "pending_sort": None, "keys": None,
+                  "order_src": None}
 
     def flush_sort() -> None:
         nonlocal df
@@ -1155,6 +1157,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         op, rest = m.group(1), m.group(2).strip()
         if op in _ORDER_DESTROYING:
             sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
+            sctx["keys"] = sctx["order_src"] = None
         if op == "where":
             df = df.filter(pe(rest))
         elif op == "extend":
@@ -1203,20 +1206,28 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         elif op in ("order", "sort"):
             rest = re.sub(r"^by\s+", "", rest)
             cols = []
+            order_src: list[tuple[str, bool] | None] = []
             for part in _split_commas(rest):
                 toks = part.rsplit(None, 1)
                 if len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
-                    c = pe(toks[0])
-                    cols.append(c.desc() if toks[1].lower() == "desc" else c.asc())
+                    expr_src, asc = toks[0], toks[1].lower() == "asc"
                 else:
                     # KQL default sort order is descending (kql docs)
-                    cols.append(pe(part).desc())
+                    expr_src, asc = part, False
+                c = pe(expr_src)
+                cols.append(c.asc() if asc else c.desc())
+                order_src.append(
+                    (expr_src.strip(), asc)
+                    if re.fullmatch(r"[A-Za-z_]\w*", expr_src.strip())
+                    else None  # computed key: fine for windows, not scan
+                )
             # LAZY: recorded, flushed where order is consumed (see
             # pending_sort above). sort output is serialized (KQL
             # semantics): window functions become legal, over a GLOBAL
             # ordered window until `serialize by k…` re-partitions it.
             sctx["pending_sort"] = cols
             sctx["order"] = cols
+            sctx["order_src"] = order_src
             sctx["wspec"] = Window.orderBy(*cols)
         elif op == "serialize":
             # `serialize [by k1, k2…] [name = expr, …]`
@@ -1241,9 +1252,16 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                           rest, re.S)
             assigns_src = rest
             if m2:
-                keys = [pe(k) for k in _split_commas(m2.group(1))]
+                key_srcs = [k.strip() for k in _split_commas(m2.group(1))]
+                keys = [pe(k) for k in key_srcs]
                 sctx["wspec"] = Window.partitionBy(*keys).orderBy(
                     *sctx["order"])
+                sctx["keys"] = (
+                    key_srcs
+                    if all(re.fullmatch(r"[A-Za-z_]\w*", k)
+                           for k in key_srcs)
+                    else None
+                )
                 assigns_src = rest[m2.end():].strip()
             if assigns_src:
                 cols = {}
@@ -1319,6 +1337,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     .orderBy(F.col(out).desc(), F.col(c).asc())
                     .limit(n))
             sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
+            sctx["keys"] = sctx["order_src"] = None
         elif op == "mv-expand":
             # `mv-expand name = expr` (or a bare array column) — one
             # element per output row; null/empty arrays yield no rows
@@ -1670,6 +1689,126 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         f"partition subquery does not support {sop!r}"
                     )
             sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
+            sctx["keys"] = sctx["order_src"] = None
+        elif op == "scan":
+            # `scan [with_match_id=col] with (step s1: pred; …)` —
+            # KQL's sequential pattern-match operator, the one tabular
+            # op that is genuinely NOT window-expressible (a row's state
+            # depends on the whole prefix). Hybrid execution, the shape
+            # the 100 TB brief prescribes for custom stateful operators:
+            #
+            #   1. step predicates compile to Catalyst boolean columns
+            #      (JVM codegen — the Python side never parses values);
+            #   2. ONE `applyInPandas` per `serialize by` key group runs
+            #      the O(n) state machine over the precomputed bool
+            #      matrix (Arrow-batched both ways).
+            #
+            # Requires `sort by <plain cols> | serialize by <plain keys>`
+            # (the keys bound the state; without keys the scan is a
+            # single serialized task — allowed, but only sensible on
+            # small relations, same rule as bare `serialize`).
+            #
+            # Subset semantics (documented deviation from full Kusto
+            # scan): no `declare` state variables; a row advances the
+            # match if it satisfies the NEXT step, else extends the
+            # CURRENT step, else is skipped; a match completes at the
+            # first row reaching the final step; matched rows of
+            # incomplete sequences are still emitted. Output = matched
+            # rows + (match_id, step).
+            if "declare" in rest.split("(")[0]:
+                raise KqlError(
+                    "scan declare(...) state variables are not "
+                    "supported — precompute with extend"
+                )
+            m2 = re.match(
+                r"^(?:with_match_id\s*=\s*([A-Za-z_]\w*)\s+)?"
+                r"with\s*\((.+)\)\s*$",
+                rest, re.S,
+            )
+            if not m2:
+                raise KqlError(
+                    "scan needs `scan [with_match_id=c] with "
+                    "(step s1: pred; …)`"
+                )
+            mid_col = m2.group(1) or "match_id"
+            steps = []
+            for st in _split_top_level(m2.group(2), ";"):
+                sm = re.match(r"^step\s+([A-Za-z_]\w*)\s*:\s*(.+)$",
+                              st.strip(), re.S)
+                if not sm:
+                    raise KqlError(f"bad scan step {st!r}")
+                steps.append((sm.group(1), sm.group(2)))
+            if not steps:
+                raise KqlError("scan needs at least one step")
+            osrc = sctx.get("order_src")
+            if not osrc or any(o is None for o in osrc):
+                raise KqlError(
+                    "scan requires a preceding `sort by` on plain "
+                    "columns"
+                )
+            keys = sctx.get("keys") or []
+            base_cols = list(df.columns)
+            flags = df
+            for i, (_nm, pred) in enumerate(steps):
+                flags = flags.withColumn(f"__scan{i}", pe(pred))
+            from pyspark.sql.types import (
+                LongType, StringType, StructField, StructType,
+            )
+
+            out_schema = StructType(
+                [f for f in df.schema.fields]
+                + [StructField(mid_col, LongType()),
+                   StructField("step", StringType())]
+            )
+            names = [n for n, _a in osrc]
+            asc = [a for _n, a in osrc]
+            step_names = [nm for nm, _p in steps]
+            nsteps = len(steps)
+
+            def _scan_group(pdf):
+                import pandas as pd
+
+                pdf = pdf.sort_values(names, ascending=asc,
+                                      kind="stable")
+                fl = pdf[[f"__scan{i}" for i in range(nsteps)]].fillna(
+                    False).to_numpy(dtype=bool)
+                n = len(pdf)
+                take, mid_out, step_out = [], [], []
+                s, mid, active = -1, 0, False
+                for i in range(n):
+                    if active and s + 1 < nsteps and fl[i, s + 1]:
+                        s += 1
+                    elif active and fl[i, s]:
+                        pass
+                    elif not active and fl[i, 0]:
+                        mid += 1
+                        s, active = 0, True
+                    else:
+                        continue
+                    take.append(i)
+                    mid_out.append(mid)
+                    step_out.append(step_names[s])
+                    if s == nsteps - 1:
+                        s, active = -1, False
+                out = pdf.iloc[take][base_cols].copy()
+                out[mid_col] = pd.array(mid_out, dtype="int64")
+                out["step"] = step_out
+                return out
+
+            if keys:
+                df = flags.groupBy(*keys).applyInPandas(
+                    _scan_group, out_schema)
+            else:
+                df = (
+                    flags.withColumn("__g", F.lit(0))
+                    .groupBy("__g")
+                    .applyInPandas(
+                        lambda pdf: _scan_group(pdf.drop(columns="__g")),
+                        out_schema,
+                    )
+                )
+            sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
+            sctx["keys"] = sctx["order_src"] = None
         elif op == "invoke":
             # `invoke f(args…)` — apply a table-valued user function to
             # the pipeline-so-far: the first table parameter binds to
@@ -1710,6 +1849,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             finally:
                 fn.expanding = False
             sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
+            sctx["keys"] = sctx["order_src"] = None
         elif op == "as":
             # `as name` — bind the pipeline-so-far into the table
             # registry so a later `join`/`union`/`lookup` subquery can
@@ -1733,6 +1873,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 "ColumnName string, ColumnOrdinal long, ColumnType string",
             )
             sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
+            sctx["keys"] = sctx["order_src"] = None
         elif op == "search":
             # `search "term"` — case-insensitive containment over EVERY
             # string column (KQL search over the current table). Compiles

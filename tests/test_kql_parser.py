@@ -916,3 +916,45 @@ def test_percentiles_array(spark):
     out = kql(df, "T | summarize ps = percentiles_array(v, 25, 50, 95) by k")
     [r] = out.collect()
     assert r.ps == [25.75, 50.5, 95.05]
+
+
+def test_scan_operator(spark):
+    rows = [
+        # u1: click view view purchase -> one complete match (4 rows)
+        (1, 1, "click"), (1, 2, "view"), (1, 3, "view"), (1, 4, "purchase"),
+        # u1 again: click then purchase-without-view -> the purchase row
+        # matches neither the current nor the next step and is skipped
+        (1, 5, "click"), (1, 6, "purchase"),
+        # u2: noise then click,view (incomplete -> still emitted)
+        (2, 1, "other"), (2, 2, "click"), (2, 3, "view"),
+        # u3: single purchase, never starts
+        (3, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, seq int, et string")
+    out = kql(
+        df,
+        'T | sort by uid asc, seq asc | serialize by uid | scan with ('
+        ' step s_click: et == "click";'
+        ' step s_view: et == "view";'
+        ' step s_buy: et == "purchase")',
+    )
+    got = sorted((r.uid, r.seq, r.match_id, r.step) for r in out.collect())
+    assert got == [
+        (1, 1, 1, "s_click"), (1, 2, 1, "s_view"), (1, 3, 1, "s_view"),
+        (1, 4, 1, "s_buy"),
+        (1, 5, 2, "s_click"),
+        (2, 2, 1, "s_click"), (2, 3, 1, "s_view"),
+    ]
+    # custom match-id name; single-step scan: every hit its own match
+    out2 = kql(
+        df,
+        "T | sort by uid asc, seq asc | serialize by uid"
+        ' | scan with_match_id=m with (step hit: et == "view")',
+    )
+    ms = sorted((r.uid, r.seq, r.m) for r in out2.collect())
+    assert ms == [(1, 2, 1), (1, 3, 2), (2, 3, 1)]
+    with pytest.raises(KqlError):
+        kql(df, 'T | scan with (step a: et == "x")')  # no sort
+    with pytest.raises(KqlError):
+        kql(df, "T | sort by uid asc | serialize by uid"
+                " | scan declare (d: long) with (step a: true)")
