@@ -958,3 +958,46 @@ def test_scan_operator(spark):
     with pytest.raises(KqlError):
         kql(df, "T | sort by uid asc | serialize by uid"
                 " | scan declare (d: long) with (step a: true)")
+
+
+def test_scan_property_vs_reference(spark):
+    """Property gate for the scan plumbing: the distributed
+    applyInPandas execution must equal a single-process reference
+    simulation of the same documented semantics on randomized inputs —
+    guards group boundaries, Arrow round-trip, and sort stability."""
+    import random
+
+    rng = random.Random(20260817)
+    rows = [
+        (rng.randrange(6), i, rng.choice(["a", "b", "c", "x"]))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "uid long, seq int, et string")
+    out = kql(
+        df,
+        "T | sort by uid asc, seq asc | serialize by uid | scan with ("
+        ' step s1: et == "a"; step s2: et == "b"; step s3: et == "c")',
+    )
+    got = sorted((r.uid, r.seq, r.match_id, r.step) for r in out.collect())
+
+    exp = []
+    by_uid: dict = {}
+    for uid, seq, et in sorted(rows):
+        by_uid.setdefault(uid, []).append((seq, et))
+    preds = ["a", "b", "c"]
+    for uid, evs in by_uid.items():
+        s, mid, active = -1, 0, False
+        for seq, et in evs:
+            if active and s + 1 < 3 and et == preds[s + 1]:
+                s += 1
+            elif active and et == preds[s]:
+                pass
+            elif not active and et == preds[0]:
+                mid += 1
+                s, active = 0, True
+            else:
+                continue
+            exp.append((uid, seq, mid, f"s{s + 1}"))
+            if s == 2:
+                s, active = -1, False
+    assert got == sorted(exp)
