@@ -262,7 +262,23 @@ _FUNC_MAP_SIMPLE = {
     # ISO / DuckDB convention; KQL's Sunday week start is a documented
     # deviation), dayofweek counts days since Monday 0..6 accordingly
     "startofweek": lambda a: F.date_trunc("week", a[0]),
+    # endofweek = last microsecond of the ISO week startofweek opened
+    "endofweek": lambda a: F.timestamp_add(
+        "MICROSECOND", F.lit(-1),
+        F.timestamp_add("DAY", F.lit(7), F.date_trunc("week", a[0])),
+    ),
     "startofmonth": lambda a: F.date_trunc("month", a[0]),
+    # engine-defined 64-bit hash (xxhash64 here; Kusto's own hash() is
+    # likewise engine-specific) — pytest-only, no cross-engine oracle
+    "hash": lambda a: (
+        F.xxhash64(a[0]) if len(a) == 1
+        else F.pmod(F.xxhash64(a[0]), a[1])
+    ),
+    "array_sort_asc": lambda a: F.sort_array(a[0]),
+    "array_sort_desc": lambda a: F.sort_array(a[0], asc=False),
+    "set_union": lambda a: F.array_distinct(F.array_union(a[0], a[1])),
+    "set_difference": lambda a: F.array_distinct(F.array_except(a[0], a[1])),
+    "set_intersect": lambda a: F.array_distinct(F.array_intersect(a[0], a[1])),
     "dayofweek": lambda a: F.weekday(a[0]).cast("bigint"),
     "hourofday": lambda a: F.hour(a[0]).cast("bigint"),
     "getyear": lambda a: F.year(a[0]).cast("bigint"),
@@ -757,6 +773,33 @@ class ExprParser:
                                           _lit_int(args[1]) / 100.0))
         if lname == "percentiles_array":
             return _percentiles_array(args)
+        if lname == "format_datetime":
+            # Kusto format tokens (yyyy MM dd HH mm ss …) are the Java
+            # DateTimeFormatter tokens Spark's date_format consumes
+            if len(args) != 2:
+                raise KqlError("format_datetime needs (dt, 'format')")
+            return KE(F.date_format(args[0].col, _lit_str(args[1])))
+        if lname in ("trim_start", "trim_end"):
+            # trim_start(regex, s) — strip a leading (trailing) match
+            if len(args) != 2:
+                raise KqlError(f"{lname} needs (regex, s)")
+            pat = _lit_str(args[0])
+            anchored = f"^(?:{pat})" if lname == "trim_start" else f"(?:{pat})$"
+            return KE(F.regexp_replace(args[1].col, anchored, ""))
+        if lname == "translate":
+            # translate(searchList, replacementList, source)
+            if len(args) != 3:
+                raise KqlError("translate needs (from, to, s)")
+            return KE(F.translate(
+                args[2].col, _lit_str(args[0]), _lit_str(args[1])
+            ))
+        if lname == "bag_keys":
+            if len(args) != 1:
+                raise KqlError("bag_keys needs (dynamic)")
+            src = args[0].col
+            if args[0].variant:
+                src = F.to_json(src)
+            return KE(F.json_object_keys(src))
         if lname == "parse_json":  # VARIANT result (kql.pest:198-203)
             if len(args) != 1:
                 raise KqlError("parse_json needs (s)")

@@ -1001,3 +1001,32 @@ def test_scan_property_vs_reference(spark):
             if s == 2:
                 s, active = -1, False
     assert got == sorted(exp)
+
+
+def test_scalar_roundout_r3(spark):
+    df = spark.createDataFrame(
+        [("2026-03-04 15:30:45", "xxabcxx", '{"b": 1, "a": 2}', 7)],
+        "s string, t string, j string, v int",
+    ).withColumn("dt", F.col("s").cast("timestamp"))
+    out = kql(
+        df,
+        'T | project f = format_datetime(dt, "yyyy/MM/dd HH:mm"),'
+        ' ew = endofweek(dt),'
+        ' ts = trim_start("x+", t), te = trim_end("x+", t),'
+        ' tr = translate("abc", "xyz", t),'
+        ' sa = array_sort_asc(dynamic([3, 1, 2])),'
+        ' sd = array_sort_desc(dynamic([3, 1, 2])),'
+        ' su = set_union(dynamic([1, 2]), dynamic([2, 3])),'
+        ' sdf = set_difference(dynamic([1, 2]), dynamic([2, 3])),'
+        ' si = set_intersect(dynamic([1, 2]), dynamic([2, 3])),'
+        ' bk = bag_keys(parse_json(j)),'
+        ' h = hash(t), hm = hash(t, 100)',
+    )
+    r = out.collect()[0]
+    assert r.f == "2026/03/04 15:30"
+    assert str(r.ew) == "2026-03-08 23:59:59.999999"  # week starts Mon
+    assert (r.ts, r.te, r.tr) == ("abcxx", "xxabc", "xxxyzxx")
+    assert (r.sa, r.sd) == ([1, 2, 3], [3, 2, 1])
+    assert (sorted(r.su), r.sdf, r.si) == ([1, 2, 3], [1], [2])
+    assert sorted(r.bk) == ["a", "b"]
+    assert isinstance(r.h, int) and 0 <= r.hm < 100
