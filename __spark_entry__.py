@@ -1014,6 +1014,20 @@ def q_kql_text_scan_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_text_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`facet by` in long form (one value-count aggregation per facet
+    column, zero-shuffle stack) + `render` accepted as the no-op
+    presentation directive it is."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "T | facet by event_type, user_id | render barchart",
+        tables={"T": events},
+    )
+
+
 def q_kql_text_user_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`let`-bound user functions: a scalar fn (pure macro — the call
     site compiles to the inlined Catalyst tree, no UDF) used inside a
@@ -1789,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_corpus": q_dedup_cross_corpus,
         "kql_text_user_fn": q_kql_text_user_fn,
         "kql_text_scan_matches": q_kql_text_scan_matches,
+        "kql_text_facet": q_kql_text_facet,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2289,6 +2304,14 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
             "WHERE rn <= 3"
+        ),
+        "kql_text_facet": (
+            "SELECT 'event_type' AS facet_column, "
+            "CAST(event_type AS VARCHAR) AS value, COUNT(*) AS count_ "
+            "FROM events GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'user_id', CAST(user_id AS VARCHAR), COUNT(*) "
+            "FROM events GROUP BY 2"
         ),
         "kql_text_user_fn": (
             "SELECT event_type, COUNT(*) AS n, "

@@ -1900,6 +1900,40 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 fn.expanding = False
             sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
             sctx["keys"] = sctx["order_src"] = None
+        elif op == "facet":
+            # `facet by c1, c2…` — Kusto returns one value-count table
+            # PER column; a single-DataFrame engine returns the long
+            # form instead: (facet_column, value, count_) stacked. Each
+            # facet is its own map-side-combinable aggregation; the
+            # stack is a zero-shuffle union. Values render as strings
+            # so heterogeneous columns stack into one schema.
+            rest2 = re.sub(r"^by\s+", "", rest)
+            fcols = [c.strip() for c in _split_commas(rest2)]
+            if not fcols or not all(
+                re.fullmatch(r"[A-Za-z_]\w*", c) for c in fcols
+            ):
+                raise KqlError("facet needs `facet by col[, col…]`")
+            missing = [c for c in fcols if c not in df.columns]
+            if missing:
+                raise KqlError(f"facet column(s) not found: {missing}")
+            parts = [
+                df.groupBy(F.col(c).cast("string").alias("value"))
+                .agg(F.count(F.lit(1)).alias("count_"))
+                .select(F.lit(c).alias("facet_column"), "value", "count_")
+                for c in fcols
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            df = out
+            sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
+            sctx["keys"] = sctx["order_src"] = None
+        elif op == "render":
+            # `render timechart|barchart|…` — presentation-layer
+            # directive; accepted and ignored (no server-side effect in
+            # Kusto either), so dashboards' queries run unmodified.
+            if not rest:
+                raise KqlError("render needs a chart type")
         elif op == "as":
             # `as name` — bind the pipeline-so-far into the table
             # registry so a later `join`/`union`/`lookup` subquery can

@@ -1030,3 +1030,16 @@ def test_scalar_roundout_r3(spark):
     assert (sorted(r.su), r.sdf, r.si) == ([1, 2, 3], [1], [2])
     assert sorted(r.bk) == ["a", "b"]
     assert isinstance(r.h, int) and 0 <= r.hm < 100
+
+
+def test_facet_and_render(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "k string, v int")
+    out = kql(df, "T | facet by k, v | render barchart")
+    rows = {(r.facet_column, r.value): r.count_ for r in out.collect()}
+    assert rows == {("k", "a"): 2, ("k", "b"): 1,
+                    ("v", "1"): 2, ("v", "2"): 1}
+    with pytest.raises(KqlError):
+        kql(df, "T | facet by nope")
+    with pytest.raises(KqlError):
+        kql(df, "T | render")
