@@ -1230,6 +1230,12 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 renames[name] = expr.strip()
             df = ops.project_rename(df, **renames)
         elif op == "summarize":
+            # `hint.shufflekey=…` / `hint.strategy=shuffle` / `hint.
+            # num_partitions=…` are Kusto physical-strategy hints:
+            # Catalyst+AQE already picks the shuffle strategy (that is
+            # the point of declaring the plan), so hints are accepted
+            # for query compatibility and dropped.
+            rest = re.sub(r"^(?:hint\.\w+\s*=\s*[\w.]+\s+)+", "", rest)
             if " by " in rest:
                 agg_part, by_part = rest.split(" by ", 1)
                 by_items = _parse_assignments(by_part)
@@ -1559,6 +1565,10 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             # output column (KQL shows the key once), `$left/$right`
             # pairs keep both sides. Colliding non-key right columns are
             # renamed `name1`, the KQL dedup convention.
+            # strategy hints (hint.strategy=broadcast|shuffle, hint.
+            # shufflekey=…) accepted-and-dropped — Catalyst/AQE chooses
+            # (broadcast under threshold, skew-split otherwise)
+            rest = re.sub(r"(?:hint\.\w+\s*=\s*[\w.]+\s+)+", "", rest)
             m2 = re.match(
                 r"^(?:kind\s*=\s*([a-z]+)\s+)?"
                 r"(\(.*\)|[A-Za-z_][A-Za-z0-9_]*)\s+on\s+(.+)$",

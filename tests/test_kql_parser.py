@@ -1043,3 +1043,20 @@ def test_facet_and_render(spark):
         kql(df, "T | facet by nope")
     with pytest.raises(KqlError):
         kql(df, "T | render")
+
+
+def test_strategy_hints_accepted(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v int")
+    out = kql(
+        df,
+        "T | summarize hint.shufflekey = k hint.strategy = shuffle"
+        " n = count() by k",
+    )
+    assert {(r.k, r.n) for r in out.collect()} == {("a", 2), ("b", 1)}
+    out2 = kql(
+        df,
+        "T | as R | join kind=inner hint.strategy=broadcast (R) on k"
+        " | summarize m = count() by k",
+    )
+    assert {(r.k, r.m) for r in out2.collect()} == {("a", 4), ("b", 1)}
