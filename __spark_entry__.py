@@ -1003,7 +1003,10 @@ def q_kql_text_scan_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     return kql(
         events,
-        "T | sort by user_id asc, ts asc, event_id asc"
+        # project first: the state machine only needs the key, order and
+        # predicate columns — everything else is Arrow traffic for nothing
+        "T | project user_id, ts, event_id, event_type"
+        " | sort by user_id asc, ts asc, event_id asc"
         " | serialize by user_id"
         ' | scan with ('
         ' step s_click: event_type == "click";'
