@@ -60,6 +60,14 @@ def test_gated_queries_are_jvm_side(plans):
         # brief sanctions a pandas stage (image/audio decode libs are a
         # runtime swap-in; the Spark-side plumbing is what's under test)
         "media_byte_features",
+        # the KQL `scan` operator: sequential per-group state machine
+        # (steps may reference arbitrary prior-match state) — inherently
+        # order-dependent imperative logic, run as ONE Arrow-batched
+        # applyInPandas per serialize-group after JVM-side projection to
+        # only the key/order/predicate columns (see operators/scan.py).
+        # The property test (test_scan_property.py) proves it against an
+        # in-driver reference simulation.
+        "kql_text_scan_matches",
     }
     python_ops = ("ArrowEvalPython", "FlatMapGroupsInPandas",
                   "MapInPandas", "BatchEvalPython")
