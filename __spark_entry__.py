@@ -1031,6 +1031,68 @@ def q_kql_text_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_text_parse_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `parse-where` — the filtering flavor of `parse`: rows whose
+    text does not match the compiled pattern are dropped, matching rows
+    get the extracted columns. One anchored regex serves both the rlike
+    filter (pushed to the scan) and the regexp_extract projections —
+    all codegen'd, no Python (reference parse analog:
+    `rust/experimental/query_engine/kql-parser/src/kql.pest`
+    parse_regex_expression; grok twin `otel_arrow_spark/parse.py`)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        'documents | parse-where text with * "scan " nxt " " *'
+        " | summarize n = count() by nxt"
+        " | project nxt, n",
+    )
+
+
+def q_kql_text_parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `parse-kv` — key=value extraction into declared typed
+    columns: one regexp_extract per declared key (narrow, codegen'd;
+    missing key → NULL under a typed try_cast). The kv string is
+    synthesized from order columns so the extraction round-trips
+    against ground truth at any SF."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (orders,) = _tables(spark, sf_dir, "orders")
+    return kql(
+        orders,
+        'orders | extend kv = strcat("status=", o_orderstatus,'
+        ' ",prio=", o_orderpriority, ",ship=", tostring(o_custkey % 3))'
+        ' | parse-kv kv as (status, prio, ship: long)'
+        ' with (pair_delimiter=",", kv_delimiter="=")'
+        " | summarize n = count() by status, prio, ship",
+    )
+
+
+def q_kql_fork_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `fork` — one upstream, several downstream legs, each its own
+    pipeline over the SAME parent relation (the text-lifecycle surface
+    of the reference's signal fan-out, `router.py` / SURVEY §2.3). The
+    legs stay lazy plans sharing one parent; here they are re-unioned
+    with a leg label so the gate sees one deterministic relation."""
+    from otel_arrow_spark.operators.kql_parser import kql_fork
+
+    (events,) = _tables(spark, sf_dir, "events")
+    legs = kql_fork(
+        events,
+        "T | where value > 0 | fork"
+        ' errors=(where event_type == "error"'
+        " | summarize n = count() by user_id)"
+        " hot=(where value > 150 | summarize n = count() by user_id)",
+        tables={"T": events},
+    )
+    return legs["errors"].select(
+        F.lit("errors").alias("leg"), "user_id", "n"
+    ).unionByName(
+        legs["hot"].select(F.lit("hot").alias("leg"), "user_id", "n")
+    )
+
+
 def q_kql_text_user_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`let`-bound user functions: a scalar fn (pure macro — the call
     site compiles to the inlined Catalyst tree, no UDF) used inside a
@@ -1807,6 +1869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_user_fn": q_kql_text_user_fn,
         "kql_text_scan_matches": q_kql_text_scan_matches,
         "kql_text_facet": q_kql_text_facet,
+        "kql_text_parse_where": q_kql_text_parse_where,
+        "kql_text_parse_kv": q_kql_text_parse_kv,
+        "kql_fork_legs": q_kql_fork_legs,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2320,6 +2385,33 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "SELECT event_type, COUNT(*) AS n, "
             "AVG((value - 50.0) / 50.0) AS avg_nv "
             "FROM events WHERE value > 10.0 GROUP BY event_type"
+        ),
+        "kql_text_parse_where": (
+            "SELECT regexp_extract(text, '^.*?scan (.*?) .*', 1) AS nxt, "
+            "COUNT(*) AS n FROM documents "
+            "WHERE regexp_matches(text, '^.*?scan (.*?) .*') "
+            "GROUP BY 1"
+        ),
+        "kql_text_parse_kv": (
+            "WITH kvd AS (SELECT 'status=' || o_orderstatus || ',prio=' "
+            "|| o_orderpriority || ',ship=' || "
+            "CAST(o_custkey % 3 AS VARCHAR) AS kv FROM orders) "
+            "SELECT "
+            r"regexp_extract(kv, '(?:^|,)\s*status\s*=\s*([^,]*?)\s*(?:,|$)',"
+            " 1) AS status, "
+            r"regexp_extract(kv, '(?:^|,)\s*prio\s*=\s*([^,]*?)\s*(?:,|$)',"
+            " 1) AS prio, "
+            r"TRY_CAST(regexp_extract(kv, "
+            r"'(?:^|,)\s*ship\s*=\s*([^,]*?)\s*(?:,|$)', 1) "
+            "AS BIGINT) AS ship, "
+            "COUNT(*) AS n FROM kvd GROUP BY 1, 2, 3"
+        ),
+        "kql_fork_legs": (
+            "SELECT 'errors' AS leg, user_id, COUNT(*) AS n FROM events "
+            "WHERE value > 0 AND event_type = 'error' GROUP BY 2 "
+            "UNION ALL "
+            "SELECT 'hot', user_id, COUNT(*) FROM events "
+            "WHERE value > 0 AND value > 150 GROUP BY 2"
         ),
         "kql_agg_percentiles": (
             "SELECT event_type, quantile_cont(value, 0.25) AS p25, "

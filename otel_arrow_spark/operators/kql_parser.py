@@ -974,6 +974,68 @@ _PARSE_TOKEN_RE = re.compile(
 )
 
 
+def _typed_cast(c: Column, ty: str | None) -> Column:
+    """Apply a KQL parse-type annotation with try_cast semantics: a
+    failed extraction yields '' which casts to NULL, never an ANSI
+    error (`parse`/`parse-where`/`parse-kv` share this)."""
+    if ty in ("long", "int"):
+        return c.try_cast("bigint")
+    if ty in ("double", "real"):
+        return c.try_cast("double")
+    if ty == "datetime":
+        return c.try_cast("timestamp")
+    if ty not in (None, "string"):
+        raise KqlError(f"unsupported parse type {ty!r}")
+    return c
+
+
+def _compile_parse(rest: str, pe) -> tuple[Column, str, dict[str, Column]]:
+    """Compile a `parse`/`parse-where` stage body to (source column,
+    anchored regex, extraction columns). Non-final fields match lazily
+    up to the next literal, the final field takes the rest (KQL
+    simple-mode semantics)."""
+    m2 = re.match(
+        r"^(?:kind\s*=\s*simple\s+)?(.+?)\s+with\s+(.+)$",
+        rest, re.S,
+    )
+    if not m2:
+        raise KqlError("parse needs `parse [kind=simple] expr with pattern`")
+    src = pe(m2.group(1))
+    spec = m2.group(2).strip()
+    toks: list[tuple[str, str | None, str | None]] = []
+    pos = 0
+    while pos < len(spec):
+        m3 = _PARSE_TOKEN_RE.match(spec, pos)
+        if not m3:
+            raise KqlError(f"bad parse pattern at {spec[pos:pos + 20]!r}")
+        pos = m3.end()
+        if m3.group(1):
+            toks.append(("lit", _unquote(m3.group(1)), None))
+        elif m3.group(2):
+            toks.append(("star", None, None))
+        else:
+            toks.append(("field", m3.group(3), m3.group(4)))
+    parts: list[str] = []
+    fields: list[tuple[str, str | None, int]] = []
+    for i, (tk, a, ty) in enumerate(toks):
+        last = i == len(toks) - 1
+        if tk == "lit":
+            parts.append(re.escape(a))
+        elif tk == "star":
+            parts.append(".*" if last else ".*?")
+        else:
+            fields.append((a, ty, len(fields) + 1))
+            parts.append("(.*)" if last else "(.*?)")
+    if not fields:
+        raise KqlError("parse pattern extracts no fields")
+    pattern = "^" + "".join(parts)
+    cols = {
+        name: _typed_cast(F.regexp_extract(src, pattern, g), ty)
+        for name, ty, g in fields
+    }
+    return src, pattern, cols
+
+
 _JOIN_KINDS = {
     # KQL join flavors → Spark join types (`join` docs; the reference
     # grammar has no tabular join — this is beyond-reference surface)
@@ -1104,6 +1166,80 @@ def kql(df: DataFrame, query: str,
     (``join kind=… (source) on …``, ``union …``) resolve their sources
     from ``tables``.
     """
+    df, stages, bindings, tables = _prepare(df, query, tables)
+    return _apply_stages(df, stages, bindings, tables)
+
+
+def kql_fork(df: DataFrame, query: str,
+             tables: dict[str, DataFrame] | None = None,
+             ) -> dict[str, DataFrame]:
+    """Run a KQL pipeline whose terminal stage is ``fork``, returning
+    one DataFrame per leg.
+
+    ``… | fork [name=](subpipeline) [name=](subpipeline) …`` — every
+    leg consumes the SAME upstream relation and applies its own stage
+    list; unnamed legs are auto-named ``leg1``, ``leg2``, …  This is
+    the KQL surface of the reference's fan-out: one upstream, several
+    downstream consumers (`router.py` / SURVEY §2.3 signal-type
+    routing); like `fan_out_writes`, the upstream is NOT re-read per
+    leg when the caller persists it — the legs are lazy plans sharing
+    the same parent, so a caller materializing all legs should
+    localCheckpoint/persist the upstream first (same contract as
+    `router.fan_out_writes`).
+    """
+    df, stages, bindings, tables = _prepare(df, query, tables)
+    fork_at = next(
+        (i for i, s in enumerate(stages)
+         if re.match(r"^fork\b", s.strip())), None,
+    )
+    if fork_at is None:
+        raise KqlError("kql_fork needs a `fork` stage")
+    if fork_at != len(stages) - 1:
+        raise KqlError("fork must be the last stage")
+    df = _apply_stages(df, stages[:fork_at], bindings, tables)
+    rest = stages[fork_at].strip()[4:].strip()
+    legs: dict[str, DataFrame] = {}
+    pos, n = 0, 0
+    while pos < len(rest):
+        m = re.match(r"\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*=\s*)?\(",
+                     rest[pos:])
+        if not m:
+            raise KqlError(f"bad fork leg at {rest[pos:pos + 20]!r}")
+        start = pos + m.end()  # just past the opening paren
+        depth, i, in_str = 1, start, None
+        while i < len(rest) and depth:
+            ch = rest[i]
+            if in_str:
+                if ch == "\\":
+                    i += 1
+                elif ch == in_str:
+                    in_str = None
+            elif ch in "'\"":
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise KqlError("unbalanced parens in fork leg")
+        n += 1
+        name = m.group(1) or f"leg{n}"
+        body = rest[start:i - 1].strip()
+        legs[name] = _apply_stages(
+            df, _split_pipes(body), dict(bindings), tables,
+        )
+        pos = i
+    if not legs:
+        raise KqlError("fork needs at least one leg")
+    return legs
+
+
+def _prepare(df: DataFrame, query: str,
+             tables: dict[str, DataFrame] | None,
+             ) -> tuple[DataFrame, list[str], dict, dict]:
+    """Shared front half of `kql`/`kql_fork`: let-statement bindings,
+    literal/table source resolution, pipe splitting."""
     bindings: dict[str, KE] = {}
     tables = dict(tables) if tables else {}
     statements = _split_top_level(query, ";")
@@ -1152,7 +1288,7 @@ def kql(df: DataFrame, query: str,
         if tables and name in tables:
             df = tables[name]
         stages = stages[1:]
-    return _apply_stages(df, stages, bindings, tables)
+    return df, stages, bindings, tables
 
 
 def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
@@ -1496,69 +1632,66 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     ).alias(oncol),
                 )
             )
-        elif op == "parse":
+        elif op in ("parse", "parse-where"):
             # `parse [kind=simple] expr with [*] "lit" name[:type] …` —
             # the KQL text-extraction operator (the reference's home
             # domain: one regex over the line, `parse.py`'s per-format
             # grok twin). Compiles the whole pattern to ONE anchored
             # regex; each field is a capture group read by
-            # regexp_extract — narrow, codegen'd, no Python. Non-final
-            # fields match lazily up to the next literal, the final
-            # field takes the rest (KQL simple-mode semantics). Typed
-            # fields use try_cast: a failed match extracts '' which
-            # casts to NULL, not an ANSI error.
-            m2 = re.match(
-                r"^(?:kind\s*=\s*simple\s+)?(.+?)\s+with\s+(.+)$",
-                rest, re.S,
-            )
+            # regexp_extract — narrow, codegen'd, no Python.
+            # `parse-where` is the filtering flavor: rows whose source
+            # does not match the pattern are DROPPED (parse keeps them
+            # with empty/NULL extractions) — one extra rlike on the same
+            # anchored regex, pushed before the extraction projections
+            # so the scan filter prunes early.
+            src, pattern, cols = _compile_parse(rest, pe)
+            if op == "parse-where":
+                df = df.filter(src.rlike(pattern))
+            df = df.withColumns(cols)
+        elif op == "parse-kv":
+            # `parse-kv expr as (k1[:ty], k2…) with (pair_delimiter=',',
+            # kv_delimiter='=')` — key=value extraction into declared
+            # columns. One regexp_extract per declared key (codegen'd,
+            # narrow; missing key → '' → NULL under a typed try_cast,
+            # KQL's behavior). Single-character pair delimiter only: the
+            # value is matched with a negated character class, which is
+            # the form both Java regex and RE2 (DuckDB oracle) agree on
+            # without lookahead.
+            m2 = re.match(r"^(.+?)\s+as\s+\((.+?)\)\s*"
+                          r"(?:with\s*\((.*?)\))?\s*$", rest, re.S)
             if not m2:
                 raise KqlError(
-                    "parse needs `parse [kind=simple] expr with pattern`"
+                    "parse-kv needs `parse-kv expr as (keys) "
+                    "[with (pair_delimiter=…, kv_delimiter=…)]`"
                 )
             src = pe(m2.group(1))
-            spec = m2.group(2).strip()
-            toks: list[tuple[str, str | None, str | None]] = []
-            pos = 0
-            while pos < len(spec):
-                m3 = _PARSE_TOKEN_RE.match(spec, pos)
-                if not m3:
-                    raise KqlError(
-                        f"bad parse pattern at {spec[pos:pos + 20]!r}"
-                    )
-                pos = m3.end()
-                if m3.group(1):
-                    toks.append(("lit", _unquote(m3.group(1)), None))
-                elif m3.group(2):
-                    toks.append(("star", None, None))
-                else:
-                    toks.append(("field", m3.group(3), m3.group(4)))
-            parts: list[str] = []
-            fields: list[tuple[str, str | None, int]] = []
-            for i, (tk, a, ty) in enumerate(toks):
-                last = i == len(toks) - 1
-                if tk == "lit":
-                    parts.append(re.escape(a))
-                elif tk == "star":
-                    parts.append(".*" if last else ".*?")
-                else:
-                    fields.append((a, ty, len(fields) + 1))
-                    parts.append("(.*)" if last else "(.*?)")
-            if not fields:
-                raise KqlError("parse pattern extracts no fields")
-            pattern = "^" + "".join(parts)
+            pd_, kd = ",", "="
+            for nm, val in _parse_assignments(m2.group(3) or ""):
+                if nm == "pair_delimiter":
+                    pd_ = _unquote(val.strip())
+                elif nm == "kv_delimiter":
+                    kd = _unquote(val.strip())
+                elif nm is not None:
+                    raise KqlError(f"unknown parse-kv option {nm!r}")
+            if len(pd_) != 1:
+                raise KqlError("parse-kv pair_delimiter must be one char")
             cols = {}
-            for name, ty, g in fields:
-                c = F.regexp_extract(src, pattern, g)
-                if ty in ("long", "int"):
-                    c = c.try_cast("bigint")
-                elif ty in ("double", "real"):
-                    c = c.try_cast("double")
-                elif ty == "datetime":
-                    c = c.try_cast("timestamp")
-                elif ty not in (None, "string"):
-                    raise KqlError(f"unsupported parse type {ty!r}")
-                cols[name] = c
+            for item in _split_commas(m2.group(2)):
+                name, _, ty = item.strip().partition(":")
+                name, ty = name.strip(), (ty.strip() or None)
+                esc_pd = re.escape(pd_)
+                kpat = (f"(?:^|{esc_pd})\\s*{re.escape(name)}"
+                        f"\\s*{re.escape(kd)}\\s*([^{esc_pd}]*?)"
+                        f"\\s*(?:{esc_pd}|$)")
+                cols[name] = _typed_cast(
+                    F.regexp_extract(src, kpat, 1), ty)
+            if not cols:
+                raise KqlError("parse-kv declares no keys")
             df = df.withColumns(cols)
+        elif op == "fork":
+            raise KqlError(
+                "fork yields multiple result tables — use kql_fork()"
+            )
         elif op == "join":
             # `join [kind=k] (source) on key[, $left.a == $right.b ...]`
             # Equi-join only (KQL likewise); bare keys merge into one

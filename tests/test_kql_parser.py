@@ -1060,3 +1060,68 @@ def test_strategy_hints_accepted(spark):
         " | summarize m = count() by k",
     )
     assert {(r.k, r.m) for r in out2.collect()} == {("a", 4), ("b", 1)}
+
+
+def test_parse_where_filters_unmatched(spark):
+    df = spark.createDataFrame(
+        [(1, "dur=123 ms code=OK"), (2, "dur=9 ms code=ERR"), (3, "garbage")],
+        "id int, line string",
+    )
+    out = {
+        r.id: r
+        for r in kql(
+            df, 'T | parse-where line with "dur=" d:long " ms code=" code'
+        ).collect()
+    }
+    # the unmatched row is DROPPED (parse keeps it with NULL/'' fields)
+    assert sorted(out) == [1, 2]
+    assert out[1].d == 123 and out[2].code == "ERR"
+
+
+def test_parse_kv_extraction(spark):
+    df = spark.createDataFrame(
+        [(1, "a=1, b=x, c=2.5"), (2, "b = y ,a=2"), (3, "nope")],
+        "id int, kv string",
+    )
+    out = {
+        r.id: r
+        for r in kql(
+            df,
+            "T | parse-kv kv as (a: long, b, c: double)"
+            ' with (pair_delimiter=",", kv_delimiter="=")',
+        ).collect()
+    }
+    assert out[1].a == 1 and out[1].b == "x" and out[1].c == 2.5
+    # whitespace around delimiters tolerated; missing key -> ''/NULL
+    assert out[2].a == 2 and out[2].b == "y" and out[2].c is None
+    assert out[3].a is None and out[3].b == "" and out[3].c is None
+    with pytest.raises(KqlError):
+        kql(df, 'T | parse-kv kv as (a) with (pair_delimiter=", ")')
+    with pytest.raises(KqlError):
+        kql(df, "T | parse-kv kv as ()")
+
+
+def test_fork_legs(spark):
+    from otel_arrow_spark.operators.kql_parser import kql_fork
+
+    df = spark.createDataFrame(
+        [("err", 1), ("ok", 2), ("err", 3), ("ok", 40)],
+        "kind string, v int",
+    )
+    legs = kql_fork(
+        df,
+        "T | where v > 0 | fork"
+        ' bad=(where kind == "err" | summarize n = count())'
+        " (where v >= 2 | project v)",
+    )
+    assert sorted(legs) == ["bad", "leg2"]
+    assert legs["bad"].collect()[0].n == 2
+    assert {r.v for r in legs["leg2"].collect()} == {2, 3, 40}
+    # fork through plain kql() is an error with a pointer to kql_fork
+    with pytest.raises(KqlError):
+        kql(df, "T | fork (where v > 1)")
+    # fork must be terminal
+    with pytest.raises(KqlError):
+        kql_fork(df, "T | fork (where v > 1) | count")
+    with pytest.raises(KqlError):
+        kql_fork(df, "T | where v > 1")
