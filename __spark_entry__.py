@@ -1776,6 +1776,46 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules per document: duplicate-
+    word fraction (narrow array_distinct) and top-unigram/top-bigram
+    mass fractions via one tagged posexplode + two keyed aggregations
+    (see textstats.repetition_stats for the 100 TB shape)."""
+    from otel_arrow_spark.dataops.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over synthetic-but-deterministic PII spans (the corpus
+    documents carry none, so email/IP/phone spans derived from doc_id
+    are appended first — the redactor must find and replace exactly
+    those). Three chained regexp_replace + extract counts, all
+    codegen'd, zero shuffle; regexes restricted to the Java∩RE2 subset
+    so DuckDB runs the SAME patterns."""
+    from otel_arrow_spark.dataops.textstats import redact_pii
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text2",
+        F.concat(
+            F.col("text"), F.lit(" contact u"), F.col("doc_id"),
+            F.lit("@example.com from 10."), F.col("doc_id") % 256,
+            F.lit(".0.1 call 555 010"), F.col("doc_id") % 10,
+            F.lit(" 234"),
+        ),
+    )
+    return redact_pii(docs, text_col="text2")
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks, 8-token overlap —
+    fully narrow (split → sequence → explode → slice), zero shuffle;
+    the long-document complement to pack_sequences."""
+    from otel_arrow_spark.dataops.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
 def q_curation_clustered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-canonical curation: near-dup connected-component clusters
     (one survivor per cluster) instead of greedy pair drops, then the
@@ -1914,6 +1954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_docs": q_sample_mixture_docs,
         "decontam_flags": q_decontam_flags,
         "pack_stats": q_pack_stats,
+        "text_repetition": q_text_repetition,
+        "pii_redaction": q_pii_redaction,
+        "doc_chunks": q_doc_chunks,
         "kql_makeset": q_kql_makeset,
         "media_byte_features": q_media_byte_features,
     }
@@ -2639,7 +2682,9 @@ def _decontam_oracle() -> str:
 
 
 def _dataops_oracles() -> dict[str, str]:
-    from otel_arrow_spark.dataops import dedup, multimodal, similarity, textstats
+    from otel_arrow_spark.dataops import (
+        dedup, multimodal, packing, similarity, textstats,
+    )
 
     return {
         "text_token_counts": textstats.token_counts_oracle_sql(),
@@ -2672,6 +2717,17 @@ def _dataops_oracles() -> dict[str, str]:
         "sample_mixture_docs": _mixture_oracle(),
         "decontam_flags": _decontam_oracle(),
         "pack_stats": _packing_oracle("pack"),
+        "text_repetition": textstats.repetition_stats_oracle_sql(),
+        "pii_redaction": (
+            "WITH synth AS (SELECT doc_id, text || ' contact u' || doc_id"
+            " || '@example.com from 10.' || (doc_id % 256)"
+            " || '.0.1 call 555 010' || (doc_id % 10) || ' 234' AS text2"
+            " FROM documents) "
+            + textstats.redact_pii_oracle_sql(
+                table="synth", text_expr="text2")
+        ),
+        "doc_chunks": packing.chunk_documents_oracle_sql(
+            chunk_tokens=32, overlap=8),
         "kql_makeset": (
             "SELECT o_orderstatus, "
             "string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)"

@@ -315,3 +315,65 @@ def pack_sequences_greedy(docs: DataFrame, budget: int, n_streams: int = 8,
 
     schema = "doc_id long, stream long, n_tokens int, pack_id long"
     return base.groupBy("stream").applyInPandas(_pack, schema)
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int, overlap: int = 0,
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into fixed-token-budget chunks with optional
+    overlap — the long-document counterpart to :func:`pack_sequences`
+    (packing concatenates short docs into a window; chunking slices
+    long docs to fit one). Stride = ``chunk_tokens - overlap``; the
+    final chunk keeps the tail even when shorter than the budget; every
+    token lands in ≥1 chunk.
+
+    Entirely NARROW: split → sequence(0, n_chunks-1) → explode →
+    slice/array_join, all codegen'd per input partition, no shuffle —
+    at 100 TB the chunker adds zero network cost, only output volume
+    (× ~(1 + overlap/stride)).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(w)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    )
+    out = docs.select(
+        "doc_id", w.alias("_w"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+        .alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx").cast("bigint") * stride + 1).cast("int")
+    piece = F.slice(F.col("_w"), start, F.lit(chunk_tokens))
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_oracle_sql(chunk_tokens: int, overlap: int = 0,
+                               table: str = "documents") -> str:
+    stride = chunk_tokens - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM {table}
+)
+SELECT doc_id, i AS chunk_idx,
+  len(list_slice(w, i * {stride} + 1,
+                 least(i * {stride} + {chunk_tokens}, len(w))))
+    AS n_tokens,
+  array_to_string(list_slice(w, i * {stride} + 1,
+                  least(i * {stride} + {chunk_tokens}, len(w))), ' ')
+    AS chunk_text
+FROM toks,
+  UNNEST(range(greatest(CAST(ceil((len(w) - {overlap})
+        / CAST({stride} AS DOUBLE)) AS BIGINT), 1))) AS t(i)
+"""

@@ -282,3 +282,153 @@ def rolling_fingerprints_pandas(docs: DataFrame, text_col: str = "text",
     return docs.select("doc_id", text_col).mapInPandas(
         _fp, "doc_id long, fp_roll long"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals, the Gopher/MassiveText quality
+    rules adapted to whitespace tokens: the fraction of duplicate words
+    (1 - distinct/total, computed NARROWLY with array_distinct — no
+    shuffle), and the fraction of all unigrams/bigrams taken by the
+    single most frequent gram (`top_word_frac`, `top_bigram_frac`).
+
+    Scale shape: ONE posexplode feeds both gram sizes (unigrams and
+    bigrams concatenated, tagged by `n`), one hash aggregation keyed on
+    (doc_id, n, gram) with map-side partials, then a per-(doc_id, n)
+    max/sum rollup pivoted by conditional aggregation — two narrow-key
+    shuffles total, no skew risk beyond a single pathological document
+    (bounded by doc length, not corpus size). Rounded to 6 places for
+    the cross-engine oracle hash (`repetition_stats_oracle_sql`).
+    """
+    t = F.col(text_col)
+    w = words_of(t)
+    m = F.size(w)
+    big = F.zip_with(
+        F.slice(w, F.lit(1), F.greatest(m - 1, F.lit(0))),
+        F.slice(w, F.lit(2), F.greatest(m - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = docs.select(
+        "doc_id",
+        (F.lit(1.0) - F.size(F.array_distinct(w)) / F.greatest(m, F.lit(1)))
+        .alias("dup_word_frac_raw"),
+        F.explode(
+            F.concat(
+                F.transform(w, lambda x: F.struct(
+                    F.lit(1).alias("n"), x.alias("gram"))),
+                F.transform(big, lambda x: F.struct(
+                    F.lit(2).alias("n"), x.alias("gram"))),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"),
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("dup_word_frac_raw").alias("dupf"),
+    )
+    per_n = counts.groupBy("doc_id").agg(
+        F.round(F.first("dupf"), 6).alias("dup_word_frac"),
+        F.round(
+            F.max(F.when(F.col("n") == 1, F.col("c")))
+            / F.sum(F.when(F.col("n") == 1, F.col("c"))), 6
+        ).alias("top_word_frac"),
+        F.round(
+            F.max(F.when(F.col("n") == 2, F.col("c")))
+            / F.greatest(F.sum(F.when(F.col("n") == 2, F.col("c"))),
+                         F.lit(1)), 6
+        ).alias("top_bigram_frac"),
+    )
+    return per_n
+
+
+def repetition_stats_oracle_sql(table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM {table}
+), grams AS (
+  SELECT doc_id, 1 AS n, unnest(w) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, greatest(len(w), 1)),
+                               i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM toks
+), counts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+), dup AS (
+  SELECT doc_id,
+         ROUND(1.0 - len(list_distinct(w))
+               / CAST(greatest(len(w), 1) AS DOUBLE), 6) AS dup_word_frac
+  FROM toks
+)
+SELECT d.doc_id, d.dup_word_frac,
+  ROUND(MAX(CASE WHEN n = 1 THEN c END)
+        / CAST(SUM(CASE WHEN n = 1 THEN c END) AS DOUBLE), 6)
+    AS top_word_frac,
+  ROUND(MAX(CASE WHEN n = 2 THEN c END)
+        / CAST(greatest(SUM(CASE WHEN n = 2 THEN c END), 1) AS DOUBLE), 6)
+    AS top_bigram_frac
+FROM counts JOIN dup d USING (doc_id)
+GROUP BY d.doc_id, d.dup_word_frac
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs) so the DuckDB oracle runs the SAME regexes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\+?\d[\d -]{7,}\d\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-shaped digit runs with
+    typed placeholders and count each kind — the scrubbing pass every
+    web-scale training corpus runs before tokenization. Entirely
+    JVM-side: three chained regexp_replace (email first — its local
+    part may contain digit runs a later phone pass would half-eat) plus
+    regexp_extract_all sizes for the counts; narrow, zero shuffle.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            F.lit(PII_IPV4_RE), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                PII_IPV4_RE, "<IP>"),
+            F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+    )
+
+
+def redact_pii_oracle_sql(table: str = "documents",
+                          text_expr: str = "text") -> str:
+    e, i, p = PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+    return f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    {text_expr}, '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'),
+    '{p}', '<PHONE>', 'g') AS redacted,
+  len(regexp_extract_all({text_expr}, '{e}')) AS n_emails,
+  len(regexp_extract_all(regexp_replace({text_expr}, '{e}', '<EMAIL>', 'g'),
+      '{i}')) AS n_ips,
+  len(regexp_extract_all(regexp_replace(regexp_replace(
+      {text_expr}, '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'),
+      '{p}')) AS n_phones
+FROM {table}
+"""

@@ -630,3 +630,72 @@ def test_cross_corpus_neardup(spark):
     assert (101, 1) in rows
     assert all(nid != 102 for nid, _ in rows)
     release_caches()
+
+
+def test_repetition_stats_hand_values(spark):
+    from otel_arrow_spark.dataops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"),       # 4 words, 2 distinct; top word 'a' 3/4;
+                               # bigrams: 'a a','a a','a b' -> top 2/3
+         (2, "x y z w"),       # all distinct
+         (3, "q")],            # single word, no bigrams
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].dup_word_frac == 0.5
+    assert out[1].top_word_frac == 0.75
+    assert out[1].top_bigram_frac == round(2 / 3, 6)
+    assert out[2].dup_word_frac == 0.0 and out[2].top_word_frac == 0.25
+    assert out[3].top_word_frac == 1.0
+    # no bigrams -> max over empty is NULL, denominator guard keeps NULL
+    assert out[3].top_bigram_frac is None
+
+
+def test_redact_pii_spans(spark):
+    from otel_arrow_spark.dataops.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org now"),
+         (2, "host 192.168.0.1 and 10.0.0.7"),
+         (3, "call +44 20 7946 0958 or 555-0102-9999"),
+         (4, "clean text only")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].redacted == "mail <EMAIL> now"
+    assert out[1].n_emails == 1 and out[1].n_ips == 0
+    assert out[2].redacted == "host <IP> and <IP>" and out[2].n_ips == 2
+    assert out[3].n_phones == 2 and "<PHONE>" in out[3].redacted
+    assert out[4].redacted == "clean text only"
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+
+
+def test_chunk_documents_boundaries(spark):
+    from otel_arrow_spark.dataops.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+         (2, "a b"),                                  # shorter than chunk
+         (3, " ".join(f"u{i}" for i in range(8)))],   # exact 2 strides + tail
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # stride 3: doc1 (10 toks) -> ceil((10-1)/3)=3 chunks
+    c1 = by_doc[1]
+    assert [r.chunk_text for r in c1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert [r.n_tokens for r in c1] == [4, 4, 4]
+    # short doc: one chunk, the whole doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
+    # every token appears in at least one chunk (coverage invariant)
+    toks = set()
+    for r in c1:
+        toks.update(r.chunk_text.split())
+    assert toks == {f"t{i}" for i in range(10)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
