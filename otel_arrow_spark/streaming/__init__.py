@@ -3,6 +3,7 @@ from otel_arrow_spark.streaming.pipeline import (
     conversation_sessions,
     read_transcript_stream,
     stream_pipeline,
+    streaming_dedup,
     streaming_histogram_points,
     windowed_sink_counts,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "conversation_sessions",
     "read_transcript_stream",
     "stream_pipeline",
+    "streaming_dedup",
     "streaming_histogram_points",
     "windowed_sink_counts",
 ]

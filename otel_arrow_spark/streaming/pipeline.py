@@ -397,3 +397,29 @@ def streaming_gap_sessions(
             "n_rows",
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once streaming deduplication within a watermark — the
+    streaming twin of the batch content dedup (`dataops/dedup.py`
+    exact groups; reference analog: the ingest path's duplicate
+    suppression under at-least-once delivery, SURVEY §2.11 Ack/Nack).
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST row per key and
+    drops later arrivals until the watermark passes the first row's
+    event time — state is bounded by the watermark horizon instead of
+    growing with the whole stream (a plain ``dropDuplicates`` on a
+    stream retains every key forever; at 10^12 turns that state is the
+    job's death). Keys default to the transcript identity
+    (conv_id, turn_idx) — the at-least-once replay unit of the
+    pipeline's checkpointed source.
+    """
+    keys = key_cols or ["conv_id", "turn_idx"]
+    return stream.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)

@@ -248,3 +248,45 @@ def test_streaming_spans_equal_batch(spark, stream_dirs):
     # dependent, but its CONTENT is exact either way, asserted above)
     assert closed <= set(s)
     assert set(s) - closed <= finals
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    """At-least-once replay suppression: plant duplicate (conv_id,
+    turn_idx) rows in different input files (micro-batches) and assert
+    the watermarked streaming dedup converges to the batch
+    dropDuplicates result."""
+    from otel_arrow_spark.streaming import (
+        read_transcript_stream, streaming_dedup,
+    )
+
+    base = spark.range(200).select(
+        F.concat(F.lit("c"), (F.col("id") % 20)).alias("conv_id"),
+        (F.col("id") / 20).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("txt "), F.col("id")).alias("text"),
+        F.lit("none").alias("tool"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id"))).alias("ts"),
+    )
+    in_dir = str(tmp_path / "in")
+    # write the originals and a replayed half into SEPARATE files so the
+    # duplicates arrive in different micro-batch units
+    base.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    base.filter(F.col("turn_idx") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    deduped = streaming_dedup(read_transcript_stream(spark, in_dir))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT conv_id || '#' || turn_idx)"
+        " AS nk FROM dedup_stream"
+    ).collect()[0]
+    assert got.n == 200 and got.nk == 200
