@@ -1093,6 +1093,27 @@ def q_kql_fork_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_agg_suite3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate round-out: population stdev/variance, the bitwise
+    aggregate family (binary_all_and/or/xor — the lineage-checksum
+    pattern surfaced in KQL), and take_any over a constant-per-group
+    expression (the deterministic use). All map-side-combinable hash
+    aggregates; variance rounded to 4 places — cross-engine float
+    accumulation order differs, 1e-4 absorbs it at these magnitudes."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | summarize"
+        " sp = round(stdevp(value), 4), vp = round(variancep(value), 4),"
+        " b_and = binary_all_and(user_id), b_or = binary_all_or(user_id),"
+        " b_xor = binary_all_xor(user_id),"
+        ' anyk = take_any(strcat(event_type, "!"))'
+        " by event_type",
+    )
+
+
 def q_kql_text_user_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`let`-bound user functions: a scalar fn (pure macro — the call
     site compiles to the inlined Catalyst tree, no UDF) used inside a
@@ -1912,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_parse_where": q_kql_text_parse_where,
         "kql_text_parse_kv": q_kql_text_parse_kv,
         "kql_fork_legs": q_kql_fork_legs,
+        "kql_agg_suite3": q_kql_agg_suite3,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2455,6 +2477,14 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "UNION ALL "
             "SELECT 'hot', user_id, COUNT(*) FROM events "
             "WHERE value > 0 AND value > 150 GROUP BY 2"
+        ),
+        "kql_agg_suite3": (
+            "SELECT event_type, ROUND(stddev_pop(value), 4) AS sp, "
+            "ROUND(var_pop(value), 4) AS vp, "
+            "bit_and(user_id) AS b_and, bit_or(user_id) AS b_or, "
+            "bit_xor(user_id) AS b_xor, "
+            "event_type || '!' AS anyk "
+            "FROM events GROUP BY event_type"
         ),
         "kql_agg_percentiles": (
             "SELECT event_type, quantile_cont(value, 0.25) AS p25, "

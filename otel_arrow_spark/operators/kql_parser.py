@@ -323,6 +323,20 @@ _AGG_MAP = {
     "arg_min": lambda a: F.min_by(a[1], a[0]),
     "stdev": lambda a: F.stddev_samp(a[0]),
     "variance": lambda a: F.var_samp(a[0]),
+    "stdevp": lambda a: F.stddev_pop(a[0]),
+    "variancep": lambda a: F.var_pop(a[0]),
+    # bitwise aggregate family — the lineage checksum pattern
+    # (`lineage.py` uses bit_xor for order-insensitive content sums)
+    # surfaced in the query language
+    "binary_all_and": lambda a: F.bit_and(a[0]),
+    "binary_all_or": lambda a: F.bit_or(a[0]),
+    "binary_all_xor": lambda a: F.bit_xor(a[0]),
+    # take_any: KQL's arbitrary-row picker; Spark's any_value with
+    # ignoreNulls — deterministic only when the expr is constant per
+    # group (what the gated query does; general use is by-design
+    # nondeterministic, same as KQL)
+    "take_any": lambda a: F.any_value(a[0], True),
+    "take_anyif": lambda a: F.any_value(F.when(a[1], a[0]), True),
     "dcountif": lambda a: F.countDistinct(F.when(a[1], a[0])),
     # KQL dcount is approximate by design (HLL); the bare form above is
     # EXACT (cross-engine oracle hashability). dcount_approx opts into

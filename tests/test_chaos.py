@@ -239,6 +239,10 @@ STAGE_FRAGMENTS = st.sampled_from([
     "invoke", "invoke f()", "as", "as 9", "getschema extra",
     "top-hitters", "top-hitters 2 of", "sample", "sample-distinct",
     "make-series", "print", "range", "datatable",
+    "parse-where", "parse-where x with", "parse-kv", "parse-kv x as ()",
+    "parse-kv x as (a) with (pair_delimiter=)", "fork", "fork (",
+    "facet", "facet by", "render",
+    "summarize z = take_any() by k", "summarize z = binary_all_xor(v)",
     "where v !!~ 3", "extend y = unknown_fn(v)", "extend y = v +",
     "extend y = prev(v)", "extend y = row_number()",
 ])

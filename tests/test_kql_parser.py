@@ -1125,3 +1125,28 @@ def test_fork_legs(spark):
         kql_fork(df, "T | fork (where v > 1) | count")
     with pytest.raises(KqlError):
         kql_fork(df, "T | where v > 1")
+
+
+def test_aggregate_roundout_r3b(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 3, 20.0), ("b", 7, 5.0)],
+        "k string, m long, v double",
+    )
+    out = {
+        r.k: r
+        for r in kql(
+            df,
+            "T | summarize sp = stdevp(v), vp = variancep(v),"
+            " ba = binary_all_and(m), bo = binary_all_or(m),"
+            " bx = binary_all_xor(m), anyk = take_any(strcat(k, k)),"
+            " ifany = take_anyif(m, m > 2), ifnone = take_anyif(m, m > 100)"
+            " by k",
+        ).collect()
+    }
+    assert out["a"].vp == 25.0 and out["a"].sp == 5.0
+    assert out["a"].ba == 1 and out["a"].bo == 3 and out["a"].bx == 2
+    assert out["a"].anyk == "aa" and out["a"].ifany == 3
+    assert out["b"].vp == 0.0 and out["b"].bx == 7
+    assert out["b"].ifany == 7
+    # take_anyif with no qualifying row -> NULL
+    assert out["a"].ifnone is None and out["b"].ifnone is None
