@@ -1114,6 +1114,31 @@ def q_kql_agg_suite3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_series_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`series_*` scalar family over make-series arrays: sequential
+    array folds (series_sum/avg — deterministic order, so the oracle's
+    SUM/AVG over the bin grid matches bit-for-bit at these magnitudes),
+    elementwise zip_with arithmetic, and the closed-form least-squares
+    line fit (oracle: regr_slope/regr_intercept over (i, v); rounded to
+    6 — same math, different accumulation path). All narrow, zero extra
+    shuffle beyond make-series itself."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series n = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 15m"
+        " by event_type"
+        " | project event_type, total = series_sum(n),"
+        " smin = series_min(n), smax = series_max(n),"
+        " savg = round(series_avg(n), 6),"
+        " slope = round(series_fit_line_slope(n), 6),"
+        " icept = round(series_fit_line_intercept(n), 6),"
+        " dbl_total = series_sum(series_add(n, n))",
+    )
+
+
 def q_kql_text_user_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`let`-bound user functions: a scalar fn (pure macro — the call
     site compiles to the inlined Catalyst tree, no UDF) used inside a
@@ -1934,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_parse_kv": q_kql_text_parse_kv,
         "kql_fork_legs": q_kql_fork_legs,
         "kql_agg_suite3": q_kql_agg_suite3,
+        "kql_series_fns": q_kql_series_fns,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2561,6 +2587,27 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "MAX(CASE WHEN i = 191 THEN v END) AS last_bin, "
             "CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS INT)"
             " AS zero_bins "
+            "FROM f GROUP BY event_type"
+        ),
+        "kql_series_fns": (
+            "WITH r AS (SELECT event_type, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-03'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 900) AS INT)"
+            " AS i, COUNT(*) AS v FROM r GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type FROM r), "
+            "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+            "(SELECT unnest(range(0, 192)) AS i) gs), "
+            "f AS (SELECT g.event_type, g.i, COALESCE(b.v, 0) AS v "
+            "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+            "AND g.i = b.i) "
+            "SELECT event_type, CAST(SUM(v) AS DOUBLE) AS total, "
+            "MIN(v) AS smin, MAX(v) AS smax, "
+            "ROUND(AVG(v), 6) AS savg, "
+            "ROUND(regr_slope(v, i), 6) AS slope, "
+            "ROUND(regr_intercept(v, i), 6) AS icept, "
+            "CAST(SUM(2 * v) AS DOUBLE) AS dbl_total "
             "FROM f GROUP BY event_type"
         ),
         "kql_agg_suite": (

@@ -200,6 +200,35 @@ def _lit_int(e: KE) -> int:
 # ---------------------------------------------------------------------------
 
 # Column-pure functions: lambdas receive plain Columns.
+def _series_sum(arr: Column) -> Column:
+    """Sequential left fold — deterministic summation order, unlike a
+    distributed SUM (cross-engine oracle relies on this)."""
+    return F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+
+
+def _series_fit(arr: Column) -> tuple[Column, Column]:
+    """Least-squares line over (index, value): closed-form slope and
+    intercept from exact integer index sums (x = 0..n-1), one array
+    fold for Σy and one for Σxy — all narrow."""
+    n = F.size(arr).cast("double")
+    sy = _series_sum(arr)
+    sxy = _series_sum(
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(0), F.greatest(F.size(arr), F.lit(1)) - 1),
+            lambda y, i: y.cast("double") * i,
+        )
+    )
+    sx = n * (n - 1) / 2
+    sxx = (n - 1) * n * (2 * n - 1) / 6
+    denom = n * sxx - sx * sx
+    slope = F.when(denom > 0, (n * sxy - sx * sy) / denom)
+    intercept = (sy - slope * sx) / n
+    return slope, intercept
+
+
 _FUNC_MAP_SIMPLE = {
     # text (text_scalar_expression.rs:7-22)
     "strlen": lambda a: F.length(a[0]),
@@ -274,6 +303,24 @@ _FUNC_MAP_SIMPLE = {
         F.xxhash64(a[0]) if len(a) == 1
         else F.pmod(F.xxhash64(a[0]), a[1])
     ),
+    # series_* — the make-series companion family (KQL series functions
+    # subset). All NARROW: sequential array folds / elementwise
+    # zip_with, deterministic evaluation order in both engines (no
+    # parallel-accumulation float variance), codegen'd, zero shuffle.
+    "series_sum": lambda a: _series_sum(a[0]),
+    "series_avg": lambda a: _series_sum(a[0])
+    / F.greatest(F.size(a[0]), F.lit(1)),
+    "series_min": lambda a: F.array_min(a[0]),
+    "series_max": lambda a: F.array_max(a[0]),
+    "series_add": lambda a: F.zip_with(a[0], a[1], lambda x, y: x + y),
+    "series_subtract": lambda a: F.zip_with(a[0], a[1], lambda x, y: x - y),
+    "series_multiply": lambda a: F.zip_with(a[0], a[1], lambda x, y: x * y),
+    "series_divide": lambda a: F.zip_with(
+        a[0], a[1], lambda x, y: x.cast("double") / y.cast("double")),
+    "series_abs": lambda a: F.transform(a[0], F.abs),
+    "series_fit_line": lambda a: F.array(*_series_fit(a[0])),
+    "series_fit_line_slope": lambda a: _series_fit(a[0])[0],
+    "series_fit_line_intercept": lambda a: _series_fit(a[0])[1],
     "array_sort_asc": lambda a: F.sort_array(a[0]),
     "array_sort_desc": lambda a: F.sort_array(a[0], asc=False),
     "set_union": lambda a: F.array_distinct(F.array_union(a[0], a[1])),

@@ -1150,3 +1150,26 @@ def test_aggregate_roundout_r3b(spark):
     assert out["b"].ifany == 7
     # take_anyif with no qualifying row -> NULL
     assert out["a"].ifnone is None and out["b"].ifnone is None
+
+
+def test_series_functions(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | extend s = pack_array(1, 3, 5, 7), t = pack_array(2, 2, 2, 2)"
+        " | project ssum = series_sum(s), savg = series_avg(s),"
+        " smin = series_min(s), smax = series_max(s),"
+        " sadd = series_add(s, t), ssub = series_subtract(s, t),"
+        " smul = series_multiply(s, t), sdiv = series_divide(s, t),"
+        " sabs = series_abs(series_subtract(t, s)),"
+        " line = series_fit_line(s),"
+        " slope1 = series_fit_line_slope(pack_array(9))",
+    ).collect()[0]
+    assert r.ssum == 16.0 and r.savg == 4.0
+    assert r.smin == 1 and r.smax == 7
+    assert r.sadd == [3, 5, 7, 9] and r.ssub == [-1, 1, 3, 5]
+    assert r.smul == [2, 6, 10, 14] and r.sdiv == [0.5, 1.5, 2.5, 3.5]
+    assert r.sabs == [1, 1, 3, 5]
+    assert r.line == [2.0, 1.0]
+    # single-point series: slope undefined -> NULL, not a div-by-zero
+    assert r.slope1 is None
