@@ -1862,6 +1862,16 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: reproducible pseudo-random global
+    training position per document, computed as a two-phase hash-range
+    rank (uniform buckets — the skew-free form of a global
+    ROW_NUMBER; see packing.training_order)."""
+    from otel_arrow_spark.dataops.packing import training_order
+
+    return training_order(_docs(spark, sf_dir))
+
+
 def q_curation_clustered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-canonical curation: near-dup connected-component clusters
     (one survivor per cluster) instead of greedy pair drops, then the
@@ -2002,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_docs": q_sample_mixture_docs,
         "decontam_flags": q_decontam_flags,
         "pack_stats": q_pack_stats,
+        "training_order": q_training_order,
         "text_repetition": q_text_repetition,
         "pii_redaction": q_pii_redaction,
         "doc_chunks": q_doc_chunks,
@@ -2794,6 +2805,7 @@ def _dataops_oracles() -> dict[str, str]:
         "sample_mixture_docs": _mixture_oracle(),
         "decontam_flags": _decontam_oracle(),
         "pack_stats": _packing_oracle("pack"),
+        "training_order": packing.training_order_oracle_sql(),
         "text_repetition": textstats.repetition_stats_oracle_sql(),
         "pii_redaction": (
             "WITH synth AS (SELECT doc_id, text || ' contact u' || doc_id"

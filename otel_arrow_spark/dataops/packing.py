@@ -377,3 +377,65 @@ FROM toks,
   UNNEST(range(greatest(CAST(ceil((len(w) - {overlap})
         / CAST({stride} AS DOUBLE)) AS BIGINT), 1))) AS t(i)
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle (training order)
+# ---------------------------------------------------------------------------
+
+def training_order(docs: DataFrame, id_col: str = "doc_id",
+                   salt: str = "epoch0", buckets: int = 1024) -> DataFrame:
+    """Assign every document a deterministic pseudo-random global
+    position — the corpus shuffle a training run performs before
+    sharding, reproducible on any cluster size and re-derivable per
+    epoch by changing ``salt``.
+
+    Never a single-partition global window: the shuffle key is
+    :func:`~otel_arrow_spark.dataops.hashing.h32` (uniform on
+    [0, 2^32)), so contiguous RANGES of the hash domain preserve global
+    key order across buckets — the two-phase trick of
+    ``ordering.salted_window_rank``, globalized. Phase 1 ranks inside
+    each of ``buckets`` hash-range buckets (≈N/buckets rows per window
+    partition, uniform by construction — no skew possible); phase 2
+    computes per-bucket base offsets over the tiny bucket-count
+    relation and broadcast-joins them back. position = base +
+    within-bucket rank, identical to
+    ``ROW_NUMBER() OVER (ORDER BY key, id)``.
+    """
+    from pyspark.sql import Window
+
+    from otel_arrow_spark.dataops.hashing import h32
+
+    span = (1 << 32) // buckets
+    key = h32(F.concat(F.lit(salt), F.lit("|"),
+                       F.col(id_col).cast("string")))
+    bucketed = docs.select(
+        id_col, key.alias("_key"), (key / span).cast("long").alias("_b"),
+    )
+    w1 = Window.partitionBy("_b").orderBy("_key", id_col)
+    ranked = bucketed.withColumn("_r", F.row_number().over(w1))
+    sizes = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    w2 = Window.orderBy("_b")  # one row per bucket: tiny by contract
+    offsets = sizes.withColumn(
+        "_base", F.coalesce(F.sum("_n").over(w2) - F.col("_n"), F.lit(0))
+    ).select("_b", "_base")
+    return (
+        ranked.join(F.broadcast(offsets), "_b", "left")
+        .select(
+            id_col,
+            (F.col("_base") + F.col("_r")).cast("bigint").alias("position"),
+        )
+    )
+
+
+def training_order_oracle_sql(table: str = "documents",
+                              id_col: str = "doc_id",
+                              salt: str = "epoch0") -> str:
+    from otel_arrow_spark.dataops.hashing import h32_sql
+
+    key = h32_sql(f"('{salt}' || '|' || CAST({id_col} AS VARCHAR))")
+    return f"""
+SELECT {id_col},
+  ROW_NUMBER() OVER (ORDER BY {key}, {id_col}) AS position
+FROM {table}
+"""

@@ -152,3 +152,25 @@ def bin_(col: Column | str, width: str) -> Column:
 
         raise KqlError(f"bin(): unrecognized width {width!r}")
     return F.floor(c / F.lit(w)) * F.lit(w)
+
+
+def bin_at_(col: Column | str, width: str, anchor: Column) -> Column:
+    """KQL ``bin_at(ts, 1h, anchor)`` — bucketing with an explicit grid
+    anchor: ``anchor + floor((x - anchor)/w)*w``. Same microsecond-safe
+    epoch arithmetic as :func:`bin_`; the anchor shifts the grid so
+    buckets need not align to the epoch/midnight."""
+    c = _to_col(col)
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+(?:\.\d+)?)(ms|d|h|m|s)", str(width))
+    if not m:
+        from otel_arrow_spark.operators.kql_parser import KqlError
+
+        raise KqlError(f"bin_at(): unrecognized time width {width!r}")
+    mult = {"d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 0.001}[m.group(2)]
+    secs = float(m.group(1)) * mult
+    ec = c.cast("timestamp").cast("double")
+    ea = anchor.cast("timestamp").cast("double")
+    return F.timestamp_seconds(
+        F.floor((ec - ea) / F.lit(secs)) * F.lit(secs) + ea
+    )

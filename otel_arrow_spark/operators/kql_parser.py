@@ -728,6 +728,22 @@ class ExprParser:
             if not isinstance(w, bool) and isinstance(w, (int, float)):
                 return KE(F.floor(args[0].col / F.lit(w)) * F.lit(w))
             return KE(bin_(args[0].col, str(w)))
+        if lname == "bin_at":
+            from otel_arrow_spark.operators.kql import bin_at_
+
+            if len(args) != 3:
+                raise KqlError("bin_at() needs (value, width, anchor)")
+            if not args[1].is_lit:
+                raise KqlError("bin_at() width must be a literal")
+            w = args[1].lit
+            if not isinstance(w, bool) and isinstance(w, (int, float)):
+                # numeric grid anchored at args[2]
+                return KE(
+                    args[2].col
+                    + F.floor((args[0].col - args[2].col) / F.lit(w))
+                    * F.lit(w)
+                )
+            return KE(bin_at_(args[0].col, str(w), args[2].col))
         # literal-argument functions (patterns, delimiters, counts)
         if lname == "strcat_delim":
             if not args:

@@ -699,3 +699,30 @@ def test_chunk_documents_boundaries(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_training_order_matches_global_rownumber(spark):
+    from pyspark.sql import Window
+
+    from otel_arrow_spark.dataops.hashing import h32
+    from otel_arrow_spark.dataops.packing import training_order
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id: r.position
+           for r in training_order(df, buckets=16).collect()}
+    key = h32(F.concat(F.lit("epoch0"), F.lit("|"),
+                       F.col("doc_id").cast("string")))
+    exp = {
+        r.doc_id: r.p
+        for r in df.select(
+            "doc_id",
+            F.row_number().over(
+                Window.orderBy(key.alias("k"), "doc_id")).alias("p"),
+        ).collect()
+    }
+    assert got == exp
+    # positions are a permutation of 1..N and salt changes the order
+    assert sorted(got.values()) == list(range(1, 501))
+    got2 = {r.doc_id: r.position
+            for r in training_order(df, salt="epoch1", buckets=16).collect()}
+    assert got2 != got and sorted(got2.values()) == list(range(1, 501))

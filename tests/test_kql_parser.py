@@ -1173,3 +1173,26 @@ def test_series_functions(spark):
     assert r.line == [2.0, 1.0]
     # single-point series: slope undefined -> NULL, not a div-by-zero
     assert r.slope1 is None
+
+
+def test_bin_at_anchored_grid(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:35:00",), ("2024-01-01 01:05:00",),
+         ("2024-01-01 01:40:00",)],
+        "s string",
+    ).withColumn("ts", F.col("s").cast("timestamp"))
+    got = [
+        str(r.b)
+        for r in kql(
+            df,
+            'T | extend b = bin_at(ts, 1h, datetime("2024-01-01 00:30:00"))'
+            " | project b | order by b asc",
+        ).collect()
+    ]
+    # grid anchored at :30, not midnight
+    assert got == ["2024-01-01 00:30:00", "2024-01-01 00:30:00",
+                   "2024-01-01 01:30:00"]
+    got2 = kql(df, "T | extend n = bin_at(7, 5, 2) | take 1").collect()[0].n
+    assert got2 == 7  # 2 + floor((7-2)/5)*5
+    with pytest.raises(KqlError):
+        kql(df, "T | extend b = bin_at(ts, 1h)")
