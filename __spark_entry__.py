@@ -1114,6 +1114,27 @@ def q_kql_agg_suite3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_has_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `has` term semantics vs `contains` substring semantics, side
+    by side: "sca" is a substring of "scan" but not a whole term, so
+    n_has counts only documents with the standalone term. Runtime-
+    escaped regexp_like at term boundaries — codegen'd, the same RE2-
+    compatible pattern the DuckDB oracle runs."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        "documents | summarize"
+        ' n_has_part = countif(text has "sca"),'
+        ' n_contains_part = countif(text contains "sca"),'
+        ' n_has_term = countif(text has "scan"),'
+        ' n_hasprefix = countif(text hasprefix "sca"),'
+        ' n_hassuffix = countif(text hassuffix "can")'
+        " by source",
+    )
+
+
 def q_kql_series_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`series_*` scalar family over make-series arrays: sequential
     array folds (series_sum/avg — deterministic order, so the oracle's
@@ -1970,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_fork_legs": q_kql_fork_legs,
         "kql_agg_suite3": q_kql_agg_suite3,
         "kql_series_fns": q_kql_series_fns,
+        "kql_has_term": q_kql_has_term,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2599,6 +2621,20 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS INT)"
             " AS zero_bins "
             "FROM f GROUP BY event_type"
+        ),
+        "kql_has_term": (
+            "SELECT source, "
+            "COUNT(*) FILTER (regexp_matches(text, "
+            "'(?i)(^|[^a-zA-Z0-9])sca($|[^a-zA-Z0-9])')) AS n_has_part, "
+            "COUNT(*) FILTER (contains(lower(text), 'sca'))"
+            " AS n_contains_part, "
+            "COUNT(*) FILTER (regexp_matches(text, "
+            "'(?i)(^|[^a-zA-Z0-9])scan($|[^a-zA-Z0-9])')) AS n_has_term, "
+            "COUNT(*) FILTER (regexp_matches(text, "
+            "'(?i)(^|[^a-zA-Z0-9])sca')) AS n_hasprefix, "
+            "COUNT(*) FILTER (regexp_matches(text, "
+            "'(?i)can($|[^a-zA-Z0-9])')) AS n_hassuffix "
+            "FROM documents GROUP BY source"
         ),
         "kql_series_fns": (
             "WITH r AS (SELECT event_type, ts FROM events "

@@ -477,13 +477,33 @@ class ExprParser:
                 return KE(F.lower(l) == F.lower(r))
             return KE(F.lower(l) != F.lower(r))
         if t in ("contains", "contains_cs", "has", "has_cs", "startswith",
-                 "endswith", "!contains", "!has"):
+                 "endswith", "!contains", "!has", "hasprefix", "hassuffix"):
             self.next()
             right = self._add()
             l, r = left.col, right.col
-            if t in ("contains", "has"):  # case-insensitive by default
+            if t in ("has", "has_cs", "!has", "hasprefix", "hassuffix"):
+                # KQL term semantics: `has` matches only WHOLE terms
+                # (maximal alphanumeric runs) — "North America" has
+                # "north" but NOT "orth"; hasprefix/hassuffix anchor one
+                # side to a term boundary. The needle is regex-escaped
+                # at runtime (every non-alphanumeric char backslashed),
+                # so column-valued needles work too; `has_cs` drops the
+                # (?i) flag. All codegen'd regexp_like, no Python.
+                esc = F.regexp_replace(r, "([^a-zA-Z0-9])", r"\\$1")
+                flags = "" if t == "has_cs" else "(?i)"
+                lead = F.lit(f"{flags}(^|[^a-zA-Z0-9])")
+                tail = F.lit("($|[^a-zA-Z0-9])")
+                if t == "hasprefix":
+                    pat = F.concat(lead, esc)
+                elif t == "hassuffix":
+                    pat = F.concat(F.lit(flags), esc, tail)
+                else:
+                    pat = F.concat(lead, esc, tail)
+                hit = F.regexp_like(l, pat)
+                return KE(~hit if t == "!has" else hit)
+            if t == "contains":  # case-insensitive by default
                 return KE(F.lower(l).contains(F.lower(r)))
-            if t in ("contains_cs", "has_cs"):
+            if t == "contains_cs":
                 return KE(l.contains(r))
             if t == "startswith":
                 return KE(F.lower(l).startswith(F.lower(r)))

@@ -1196,3 +1196,32 @@ def test_bin_at_anchored_grid(spark):
     assert got2 == 7  # 2 + floor((7-2)/5)*5
     with pytest.raises(KqlError):
         kql(df, "T | extend b = bin_at(ts, 1h)")
+
+
+def test_has_term_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "North America"), (2, "Northern lights"), (3, "due north!"),
+         (4, "nor th"), (5, "price: $42,NORTH")],
+        "id int, s string",
+    )
+
+    def ids(q):
+        return {r.id for r in kql(df, q).collect()}
+
+    # whole-term, case-insensitive
+    assert ids('T | where s has "north"') == {1, 3, 5}
+    # substring form matches the partial word too
+    assert ids('T | where s contains "north"') == {1, 2, 3, 5}
+    assert ids('T | where s !has "north"') == {2, 4}
+    # case-sensitive term match
+    assert ids('T | where s has_cs "North"') == {1}
+    # term-prefix / term-suffix
+    assert ids('T | where s hasprefix "nor"') == {1, 2, 3, 4, 5}
+    assert ids('T | where s hassuffix "ica"') == set()
+    assert ids('T | where s hassuffix "erica"') == {1}
+    # column-valued needle is runtime-escaped (the $ must not be regex)
+    df2 = spark.createDataFrame(
+        [("has $42 fee", "$42"), ("has 420 fee", "$42")], "s string, n string"
+    )
+    got = {r.s for r in kql(df2, "T | where s has n").collect()}
+    assert got == {"has $42 fee"}
