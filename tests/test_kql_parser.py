@@ -1217,8 +1217,9 @@ def test_has_term_semantics(spark):
     assert ids('T | where s has_cs "North"') == {1}
     # term-prefix / term-suffix
     assert ids('T | where s hasprefix "nor"') == {1, 2, 3, 4, 5}
-    assert ids('T | where s hassuffix "ica"') == set()
-    assert ids('T | where s hassuffix "erica"') == {1}
+    # a term ENDING in the needle matches; a prefix-only hit does not
+    assert ids('T | where s hassuffix "ica"') == {1}
+    assert ids('T | where s hassuffix "amer"') == set()
     # column-valued needle is runtime-escaped (the $ must not be regex)
     df2 = spark.createDataFrame(
         [("has $42 fee", "$42"), ("has 420 fee", "$42")], "s string, n string"
