@@ -123,3 +123,52 @@ def test_normalize_nested_struct_recursion(spark):
     # strict flags the NESTED unknown field, naming its path
     with _pytest.raises(ValueError, match="outer.inner.stale"):
         normalize_to_schema(df, target, strict=True)
+
+
+def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
+    """Bucketed writes pay the shuffle once at ingest: a join of two
+    tables bucketed on the same key with the same bucket count, and an
+    aggregation on the bucket key, must both plan with ZERO Exchange
+    operators (the co-located-join contract the docstring promises)."""
+    from otel_arrow_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    left = spark.range(1000).select(
+        (F.col("id") % 50).alias("conv_id"), F.col("id").alias("turn"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("conv_id"), (F.col("id") * 2).alias("meta"),
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    try:
+        cat.write_bucketed(left, "bt_left", 8, ["conv_id"],
+                           sort_by=["conv_id"])
+        cat.write_bucketed(right, "bt_right", 8, ["conv_id"],
+                           sort_by=["conv_id"])
+        lt, rt = cat.read_table("bt_left"), cat.read_table("bt_right")
+
+        agg = lt.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+        # the tiny right side would auto-broadcast (also Exchange-free
+        # in the shuffle sense, but it hides the bucketing); force the
+        # sort-merge path a big-big join would take
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = lt.join(rt, "conv_id")
+            jplan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in jplan, jplan
+            assert "SortMergeJoin" in jplan
+            # bucketed scan actually engaged (not re-shuffled input)
+            assert "Bucketed: true" in jplan
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        got = {r.conv_id: r.n for r in agg.collect()}
+        assert got == {i: 20 for i in range(50)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
