@@ -1114,6 +1114,25 @@ def q_kql_agg_suite3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_toscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`toscalar()` — scalar subquery evaluated ahead of the main query
+    and folded as a literal (Kusto's semantics; the 1-value collect is
+    the sanctioned driver action, same shape as lineage's checksum
+    row). The bound constant then participates in Catalyst constant
+    folding and predicate pushdown — the filter below reaches the scan
+    with a concrete threshold."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "let hi = toscalar(T | summarize max(value));"
+        "T | where value > hi * 0.95"
+        " | summarize n = count() by event_type",
+        tables={"T": events},
+    )
+
+
 def q_kql_has_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KQL `has` term semantics vs `contains` substring semantics, side
     by side: "sca" is a substring of "scan" but not a whole term, so
@@ -1992,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_agg_suite3": q_kql_agg_suite3,
         "kql_series_fns": q_kql_series_fns,
         "kql_has_term": q_kql_has_term,
+        "kql_toscalar": q_kql_toscalar,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2621,6 +2641,11 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS INT)"
             " AS zero_bins "
             "FROM f GROUP BY event_type"
+        ),
+        "kql_toscalar": (
+            "SELECT event_type, COUNT(*) AS n FROM events "
+            "WHERE value > (SELECT MAX(value) FROM events) * 0.95 "
+            "GROUP BY event_type"
         ),
         "kql_has_term": (
             "SELECT source, "

@@ -68,6 +68,19 @@ def project_away(df: DataFrame, *patterns: str) -> DataFrame:
     return df.drop(*drop)
 
 
+def project_reorder(df: DataFrame, *patterns: str) -> DataFrame:
+    """KQL ``project-reorder`` — listed (wildcard) columns move to the
+    front in pattern order; unlisted columns keep their original
+    relative order after them. Pure projection, zero cost."""
+    front: list[str] = []
+    for pat in patterns:
+        for c in df.columns:
+            if fnmatch(c, pat) and c not in front:
+                front.append(c)
+    rest = [c for c in df.columns if c not in front]
+    return df.select(*front, *rest)
+
+
 def project_rename(df: DataFrame, **renames: str) -> DataFrame:
     """KQL ``project-rename`` — ``new_name=old_name`` pairs."""
     return df.withColumnsRenamed({old: new for new, old in renames.items()})

@@ -1345,6 +1345,21 @@ def _prepare(df: DataFrame, query: str,
         if not m:
             raise KqlError(f"expected `let name = expr;`, got {stmt!r}")
         rhs = m.group(2).strip()
+        mts = re.match(r"^toscalar\s*\((.+)\)\s*$", rhs, re.S)
+        if mts:
+            # `let x = toscalar(T | summarize …);` — evaluate the
+            # subquery to its first row's first column NOW and bind the
+            # VALUE as a literal (Kusto evaluates toscalar before the
+            # main query; the result is a query constant that Catalyst
+            # then folds). This is a deliberate 1-value driver action —
+            # the subquery is an aggregate/limit by contract, the same
+            # shape as lineage's 1-row checksum collect.
+            sub = _parse_source(mts.group(1), tables, bindings)
+            row = sub.limit(1).collect()
+            bindings[m.group(1)] = _mklit(
+                row[0][0] if row else None
+            )
+            continue
         if rhs.startswith("(") and rhs.endswith("}") and "{" in rhs:
             # user function: `let f = (x: long[, …]) { body };` —
             # params split at the FIRST top-level `{` (bodies containing
@@ -1455,6 +1470,9 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         elif op == "project-away":
             pats = [p.strip() for p in rest.split(",")]
             df = ops.project_away(df, *pats)
+        elif op == "project-reorder":
+            pats = [p.strip() for p in rest.split(",")]
+            df = ops.project_reorder(df, *pats)
         elif op == "project-rename":
             renames = {}
             for name, expr in _parse_assignments(rest):
@@ -1885,16 +1903,30 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     right = right.withColumnRenamed(c, c + "1")
             df = df.join(F.broadcast(right), keys, kind)
         elif op == "union":
-            # `union [kind=inner|outer] source[, source ...]` — outer
-            # (the KQL default) aligns by name and null-fills missing
-            # columns; inner keeps only the common columns.
-            m2 = re.match(r"^(?:kind\s*=\s*(inner|outer)\s+)?(.+)$",
-                          rest, re.S)
+            # `union [withsource=Col] [kind=inner|outer] source[, …]` —
+            # outer (the KQL default) aligns by name and null-fills
+            # missing columns; inner keeps only the common columns.
+            # `withsource=` labels every row with its origin: the
+            # upstream relation is labeled `T` (its let-name is not
+            # tracked through the pipe), each operand with its leading
+            # table name (or `unionN` for literal/subquery sources).
+            m2 = re.match(
+                r"^(?:withsource\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s+)?"
+                r"(?:kind\s*=\s*(inner|outer)\s+)?(.+)$",
+                rest, re.S,
+            )
             if not m2:
                 raise KqlError("union needs at least one source table")
-            ukind = m2.group(1) or "outer"
-            for item in _split_commas(m2.group(2)):
+            srccol, ukind = m2.group(1), m2.group(2) or "outer"
+            if srccol:
+                df = df.withColumn(srccol, F.lit("T"))
+            for i, item in enumerate(_split_commas(m2.group(3))):
                 other = _parse_source(item, tables, bindings)
+                if srccol:
+                    mname = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*$",
+                                     item)
+                    label = mname.group(1) if mname else f"union{i + 1}"
+                    other = other.withColumn(srccol, F.lit(label))
                 if ukind == "outer":
                     df = df.unionByName(other, allowMissingColumns=True)
                 else:

@@ -1226,3 +1226,48 @@ def test_has_term_semantics(spark):
     )
     got = {r.s for r in kql(df2, "T | where s has n").collect()}
     assert got == {"has $42 fee"}
+
+
+def test_toscalar_let_binding(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 99.0), ("c", 40.0)], "k string, v double")
+    out = kql(
+        df,
+        "let hi = toscalar(T | summarize max(v));"
+        "T | where v >= hi * 0.4 | project k",
+        tables={"T": df},
+    )
+    assert {r.k for r in out.collect()} == {"b", "c"}
+    # empty subquery result binds NULL (filters everything out)
+    out2 = kql(
+        df,
+        "let x = toscalar(T | where v > 1000 | summarize max(v));"
+        "T | where v > x | count",
+        tables={"T": df},
+    )
+    assert out2.collect()[0]["count_"] == 0
+
+
+def test_union_withsource(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, s string")
+    b = spark.createDataFrame([(2, 5.0)], "id int, v double")
+    out = kql(a, "T | union withsource=src B", tables={"B": b}).collect()
+    rows = {(r.src, r.id) for r in out}
+    assert rows == {("T", 1), ("B", 2)}
+    # outer union null-fills the non-shared columns
+    byid = {r.id: r for r in out}
+    assert byid[1].s == "x" and byid[1].v is None
+    assert byid[2].v == 5.0 and byid[2].s is None
+    # subquery sources get generated labels
+    out2 = kql(a, "T | union withsource=src (B | project id)",
+               tables={"B": b}).collect()
+    assert {r.src for r in out2} == {"T", "union1"}
+
+
+def test_project_reorder(spark):
+    df = spark.createDataFrame([(1, 2, 3, 4)], "b int, d int, a int, c int")
+    assert kql(df, "T | project-reorder a, c").columns == \
+        ["a", "c", "b", "d"]
+    # wildcards, and unlisted columns keep relative order
+    assert kql(df, "T | project-reorder c*, a").columns == \
+        ["c", "a", "b", "d"]
