@@ -1345,6 +1345,20 @@ def _prepare(df: DataFrame, query: str,
         if not m:
             raise KqlError(f"expected `let name = expr;`, got {stmt!r}")
         rhs = m.group(2).strip()
+        mmz = re.match(r"^materialize\s*\((.+)\)\s*$", rhs, re.S)
+        if mmz:
+            # `let M = materialize(T | …);` — evaluate the subquery
+            # once and reuse the result across every reference (Kusto's
+            # contract). Spark form: persist() — the first action
+            # populates the block cache, later references read it
+            # instead of recomputing. Lifetime is the session's; callers
+            # running many queries should unpersist via
+            # spark.catalog.clearCache() between them (the same
+            # session-scope note as dedup's release_caches).
+            tables[m.group(1)] = _parse_source(
+                mmz.group(1), tables, bindings
+            ).persist()
+            continue
         mts = re.match(r"^toscalar\s*\((.+)\)\s*$", rhs, re.S)
         if mts:
             # `let x = toscalar(T | summarize …);` — evaluate the

@@ -1271,3 +1271,27 @@ def test_project_reorder(spark):
     # wildcards, and unlisted columns keep relative order
     assert kql(df, "T | project-reorder c*, a").columns == \
         ["c", "a", "b", "d"]
+
+
+def test_materialize_let_binding(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0)], "k string, v double")
+    out = kql(
+        df,
+        "let M = materialize(T | summarize s = sum(v) by k);"
+        "M | join kind=inner (M) on k | project k, s, s1",
+        tables={"T": df},
+    )
+    rows = {(r.k, r.s, r.s1) for r in out.collect()}
+    assert rows == {("a", 3.0, 3.0), ("b", 9.0, 9.0)}
+    # the bound relation is actually persisted (single-evaluation
+    # contract) — clean up after the assertion
+    from otel_arrow_spark.operators.kql_parser import _prepare
+
+    _, _, _, tabs = _prepare(
+        df, "let M = materialize(T | where v > 1); M | count",
+        {"T": df},
+    )
+    assert tabs["M"].storageLevel.useMemory
+    tabs["M"].unpersist()
+    spark.catalog.clearCache()
