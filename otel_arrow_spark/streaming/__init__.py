@@ -4,6 +4,7 @@ from otel_arrow_spark.streaming.pipeline import (
     read_transcript_stream,
     stream_pipeline,
     streaming_dedup,
+    streaming_interval_join,
     streaming_histogram_points,
     windowed_sink_counts,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "read_transcript_stream",
     "stream_pipeline",
     "streaming_dedup",
+    "streaming_interval_join",
     "streaming_histogram_points",
     "windowed_sink_counts",
 ]

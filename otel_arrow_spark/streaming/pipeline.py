@@ -423,3 +423,44 @@ def streaming_dedup(
     return stream.withWatermark(
         ts_col, watermark
     ).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_gap: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left row pairs
+    with right rows of the same key whose event time falls in
+    [left_ts, left_ts + max_gap) — correlating two live signal streams
+    (e.g. routed log turns with the trace turns that follow them), the
+    streaming twin of the batch parent-child interval joins.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time distance, so Spark can expire state: each side retains
+    at most ``watermark + max_gap`` of history per key — bounded state
+    at any stream length, never a full-history buffer. Right-side
+    non-key columns come back suffixed ``_r`` (both streams share the
+    transcript schema).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            < F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_gap}")
+        )
+    )
+    out = l.join(r, cond, "inner")
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}").alias(f"{c}_r")
+        for c in right.columns
+        if c != key
+    ]
+    return out.select(*keep)

@@ -290,3 +290,66 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
         " AS nk FROM dedup_stream"
     ).collect()[0]
     assert got.n == 200 and got.nk == 200
+
+
+def test_streaming_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join parity: correlate 'user' turns with
+    the 'assistant' turns that follow within the gap, streamed with
+    watermarks on both sides, and assert exact equality with the batch
+    join under the identical condition."""
+    from otel_arrow_spark.streaming import (
+        read_transcript_stream, streaming_interval_join,
+    )
+
+    # conv key mod 3 (coprime with the role parity split, so both roles
+    # appear in every conversation); 40 s turn spacing
+    base = spark.range(300).select(
+        F.concat(F.lit("c"), (F.col("id") % 3)).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 2 == 0, "user").otherwise("assistant")
+        .alias("role"),
+        F.concat(F.lit("m"), F.col("id")).alias("text"),
+        F.lit("none").alias("tool"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id") * 40)).alias("ts"),
+    )
+    left_dir, right_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    base.filter(F.col("role") == "user").coalesce(2).write.parquet(left_dir)
+    base.filter(F.col("role") == "assistant").coalesce(2).write.parquet(
+        right_dir
+    )
+
+    joined = streaming_interval_join(
+        read_transcript_stream(spark, left_dir),
+        read_transcript_stream(spark, right_dir),
+        max_gap="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.conv_id, r.turn_idx, r.turn_idx_r)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+
+    lb = spark.read.parquet(left_dir).alias("l")
+    rb = spark.read.parquet(right_dir).alias("r")
+    exp = {
+        (r.conv_id, r.ti, r.tr)
+        for r in lb.join(
+            rb,
+            (F.col("l.conv_id") == F.col("r.conv_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") < F.col("l.ts")
+               + F.expr("INTERVAL 10 minutes")),
+        ).select(
+            F.col("l.conv_id"), F.col("l.turn_idx").alias("ti"),
+            F.col("r.turn_idx").alias("tr"),
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
