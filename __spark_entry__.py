@@ -1114,6 +1114,21 @@ def q_kql_agg_suite3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate basket(0.05)` — frequent itemset mining over the
+    categorical (lang, source) projection: every single value and value
+    pair appearing in ≥5% of documents, NULL marking wildcard
+    positions (the Kusto basket output shape, itemsets ≤2). One
+    map-side-combinable aggregation per column/pair."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        "documents | project lang, source | evaluate basket(0.05)",
+    )
+
+
 def q_kql_toscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`toscalar()` — scalar subquery evaluated ahead of the main query
     and folded as a literal (Kusto's semantics; the 1-value collect is
@@ -2012,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_fns": q_kql_series_fns,
         "kql_has_term": q_kql_has_term,
         "kql_toscalar": q_kql_toscalar,
+        "kql_basket": q_kql_basket,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2641,6 +2657,22 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS INT)"
             " AS zero_bins "
             "FROM f GROUP BY event_type"
+        ),
+        "kql_basket": (
+            "WITH th AS (SELECT greatest(CAST(trunc(COUNT(*) * 0.05) "
+            "AS BIGINT), 1) AS t FROM documents) "
+            "SELECT CAST(lang AS VARCHAR) AS lang, "
+            "CAST(NULL AS VARCHAR) AS source, COUNT(*) AS support_count "
+            "FROM documents GROUP BY lang "
+            "HAVING COUNT(*) >= (SELECT t FROM th) "
+            "UNION ALL "
+            "SELECT NULL, CAST(source AS VARCHAR), COUNT(*) "
+            "FROM documents GROUP BY source "
+            "HAVING COUNT(*) >= (SELECT t FROM th) "
+            "UNION ALL "
+            "SELECT CAST(lang AS VARCHAR), CAST(source AS VARCHAR), "
+            "COUNT(*) FROM documents GROUP BY lang, source "
+            "HAVING COUNT(*) >= (SELECT t FROM th)"
         ),
         "kql_toscalar": (
             "SELECT event_type, COUNT(*) AS n FROM events "

@@ -2267,6 +2267,48 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 cond = piece if cond is None else (cond | piece)
             df = df.filter(cond)
         elif op == "evaluate":
+            mbsk = re.match(r"^basket\s*\(\s*([0-9.]*)\s*\)\s*$", rest)
+            if mbsk:
+                # `evaluate basket(SupportFrac)` — frequent itemset
+                # mining over the (categorical) input columns, the
+                # Kusto basket plugin restricted to itemsets of size
+                # 1 and 2 (the sizes that stay tractable without an
+                # FP-tree). One hash aggregation per column / column
+                # pair — each map-side combinable; NULL in the output
+                # marks a wildcard position (Kusto's shape). The row
+                # total is a 1-value driver aggregate (toscalar shape).
+                frac = float(mbsk.group(1) or 0.05)
+                total = df.count()
+                thresh = max(int(total * frac), 1)
+                cols = df.columns
+                legs = []
+                for i, c1 in enumerate(cols):
+                    single = (
+                        df.groupBy(c1)
+                        .agg(F.count(F.lit(1)).alias("support_count"))
+                        .filter(F.col("support_count") >= thresh)
+                    )
+                    legs.append(single.select(*[
+                        (F.col(c).cast("string") if c == c1
+                         else F.lit(None).cast("string")).alias(c)
+                        for c in cols
+                    ] + [F.col("support_count")]))
+                    for c2 in cols[i + 1:]:
+                        pair = (
+                            df.groupBy(c1, c2)
+                            .agg(F.count(F.lit(1)).alias("support_count"))
+                            .filter(F.col("support_count") >= thresh)
+                        )
+                        legs.append(pair.select(*[
+                            (F.col(c).cast("string") if c in (c1, c2)
+                             else F.lit(None).cast("string")).alias(c)
+                            for c in cols
+                        ] + [F.col("support_count")]))
+                out = legs[0]
+                for leg in legs[1:]:
+                    out = out.unionByName(leg)
+                df = out
+                continue
             mbag = re.match(r"^bag_unpack\s*\((.+)\)\s*$", rest, re.S)
             if mbag:
                 # `evaluate bag_unpack(expr [, "k1[:type]", …])` —

@@ -1295,3 +1295,22 @@ def test_materialize_let_binding(spark):
     assert tabs["M"].storageLevel.useMemory
     tabs["M"].unpersist()
     spark.catalog.clearCache()
+
+
+def test_evaluate_basket(spark):
+    df = spark.createDataFrame(
+        [("a", "x")] * 6 + [("a", "y")] * 3 + [("b", "y")] * 1,
+        "k string, s string",
+    )
+    rows = {
+        (r.k, r.s, r.support_count)
+        for r in kql(df, "T | evaluate basket(0.3)").collect()
+    }
+    # total 10, threshold 3: singles a(9), x(6), y(4); pair (a,x)=6,
+    # (a,y)=3; b(1) and (b,y)(1) fall below support
+    assert rows == {
+        ("a", None, 9), (None, "x", 6), (None, "y", 4),
+        ("a", "x", 6), ("a", "y", 3),
+    }
+    with pytest.raises(KqlError):
+        kql(df, "T | evaluate nosuchplugin()")
