@@ -200,6 +200,33 @@ def _lit_int(e: KE) -> int:
 # ---------------------------------------------------------------------------
 
 # Column-pure functions: lambdas receive plain Columns.
+def _ip2long(c: Column) -> Column:
+    """Dotted-quad IPv4 → numeric (NULL for malformed input via
+    try_cast on each octet)."""
+    p = F.split(c, r"\.")
+    return (
+        F.try_element_at(p, F.lit(1)).try_cast("bigint") * 16777216
+        + F.try_element_at(p, F.lit(2)).try_cast("bigint") * 65536
+        + F.try_element_at(p, F.lit(3)).try_cast("bigint") * 256
+        + F.try_element_at(p, F.lit(4)).try_cast("bigint")
+    )
+
+
+def _ipv4_in_range(ip: Column, cidr: Column) -> Column:
+    """ipv4_is_in_range(ip, 'a.b.c.d/m') — prefix compare via division
+    by 2^(32-m) (shiftright needs a literal bit count; the mask length
+    here may be a column)."""
+    net = F.split(cidr, "/")
+    m = F.coalesce(
+        F.try_element_at(net, F.lit(2)).try_cast("int"), F.lit(32)
+    )
+    scale = F.pow(F.lit(2.0), 32 - m)
+    return (
+        F.floor(_ip2long(ip) / scale)
+        == F.floor(_ip2long(F.try_element_at(net, F.lit(1))) / scale)
+    )
+
+
 def _series_sum(arr: Column) -> Column:
     """Sequential left fold — deterministic summation order, unlike a
     distributed SUM (cross-engine oracle relies on this)."""
@@ -321,6 +348,18 @@ _FUNC_MAP_SIMPLE = {
     "series_fit_line": lambda a: F.array(*_series_fit(a[0])),
     "series_fit_line_slope": lambda a: _series_fit(a[0])[0],
     "series_fit_line_intercept": lambda a: _series_fit(a[0])[1],
+    # IPv4 predicates (log-pipeline staples; all narrow arithmetic —
+    # split + try_cast octets, no regex, no Python)
+    "ipv4_is_private": lambda a: (
+        (F.get(F.split(a[0], r"\."), 0).try_cast("int") == 10)
+        | ((F.get(F.split(a[0], r"\."), 0).try_cast("int") == 172)
+           & F.get(F.split(a[0], r"\."), 1).try_cast("int")
+           .between(16, 31))
+        | ((F.get(F.split(a[0], r"\."), 0).try_cast("int") == 192)
+           & (F.get(F.split(a[0], r"\."), 1).try_cast("int") == 168))
+    ),
+    "ipv4_is_in_range": lambda a: _ipv4_in_range(a[0], a[1]),
+    "ipv4_is_match": lambda a: _ipv4_in_range(a[0], a[1]),
     "array_sort_asc": lambda a: F.sort_array(a[0]),
     "array_sort_desc": lambda a: F.sort_array(a[0], asc=False),
     "set_union": lambda a: F.array_distinct(F.array_union(a[0], a[1])),
@@ -344,6 +383,12 @@ _FUNC_MAP_SIMPLE = {
     "double": lambda a: a[0].try_cast("double"),
     "string": lambda a: a[0].cast("string"),
     "isstring": lambda a: a[0].cast("string").isNotNull(),
+}
+
+# conversions that need the string detour when applied to a VARIANT
+_VARIANT_VIA_STRING = {
+    "toint", "tolong", "todouble", "toreal", "tofloat", "tobool",
+    "int", "double",
 }
 
 _AGG_MAP = {
@@ -412,10 +457,15 @@ class ExprParser:
 
     def __init__(self, toks: list[Tok], pos: int = 0,
                  bindings: dict[str, "KE | Column"] | None = None,
-                 wspec=None):
+                 wspec=None,
+                 variant_cols: set[str] | None = None):
         self.toks = toks
         self.pos = pos
         self.bindings = bindings or {}
+        # Column names of VARIANT (dynamic) type in the current input —
+        # bare references to them must resolve variant-flagged so path
+        # accessors compile to try_variant_get, not getItem.
+        self.variant_cols = variant_cols or set()
         # Window spec of the current serialized row set (set by
         # `sort by` / `serialize`); None outside one. Window functions
         # (row_number/prev/next/row_cumsum/…) are only legal when set —
@@ -660,7 +710,7 @@ class ExprParser:
                         f"{name} is a function — call it: {name}(…)"
                     )
                 return b if isinstance(b, KE) else KE(b)
-            return KE(F.col(name))
+            return KE(F.col(name), variant=name in self.variant_cols)
         raise KqlError(f"unexpected token {t.text!r}" if t.kind != "eof"
                        else "unexpected end of input")
 
@@ -901,6 +951,24 @@ class ExprParser:
             if len(args) != 1:
                 raise KqlError("parse_json needs (s)")
             return KE(F.parse_json(args[0].col), variant=True)
+        if lname == "parse_url":
+            # dynamic bag result (Kusto shape) so VARIANT path
+            # accessors chain: `parse_url(u).Host`, `u['Path']`
+            if len(args) != 1:
+                raise KqlError("parse_url needs (url)")
+            u = args[0].col
+            return KE(F.parse_json(F.to_json(F.struct(
+                F.parse_url(u, F.lit("PROTOCOL")).alias("Scheme"),
+                F.parse_url(u, F.lit("HOST")).alias("Host"),
+                # Hive parse_url has no PORT part — take it off the
+                # authority ('' when the URL carries none, KQL's shape)
+                F.regexp_extract(
+                    F.parse_url(u, F.lit("AUTHORITY")), r":(\d+)$", 1
+                ).alias("Port"),
+                F.parse_url(u, F.lit("PATH")).alias("Path"),
+                F.parse_url(u, F.lit("QUERY")).alias("Query"),
+                F.parse_url(u, F.lit("REF")).alias("Fragment"),
+            ))), variant=True)
         if lname in ("row_number", "prev", "next", "row_cumsum",
                      "row_rank_min", "row_rank_dense"):
             # Serialized-window functions. Legal only on a serialized
@@ -949,6 +1017,11 @@ class ExprParser:
             fn = F.lag if lname == "prev" else F.lead
             return KE(fn(args[0].col, off, dflt).over(w))
         cols = [a.col for a in args]
+        if lname in _VARIANT_VIA_STRING and args and args[0].variant:
+            # numeric/bool conversion of a dynamic value: VARIANT casts
+            # cleanly to string but try_cast to numeric yields NULL —
+            # route through the string form (KQL toint(dyn) semantics)
+            cols = [args[0].col.cast("string")] + cols[1:]
         try:
             if lname in _FUNC_MAP_SIMPLE:
                 return KE(_FUNC_MAP_SIMPLE[lname](cols))
@@ -967,8 +1040,9 @@ def _unquote(s: str) -> str:
 
 
 def parse_expr_ke(s: str, bindings: dict[str, "KE | Column"] | None = None,
-                  wspec=None) -> KE:
-    p = ExprParser(tokenize(s), bindings=bindings, wspec=wspec)
+                  wspec=None, variant_cols: set[str] | None = None) -> KE:
+    p = ExprParser(tokenize(s), bindings=bindings, wspec=wspec,
+                   variant_cols=variant_cols)
     c = p.parse()
     if p.peek().kind != "eof":
         raise KqlError(f"trailing tokens at {p.peek().text!r}")
@@ -976,8 +1050,9 @@ def parse_expr_ke(s: str, bindings: dict[str, "KE | Column"] | None = None,
 
 
 def parse_expr(s: str, bindings: dict[str, "KE | Column"] | None = None,
-               wspec=None) -> Column:
-    return parse_expr_ke(s, bindings, wspec=wspec).col
+               wspec=None, variant_cols: set[str] | None = None) -> Column:
+    return parse_expr_ke(s, bindings, wspec=wspec,
+                         variant_cols=variant_cols).col
 
 
 # ---------------------------------------------------------------------------
@@ -1453,7 +1528,12 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
     }
 
     def pe(s: str) -> Column:
-        return parse_expr(s, bindings, wspec=sctx["wspec"])
+        vcols = {
+            f.name for f in df.schema.fields
+            if f.dataType.typeName() == "variant"
+        }
+        return parse_expr(s, bindings, wspec=sctx["wspec"],
+                          variant_cols=vcols)
 
     for stage in stages:
         m = re.match(r"^([a-z-]+)\s*(.*)$", stage, re.S)

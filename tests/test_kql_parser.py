@@ -1314,3 +1314,39 @@ def test_evaluate_basket(spark):
     }
     with pytest.raises(KqlError):
         kql(df, "T | evaluate nosuchplugin()")
+
+
+def test_ipv4_predicates(spark):
+    df = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "172.20.0.9"), (3, "172.32.0.1"),
+         (4, "192.168.44.1"), (5, "8.8.8.8"), (6, "garbage")],
+        "id int, ip string",
+    )
+    got = {r.id: r for r in kql(
+        df,
+        "T | extend priv = ipv4_is_private(ip),"
+        ' in24 = ipv4_is_in_range(ip, "10.1.2.0/24"),'
+        ' in8 = ipv4_is_match(ip, "172.0.0.0/8")',
+    ).collect()}
+    assert [got[i].priv for i in range(1, 6)] == [
+        True, True, False, True, False]
+    assert got[1].in24 is True and got[2].in24 is False
+    assert got[2].in8 is True and got[3].in8 is True and got[5].in8 is False
+    # malformed input -> NULL, never an ANSI error
+    assert got[6].priv is None and got[6].in24 is None
+
+
+def test_parse_url_bag(spark):
+    df = spark.createDataFrame(
+        [("https://api.example.com:8443/v1/items?q=2#frag",)], "u string")
+    r = kql(
+        df,
+        "T | extend b = parse_url(u)"
+        " | project scheme = tostring(b.Scheme),"
+        " host = tostring(b.Host), port = toint(b.Port),"
+        " path = tostring(b.Path), q = tostring(b.Query),"
+        " frag = tostring(b.Fragment)",
+    ).collect()[0]
+    assert r.scheme == "https" and r.host == "api.example.com"
+    assert r.port == 8443 and r.path == "/v1/items"
+    assert r.q == "q=2" and r.frag == "frag"
