@@ -1114,6 +1114,26 @@ def q_kql_agg_suite3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_ipv4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 predicates over synthesized-but-deterministic addresses:
+    private-range classification and CIDR membership, all narrow octet
+    arithmetic (split + try_cast), mirrored by the same arithmetic in
+    the DuckDB oracle."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        ' | extend ip = iff(user_id % 5 == 0,'
+        ' strcat("8.", tostring(user_id % 200), ".1.9"),'
+        ' strcat("172.", tostring(16 + user_id % 20), ".0.1"))'
+        " | extend priv = ipv4_is_private(ip),"
+        ' hit = ipv4_is_in_range(ip, "172.16.0.0/13")'
+        " | summarize n = count() by priv, hit",
+    )
+
+
 def q_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate basket(0.05)` — frequent itemset mining over the
     categorical (lang, source) projection: every single value and value
@@ -2028,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_has_term": q_kql_has_term,
         "kql_toscalar": q_kql_toscalar,
         "kql_basket": q_kql_basket,
+        "kql_ipv4": q_kql_ipv4,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2657,6 +2678,16 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS INT)"
             " AS zero_bins "
             "FROM f GROUP BY event_type"
+        ),
+        "kql_ipv4": (
+            # ground-truth oracle: derives the expected classification
+            # from the generator arithmetic, independent of any IP
+            # string parsing — 8.x.1.9 is never private; 172.(16+k).0.1
+            # is private only for k <= 15 (172.32-172.35 fall outside
+            # the /12); /13 covers 172.16-172.23 i.e. k < 8
+            "SELECT (user_id % 5 <> 0 AND user_id % 20 <= 15) AS priv, "
+            "(user_id % 5 <> 0 AND user_id % 20 < 8) AS hit, "
+            "COUNT(*) AS n FROM events GROUP BY 1, 2"
         ),
         "kql_basket": (
             "WITH th AS (SELECT greatest(CAST(trunc(COUNT(*) * 0.05) "
