@@ -360,6 +360,14 @@ _FUNC_MAP_SIMPLE = {
     ),
     "ipv4_is_in_range": lambda a: _ipv4_in_range(a[0], a[1]),
     "ipv4_is_match": lambda a: _ipv4_in_range(a[0], a[1]),
+    # KQL array_index_of is 0-based, -1 when absent (array_position is
+    # 1-based, 0 when absent)
+    "array_index_of": lambda a: (
+        F.array_position(a[0], a[1]) - 1
+    ).cast("bigint"),
+    "array_sum": lambda a: _series_sum(a[0]),
+    "array_avg": lambda a: _series_sum(a[0])
+    / F.greatest(F.size(a[0]), F.lit(1)),
     "array_sort_asc": lambda a: F.sort_array(a[0]),
     "array_sort_desc": lambda a: F.sort_array(a[0], asc=False),
     "set_union": lambda a: F.array_distinct(F.array_union(a[0], a[1])),
@@ -951,6 +959,28 @@ class ExprParser:
             if len(args) != 1:
                 raise KqlError("parse_json needs (s)")
             return KE(F.parse_json(args[0].col), variant=True)
+        if lname in ("bag_pack", "pack"):
+            # bag_pack(k1, v1, k2, v2, …) → dynamic bag (variant), so
+            # accessors/bag_keys/bag_unpack compose with the result
+            if len(args) < 2 or len(args) % 2:
+                raise KqlError("bag_pack needs (k1, v1[, k2, v2…])")
+            if all(args[i].is_lit for i in range(0, len(args), 2)):
+                # literal keys (the common case): a typed struct keeps
+                # each value's JSON type (numbers stay numbers)
+                fields = [
+                    args[i + 1].col.alias(str(args[i].lit))
+                    for i in range(0, len(args), 2)
+                ]
+                return KE(F.parse_json(F.to_json(F.struct(*fields))),
+                          variant=True)
+            # column-valued keys: map form; values stringify (the JSON
+            # type degrades, same as Kusto's dynamic-from-map behavior)
+            return KE(F.parse_json(F.to_json(F.map_from_arrays(
+                F.array(*[args[i].col.cast("string")
+                          for i in range(0, len(args), 2)]),
+                F.array(*[args[i].col.cast("string")
+                          for i in range(1, len(args), 2)]),
+            ))), variant=True)
         if lname == "parse_url":
             # dynamic bag result (Kusto shape) so VARIANT path
             # accessors chain: `parse_url(u).Host`, `u['Path']`

@@ -1350,3 +1350,23 @@ def test_parse_url_bag(spark):
     assert r.scheme == "https" and r.host == "api.example.com"
     assert r.port == 8443 and r.path == "/v1/items"
     assert r.q == "q=2" and r.frag == "frag"
+
+
+def test_bag_pack_and_array_helpers(spark):
+    df = spark.createDataFrame([(1, "x", 2.5)], "id int, s string, v double")
+    r = kql(
+        df,
+        'T | extend b = bag_pack("id", id, "tag", s, "val", v)'
+        " | project keys = bag_keys(b), tag = tostring(b.tag),"
+        " val = todouble(b.val),"
+        " idx = array_index_of(pack_array(5, 7, 9), 7),"
+        " missing = array_index_of(pack_array(5), 9),"
+        " asum = array_sum(pack_array(1, 2, 3)),"
+        " aavg = array_avg(pack_array(1.0, 2.0, 6.0))",
+    ).collect()[0]
+    assert sorted(r.keys) == ["id", "tag", "val"]
+    assert r.tag == "x" and r.val == 2.5
+    assert r.idx == 1 and r.missing == -1
+    assert r.asum == 6.0 and r.aavg == 3.0
+    with pytest.raises(KqlError):
+        kql(df, 'T | extend b = bag_pack("k")')
