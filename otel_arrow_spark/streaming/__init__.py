@@ -1,6 +1,7 @@
 from otel_arrow_spark.streaming.pipeline import (
     TRANSCRIPT_SCHEMA,
     conversation_sessions,
+    exactly_once_batch_sink,
     read_transcript_stream,
     stream_pipeline,
     streaming_dedup,
@@ -12,6 +13,7 @@ from otel_arrow_spark.streaming.pipeline import (
 __all__ = [
     "TRANSCRIPT_SCHEMA",
     "conversation_sessions",
+    "exactly_once_batch_sink",
     "read_transcript_stream",
     "stream_pipeline",
     "streaming_dedup",

@@ -464,3 +464,42 @@ def streaming_interval_join(
         if c != key
     ]
     return out.select(*keep)
+
+
+def exactly_once_batch_sink(catalog, table: str, ledger_dir: str):
+    """Idempotent ``foreachBatch`` writer into a :class:`Catalog` table
+    — the pattern for streaming into a real table (Iceberg/JDBC/…)
+    where the built-in file sink's commit log doesn't apply.
+
+    ``foreachBatch`` is AT-LEAST-ONCE: after a crash between the user
+    function and the checkpoint commit, the same ``batch_id`` replays.
+    Exactly-once here is two independent guards (the lineage-slice
+    discipline, `lineage.py`):
+
+    * **physical idempotence** — every batch writes through dynamic
+      partition overwrite keyed by ``_batch_id``, so a replay replaces
+      exactly its own partition, never appends a second copy — even
+      when the ledger is lost;
+    * **skip ledger** — a marker file per committed batch id (written
+      AFTER the data commit) lets clean replays skip the write
+      entirely.
+
+    Returns the function to pass to ``writeStream.foreachBatch``.
+    """
+    import os
+
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def _write(df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        catalog.overwrite_partitions(
+            df.withColumn("_batch_id", F.lit(int(batch_id))),
+            table,
+            partition_by=["_batch_id"],
+        )
+        with open(marker, "w") as f:
+            f.write("committed\n")
+
+    return _write

@@ -353,3 +353,50 @@ def test_streaming_interval_join_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_exactly_once_batch_sink_replay_safe(spark, tmp_path):
+    """foreachBatch is at-least-once on retry: replaying the same
+    batch_id (ledger intact OR lost) must never produce a second copy,
+    and a new batch id must append."""
+    from otel_arrow_spark.catalog import Catalog
+    from otel_arrow_spark.streaming import (
+        exactly_once_batch_sink, read_transcript_stream,
+    )
+
+    base = spark.range(100).select(
+        F.concat(F.lit("c"), F.col("id") % 5).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.lit("none").alias("tool"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    in_dir = str(tmp_path / "in")
+    base.coalesce(2).write.parquet(in_dir)
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    sink = exactly_once_batch_sink(cat, "routed", str(tmp_path / "ledger"))
+    q = (
+        read_transcript_stream(spark, in_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert cat.read("routed").count() == 100
+
+    # clean replay of an already-committed batch: skipped via ledger
+    sink(base.limit(7), 0)
+    assert cat.read("routed").count() == 100
+    # ledger lost (crash after data, before marker): dynamic overwrite
+    # of the batch's own partition still yields exactly one copy
+    import os
+    for f in os.listdir(str(tmp_path / "ledger")):
+        os.unlink(str(tmp_path / "ledger" / f))
+    sink(base, 0)
+    assert cat.read("routed").count() == 100
+    # a NEW batch id appends
+    sink(base.limit(10), 99)
+    assert cat.read("routed").count() == 110
