@@ -130,3 +130,52 @@ def test_summarize_cardinality_cap(events):
     a = sorted(r.user_id for r in capped.collect())
     b = sorted(r.user_id for r in capped.collect())
     assert a == b
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The second skew lever (the brief names both): beyond the static
+    salting in ordering.py, AQE re-plans a skewed sort-merge join at
+    RUNTIME — the final adaptive plan marks the join skew=true and
+    splits the hot partition. Thresholds are lowered to reproduce at
+    test scale what the defaults do at 100 TB (256 MB partitions)."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "65536")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # 97% of rows share one key; the padding column gives the hot
+        # partition enough bytes to cross the lowered threshold
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 100 < 97, F.lit(0))
+            .otherwise(F.col("id") % 1000).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = left.join(right, "k")
+        rows = j.collect()
+        assert len(rows) == 200000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
