@@ -303,6 +303,24 @@ _FUNC_MAP_SIMPLE = {
     "sign": lambda a: F.signum(a[0]),
     "log2": lambda a: F.log2(a[0]),
     "log10": lambda a: F.log10(a[0]),
+    "exp2": lambda a: F.pow(F.lit(2.0), a[0]),
+    "exp10": lambda a: F.pow(F.lit(10.0), a[0]),
+    "pi": lambda a: F.lit(3.141592653589793),
+    "cos": lambda a: F.cos(a[0]),
+    "sin": lambda a: F.sin(a[0]),
+    "tan": lambda a: F.tan(a[0]),
+    "atan": lambda a: F.atan(a[0]),
+    "atan2": lambda a: F.atan2(a[0], a[1]),
+    "degrees": lambda a: F.degrees(a[0]),
+    "radians": lambda a: F.radians(a[0]),
+    "isnan": lambda a: F.isnan(a[0].cast("double")),
+    "isfinite": lambda a: ~(
+        F.isnan(a[0].cast("double"))
+        | (F.abs(a[0].cast("double")) == float("inf"))
+    ),
+    "isinf": lambda a: F.abs(a[0].cast("double")) == float("inf"),
+    # around(x, center, delta) — KQL proximity predicate
+    "around": lambda a: F.abs(a[0] - a[1]) <= a[2],
     # text (cont.)
     "reverse": lambda a: F.reverse(a[0]),
     "strrep": lambda a: F.repeat(a[0], a[1]),

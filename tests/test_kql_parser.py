@@ -1370,3 +1370,20 @@ def test_bag_pack_and_array_helpers(spark):
     assert r.asum == 6.0 and r.aavg == 3.0
     with pytest.raises(KqlError):
         kql(df, 'T | extend b = bag_pack("k")')
+
+
+def test_math_roundout_r3c(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    r = kql(
+        df,
+        "T | project a = exp2(3.0), b = exp10(2.0), c = round(pi(), 4),"
+        " d = round(degrees(pi()), 1), e = round(cos(0.0), 1),"
+        ' f = atan2(0.0, 1.0), g = isnan(todouble("NaN")),'
+        ' h = isfinite(todouble("Infinity")),'
+        ' i = isinf(todouble("-Infinity")),'
+        " j = around(x, 1.1, 0.2), k = around(x, 2.0, 0.2)",
+    ).collect()[0]
+    assert r.a == 8.0 and r.b == 100.0 and r.c == 3.1416
+    assert r.d == 180.0 and r.e == 1.0 and r.f == 0.0
+    assert r.g is True and r.h is False and r.i is True
+    assert r.j is True and r.k is False
