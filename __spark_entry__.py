@@ -1214,6 +1214,26 @@ def q_kql_series_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_series_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`series_outliers` — MAD z-scores over make-series arrays (the
+    telemetry anomaly-detection primitive): two sorts of a per-row
+    array, zero extra shuffle. Gated through per-key extreme scores
+    against DuckDB quantile_cont-based MAD (same 0.5-interpolation as
+    the array middle-pair median)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series n = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 15m"
+        " by event_type"
+        " | extend o = series_outliers(n)"
+        " | project event_type, mx = round(series_max(o), 4),"
+        " mn = round(series_min(o), 4)",
+    )
+
+
 def q_kql_text_user_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`let`-bound user functions: a scalar fn (pure macro — the call
     site compiles to the inlined Catalyst tree, no UDF) used inside a
@@ -2045,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_fork_legs": q_kql_fork_legs,
         "kql_agg_suite3": q_kql_agg_suite3,
         "kql_series_fns": q_kql_series_fns,
+        "kql_series_outliers": q_kql_series_outliers,
         "kql_has_term": q_kql_has_term,
         "kql_toscalar": q_kql_toscalar,
         "kql_basket": q_kql_basket,
@@ -2744,6 +2765,30 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "ROUND(regr_intercept(v, i), 6) AS icept, "
             "CAST(SUM(2 * v) AS DOUBLE) AS dbl_total "
             "FROM f GROUP BY event_type"
+        ),
+        "kql_series_outliers": (
+            "WITH r AS (SELECT event_type, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-03'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 900) AS INT)"
+            " AS i, COUNT(*) AS v FROM r GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type FROM r), "
+            "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+            "(SELECT unnest(range(0, 192)) AS i) gs), "
+            "f AS (SELECT g.event_type, g.i, COALESCE(b.v, 0) AS v "
+            "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+            "AND g.i = b.i), "
+            "m AS (SELECT event_type, quantile_cont(v, 0.5) AS med "
+            "FROM f GROUP BY 1), "
+            "a AS (SELECT f.event_type, "
+            "quantile_cont(abs(v - med), 0.5) * 1.4826 AS scale "
+            "FROM f JOIN m USING (event_type) GROUP BY f.event_type), "
+            "s AS (SELECT f.event_type, CASE WHEN scale > 0 "
+            "THEN (v - med) / scale ELSE 0.0 END AS sc "
+            "FROM f JOIN m USING (event_type) JOIN a USING (event_type)) "
+            "SELECT event_type, ROUND(MAX(sc), 4) AS mx, "
+            "ROUND(MIN(sc), 4) AS mn FROM s GROUP BY event_type"
         ),
         "kql_agg_suite": (
             "SELECT user_id % 10 AS bucket, COUNT(*) AS n, "

@@ -1387,3 +1387,18 @@ def test_math_roundout_r3c(spark):
     assert r.d == 180.0 and r.e == 1.0 and r.f == 0.0
     assert r.g is True and r.h is False and r.i is True
     assert r.j is True and r.k is False
+
+
+def test_series_outliers_mad(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df, "T | project o = series_outliers(pack_array(1, 2, 3, 4, 100))"
+    ).collect()[0]
+    got = [round(x, 3) for x in r.o]
+    # median 3, MAD 1 -> scores (x-3)/1.4826
+    assert got == [-1.349, -0.674, 0.0, 0.674, 65.426]
+    # degenerate MAD=0 (majority constant): all zero, no div-by-zero
+    r2 = kql(
+        df, "T | project o = series_outliers(pack_array(1, 1, 1, 1, 9))"
+    ).collect()[0]
+    assert r2.o == [0.0] * 5
