@@ -244,6 +244,23 @@ def _series_outliers(arr: Column) -> Column:
     )
 
 
+def _series_pearson(x: Column, y: Column) -> Column:
+    """Pearson correlation of two equal-length series: closed form from
+    five sequential folds — O(n), narrow, no per-element captured
+    re-evaluation (see _series_outliers CAUTION)."""
+    n = F.size(x).cast("double")
+    sx, sy = _series_sum(x), _series_sum(y)
+    sxx = _series_sum(F.zip_with(x, x, lambda a, b: a.cast("double") * b))
+    syy = _series_sum(F.zip_with(y, y, lambda a, b: a.cast("double") * b))
+    sxy = _series_sum(F.zip_with(x, y, lambda a, b: a.cast("double") * b))
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return F.when(
+        (varx > 0) & (vary > 0), cov / F.sqrt(varx * vary)
+    )
+
+
 def _ip2long(c: Column) -> Column:
     """Dotted-quad IPv4 → numeric (NULL for malformed input via
     try_cast on each octet)."""
@@ -409,6 +426,7 @@ _FUNC_MAP_SIMPLE = {
     "series_abs": lambda a: F.transform(a[0], F.abs),
     "series_fit_line": lambda a: F.array(*_series_fit(a[0])),
     "series_outliers": lambda a: _series_outliers(a[0]),
+    "series_pearson_correlation": lambda a: _series_pearson(a[0], a[1]),
     "series_stats_min": lambda a: F.array_min(a[0]),
     "series_stats_max": lambda a: F.array_max(a[0]),
     "series_fit_line_slope": lambda a: _series_fit(a[0])[0],

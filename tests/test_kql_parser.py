@@ -1402,3 +1402,23 @@ def test_series_outliers_mad(spark):
         df, "T | project o = series_outliers(pack_array(1, 1, 1, 1, 9))"
     ).collect()[0]
     assert r2.o == [0.0] * 5
+
+
+def test_series_pearson_correlation(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        " perfect = series_pearson_correlation("
+        "pack_array(1, 2, 3), pack_array(2, 4, 6)),"
+        " inverse = series_pearson_correlation("
+        "pack_array(1, 2, 3), pack_array(3, 2, 1)),"
+        " zero = round(series_pearson_correlation("
+        "pack_array(1, 2, 1, 2), pack_array(5, 5, 6, 6)), 6),"
+        " flat = series_pearson_correlation("
+        "pack_array(7, 7, 7), pack_array(1, 2, 3))",
+    ).collect()[0]
+    assert abs(r.perfect - 1.0) < 1e-12
+    assert abs(r.inverse + 1.0) < 1e-12
+    assert r.zero == 0.0
+    assert r.flat is None  # zero variance -> undefined, not div-by-zero
