@@ -1957,6 +1957,15 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
 
 
+def q_text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scores against a corpus-trained add-k
+    bigram LM (no external model; see textstats.bigram_lm_scores for
+    the shuffle-join scale shape)."""
+    from otel_arrow_spark.dataops.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle: reproducible pseudo-random global
     training position per document, computed as a two-phase hash-range
@@ -2113,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_flags": q_decontam_flags,
         "pack_stats": q_pack_stats,
         "training_order": q_training_order,
+        "text_lm_scores": q_text_lm_scores,
         "text_repetition": q_text_repetition,
         "pii_redaction": q_pii_redaction,
         "doc_chunks": q_doc_chunks,
@@ -2975,6 +2985,7 @@ def _dataops_oracles() -> dict[str, str]:
         "decontam_flags": _decontam_oracle(),
         "pack_stats": _packing_oracle("pack"),
         "training_order": packing.training_order_oracle_sql(),
+        "text_lm_scores": textstats.bigram_lm_scores_oracle_sql(),
         "text_repetition": textstats.repetition_stats_oracle_sql(),
         "pii_redaction": (
             "WITH synth AS (SELECT doc_id, text || ' contact u' || doc_id"

@@ -432,3 +432,94 @@ SELECT doc_id,
       '{p}')) AS n_phones
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                     k: float = 0.5) -> DataFrame:
+    """Perplexity-style quality scoring against a bigram LM trained on
+    the corpus itself — the CCNet-shaped filter (score docs by how
+    (un)usual their token transitions are) with no external model: the
+    LM is the corpus's own add-k-smoothed bigram table, so the whole
+    thing is deterministic and self-contained.
+
+    score(doc) = mean over its bigrams of
+    ``log((C(w1,w2) + k) / (C(w1) + k·V))`` with V = distinct unigram
+    vocabulary. Unusual/garbled text scores low; repetitive/common text
+    scores high.
+
+    Scale shape: training is one explode + two keyed counts (map-side
+    combinable); scoring joins the document bigrams against the count
+    relation ON THE BIGRAM KEY — a plain shuffle equi-join that
+    co-partitions both sides (never a broadcast: at 100 TB the bigram
+    table is corpus-sized), then one per-doc aggregation. Unseen
+    bigrams (scoring docs outside the training corpus) fall back to the
+    smoothing mass via the left join's COALESCE.
+    """
+    w = words_of(F.col(text_col))
+    m = F.size(w)
+    big = F.zip_with(
+        F.slice(w, F.lit(1), F.greatest(m - 1, F.lit(0))),
+        F.slice(w, F.lit(2), F.greatest(m - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bigrams = docs.select(
+        "doc_id", F.explode(big).alias("g")
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+
+    bi_counts = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"))
+    uni_counts = docs.select(F.explode(w).alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1"))
+    vocab = uni_counts.count()  # one scalar: the smoothing denominator
+
+    scored = (
+        doc_bigrams
+        .join(bi_counts, ["w1", "w2"], "left")
+        .join(uni_counts, ["w1"], "left")
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k * vocab))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )
+
+
+def bigram_lm_scores_oracle_sql(table: str = "documents",
+                                k: float = 0.5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM {table}
+), dbg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w), 1)),
+                               i -> struct_pack(w1 := w[i],
+                                                w2 := w[i + 1]))) AS g
+  FROM toks
+), db AS (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM dbg
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY 1, 2
+), uni AS (
+  SELECT unnest(w) AS w1 FROM toks
+), uc AS (
+  SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1
+), v AS (SELECT COUNT(*) AS vocab FROM uc)
+SELECT db.doc_id, COUNT(*) AS n_bigrams,
+  ROUND(AVG(ln((COALESCE(bi.c12, 0) + {k})
+              / (COALESCE(uc.c1, 0) + {k} * v.vocab))), 6) AS avg_logp
+FROM db
+LEFT JOIN bi USING (w1, w2)
+LEFT JOIN uc USING (w1)
+CROSS JOIN v
+GROUP BY db.doc_id
+"""

@@ -726,3 +726,24 @@ def test_training_order_matches_global_rownumber(spark):
     got2 = {r.doc_id: r.position
             for r in training_order(df, salt="epoch1", buckets=16).collect()}
     assert got2 != got and sorted(got2.values()) == list(range(1, 501))
+
+
+def test_bigram_lm_scores_rank_garbled_below_common(spark):
+    from otel_arrow_spark.dataops.textstats import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the mat"),
+         (3, "the cat sat on the mat"),
+         (4, "zx qq vv pp zx qq")],  # transitions never seen elsewhere
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    # common-phrase docs share transitions -> higher avg log prob than
+    # the garbled doc whose bigrams are unique
+    assert out[1].avg_logp == out[2].avg_logp == out[3].avg_logp
+    assert out[4].avg_logp < out[1].avg_logp
+    assert out[1].n_bigrams == 5 and out[4].n_bigrams == 5
+    # deterministic across recomputation
+    again = {r.doc_id: r.avg_logp for r in bigram_lm_scores(df).collect()}
+    assert again == {d: r.avg_logp for d, r in out.items()}
