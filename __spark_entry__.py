@@ -1149,6 +1149,21 @@ def q_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_diffpatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate diffpatterns` — cohort comparison (English vs
+    non-English documents) over the (source, lang) projection: per
+    value, counts and cohort fractions with the delta. One conditional
+    aggregation per column, long-form output."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        "documents | project source, lang"
+        ' | evaluate diffpatterns(lang == "en")',
+    )
+
+
 def q_kql_toscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`toscalar()` — scalar subquery evaluated ahead of the main query
     and folded as a literal (Kusto's semantics; the 1-value collect is
@@ -2079,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_toscalar": q_kql_toscalar,
         "kql_basket": q_kql_basket,
         "kql_ipv4": q_kql_ipv4,
+        "kql_diffpatterns": q_kql_diffpatterns,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2709,6 +2725,32 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
             "CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS INT)"
             " AS zero_bins "
             "FROM f GROUP BY event_type"
+        ),
+        "kql_diffpatterns": (
+            "WITH b AS (SELECT source, lang, (lang = 'en') AS s "
+            "FROM documents), "
+            "t AS (SELECT greatest(CAST(SUM(CASE WHEN s THEN 1 ELSE 0 "
+            "END) AS BIGINT), 1) AS ta, "
+            "greatest(CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) "
+            "AS BIGINT), 1) AS tb FROM b), "
+            "u AS ("
+            "SELECT 'source' AS pattern_column, "
+            "CAST(source AS VARCHAR) AS value, "
+            "CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS count_a, "
+            "CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS count_b FROM b GROUP BY source "
+            "UNION ALL "
+            "SELECT 'lang', CAST(lang AS VARCHAR), "
+            "CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM b GROUP BY lang) "
+            "SELECT pattern_column, value, count_a, count_b, "
+            "ROUND(count_a / CAST(ta AS DOUBLE), 6) AS pct_a, "
+            "ROUND(count_b / CAST(tb AS DOUBLE), 6) AS pct_b, "
+            "ROUND(count_a / CAST(ta AS DOUBLE) "
+            "- count_b / CAST(tb AS DOUBLE), 6) AS diff "
+            "FROM u CROSS JOIN t"
         ),
         "kql_ipv4": (
             # ground-truth oracle: derives the expected classification

@@ -2502,6 +2502,48 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     out = out.unionByName(leg)
                 df = out
                 continue
+            mdp = re.match(r"^diffpatterns\s*\((.+)\)\s*$", rest, re.S)
+            if mdp:
+                # `evaluate diffpatterns(split_pred)` — the Kusto
+                # cohort-comparison plugin restricted to single-column
+                # patterns: for every (column, value) of the input's
+                # non-split columns, report counts and cohort fractions
+                # in the split=true (A) vs split=false (B) cohorts,
+                # with the fraction delta. One conditional aggregation
+                # per column — each map-side combinable, long-form
+                # stacked output (the facet shape).
+                pred = pe(mdp.group(1)).cast("boolean")
+                base = df.withColumn("_split", pred)
+                na = F.sum(F.when(F.col("_split"), 1).otherwise(0))
+                nb = F.sum(F.when(~F.col("_split"), 1).otherwise(0))
+                tot = base.agg(na.alias("na"), nb.alias("nb")).collect()[0]
+                ta, tb = max(tot.na, 1), max(tot.nb, 1)
+                legs = []
+                for c in df.columns:
+                    legs.append(
+                        base.groupBy(
+                            F.lit(c).alias("pattern_column"),
+                            F.col(c).cast("string").alias("value"),
+                        )
+                        .agg(na.alias("count_a"), nb.alias("count_b"))
+                        .select(
+                            "pattern_column", "value", "count_a",
+                            "count_b",
+                            F.round(F.col("count_a") / F.lit(ta), 6)
+                            .alias("pct_a"),
+                            F.round(F.col("count_b") / F.lit(tb), 6)
+                            .alias("pct_b"),
+                            F.round(
+                                F.col("count_a") / F.lit(ta)
+                                - F.col("count_b") / F.lit(tb), 6
+                            ).alias("diff"),
+                        )
+                    )
+                out = legs[0]
+                for leg in legs[1:]:
+                    out = out.unionByName(leg)
+                df = out
+                continue
             mbag = re.match(r"^bag_unpack\s*\((.+)\)\s*$", rest, re.S)
             if mbag:
                 # `evaluate bag_unpack(expr [, "k1[:type]", …])` —

@@ -1422,3 +1422,24 @@ def test_series_pearson_correlation(spark):
     assert abs(r.inverse + 1.0) < 1e-12
     assert r.zero == 0.0
     assert r.flat is None  # zero variance -> undefined, not div-by-zero
+
+
+def test_evaluate_diffpatterns(spark):
+    df = spark.createDataFrame(
+        [("x", "err")] * 6 + [("x", "ok")] * 2 + [("y", "ok")] * 2,
+        "k string, status string",
+    )
+    rows = {
+        (r.pattern_column, r.value): r
+        for r in kql(
+            df, 'T | evaluate diffpatterns(status == "err")'
+        ).collect()
+    }
+    # cohort A (err) = 6 rows all k=x; cohort B (ok) = 4 rows, half k=y
+    a = rows[("k", "x")]
+    assert (a.count_a, a.count_b) == (6, 2)
+    assert a.pct_a == 1.0 and a.pct_b == 0.5 and a.diff == 0.5
+    b = rows[("k", "y")]
+    assert (b.count_a, b.count_b) == (0, 2) and b.diff == -0.5
+    # the split column itself is reported too (status=err all-A)
+    assert rows[("status", "err")].pct_a == 1.0
