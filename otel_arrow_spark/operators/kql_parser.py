@@ -427,6 +427,10 @@ _FUNC_MAP_SIMPLE = {
     "series_fit_line": lambda a: F.array(*_series_fit(a[0])),
     "series_outliers": lambda a: _series_outliers(a[0]),
     "series_pearson_correlation": lambda a: _series_pearson(a[0], a[1]),
+    # null-gap fill with a constant (the make-series `default=` rule as
+    # a standalone fn; captured arg is a literal in practice — cheap)
+    "series_fill_const": lambda a: F.transform(
+        a[0], lambda x: F.coalesce(x, a[1])),
     "series_stats_min": lambda a: F.array_min(a[0]),
     "series_stats_max": lambda a: F.array_max(a[0]),
     "series_fit_line_slope": lambda a: _series_fit(a[0])[0],

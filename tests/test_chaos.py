@@ -243,6 +243,10 @@ STAGE_FRAGMENTS = st.sampled_from([
     "parse-kv x as (a) with (pair_delimiter=)", "fork", "fork (",
     "facet", "facet by", "render",
     "summarize z = take_any() by k", "summarize z = binary_all_xor(v)",
+    "evaluate basket()", "evaluate basket(x)", "evaluate diffpatterns()",
+    "evaluate diffpatterns(nope > 1)", "extend z = series_outliers(v)",
+    "extend z = bag_pack(k)", "extend z = ipv4_is_in_range(k)",
+    "extend z = toscalar(T)", "project-reorder",
     "where v !!~ 3", "extend y = unknown_fn(v)", "extend y = v +",
     "extend y = prev(v)", "extend y = row_number()",
 ])

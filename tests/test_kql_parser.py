@@ -1443,3 +1443,13 @@ def test_evaluate_diffpatterns(spark):
     assert (b.count_a, b.count_b) == (0, 2) and b.diff == -0.5
     # the split column itself is reported too (status=err all-A)
     assert rows[("status", "err")].pct_a == 1.0
+
+
+def test_series_fill_const(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | extend s = pack_array(1, null, 3)"
+        " | project f = series_fill_const(s, 0)",
+    ).collect()[0]
+    assert r.f == [1, 0, 3]
