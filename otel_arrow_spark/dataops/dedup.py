@@ -684,6 +684,17 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with changed > 0 means the labels are NOT
+        # a fixed point — silently returning them would let downstream
+        # curation keep transitive near-dups. Fail loudly; callers on
+        # adversarial-diameter graphs should raise max_iter or move to
+        # the large-star/small-star variant.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(last round changed {changed} labels); raise max_iter or "
+            "use an O(log n) star-contraction variant for this graph"
+        )
     return (
         universe.select("doc_id")
         .join(labels.withColumnRenamed("lbl", "cluster_id"), "doc_id", "left")

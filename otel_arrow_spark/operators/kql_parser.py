@@ -45,8 +45,11 @@ Catalyst, mirroring the reference's constant resolution,
 ``dynamic({...})`` map literals (kql.pest:126-133), timespan literals,
 ``ago()``, ``between (lo .. hi)``.
 
-Deliberately not supported (reference-absent): joins in KQL text (the
-reference language has none).
+Tabular operators beyond the reference grammar (Kusto-documented
+semantics): ``join``/``lookup`` (equi-join flavors), ``union``,
+``make-series``, ``scan``, ``evaluate`` plugins, ``mv-apply``,
+``partition``, ``sample``, ``top-nested``, ``facet`` — each compiled to
+the same declarative Catalyst plan shapes as the core surface.
 
 Implementation note: every parse result is a ``KE`` node — a Catalyst
 Column plus, when the expression is a literal, its Python value. Literal
@@ -207,7 +210,10 @@ def _arr_median(arr: Column) -> Column:
     n = F.size(arr)
     lo = F.try_element_at(s, ((n + 1) / 2).cast("int"))
     hi = F.try_element_at(s, (n / 2 + 1).cast("int"))
-    return (lo.cast("double") + hi.cast("double")) / 2
+    # ANSI element_at raises INVALID_INDEX_OF_ZERO when the computed
+    # index is 0, which it is for an empty array — gate on n > 0 so an
+    # empty series yields NULL instead of crashing the query.
+    return F.when(n > 0, (lo.cast("double") + hi.cast("double")) / 2)
 
 
 def _series_outliers(arr: Column) -> Column:
@@ -2625,8 +2631,19 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     for v in _split_commas(valsrc)
                 ]
             # group keys = every column except the pivot column and the
-            # aggregate's inputs (KQL pivot plugin contract)
-            agg_cols = set(re.findall(r"[A-Za-z_]\w*", aggsrc))
+            # aggregate's inputs (KQL pivot plugin contract). Only
+            # tokens that are genuine COLUMN references may knock a
+            # column out of the key set: strip string literals first
+            # (a literal containing the word "count" must not drop a
+            # `count` column) and skip tokens used as function names
+            # (`count()` the aggregate vs `count` the column).
+            no_lits = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"",
+                             " ", aggsrc)
+            agg_cols = {
+                m.group(1)
+                for m in re.finditer(r"([A-Za-z_]\w*)\s*(\()?", no_lits)
+                if m.group(2) is None
+            }
             keys = [
                 c for c in df.columns if c != pcol and c not in agg_cols
             ]

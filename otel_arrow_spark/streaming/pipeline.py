@@ -265,11 +265,18 @@ def streaming_spans(routed_stream: DataFrame,
         else:
             st = {f: None for f in SPAN_STATE_SCHEMA.fieldNames()}
         out: list[dict] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("turn_idx")
-            for r in pdf.itertuples(index=False):
+        # applyInPandasWithState delivers a group as MULTIPLE Arrow
+        # chunks (~10k rows each) with no inter-chunk ordering
+        # guarantee; sorting each chunk independently would feed the
+        # state machine out of order for conversations spanning chunks.
+        # Concatenate the whole group, then sort ONCE.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            )
+            whole = whole.sort_values("turn_idx")
+            for r in whole.itertuples(index=False):
                 ts_us = int(pd.Timestamp(r.ts).value // 1000)
                 st["last_ts_us"] = max(st["last_ts_us"] or 0, ts_us)
                 st["trace_id"] = r.trace_id

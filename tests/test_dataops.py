@@ -445,6 +445,18 @@ def test_connected_components_hand_graph(spark):
         for r in connected_components(pairs, universe).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    # a max_iter too small for the graph's diameter must FAIL LOUDLY,
+    # never silently return unconverged (wrong) cluster labels
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    chain_u = spark.createDataFrame(
+        [(i,) for i in range(1, 9)], "doc_id long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, chain_u, max_iter=1)
 
 
 def test_neardup_clusters_cover_pair_graph(spark, corpus):

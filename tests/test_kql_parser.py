@@ -699,6 +699,25 @@ def test_evaluate_pivot(spark):
     assert {r.g: r.a for r in out3.collect()} == {"g1": 3.0, "g2": None}
     with pytest.raises(KqlError):
         kql(df, "T | evaluate frobnicate(k)")
+    # a column whose NAME collides with a token in the agg expr (here
+    # the function name `count` and a string-literal word) must stay a
+    # group key — only resolved column REFERENCES leave the key set
+    df2 = spark.createDataFrame(
+        [("g1", "a", 7), ("g1", "b", 7), ("g2", "a", 8)],
+        "g string, k string, count int",
+    )
+    out4 = kql(df2, 'T | evaluate pivot(k, count(), "a", "b")')
+    assert set(out4.columns) == {"g", "count", "a", "b"}
+    rows4 = {(r.g, r["count"]): (r.a, r.b) for r in out4.collect()}
+    assert rows4 == {("g1", 7): (1, 1), ("g2", 8): (1, None)}
+    # …but a column that IS referenced by the agg leaves the keys,
+    # while unreferenced columns stay
+    df3 = spark.createDataFrame(
+        [("g1", "a", 1.0, "v"), ("g2", "b", 2.0, "v")],
+        "g string, k string, v double, label string",
+    )
+    out5 = kql(df3, 'T | evaluate pivot(k, sum(v), "a", "b")')
+    assert set(out5.columns) == {"g", "label", "a", "b"}
 
 
 def test_mv_apply_per_record_subquery(spark):
@@ -1402,6 +1421,12 @@ def test_series_outliers_mad(spark):
         df, "T | project o = series_outliers(pack_array(1, 1, 1, 1, 9))"
     ).collect()[0]
     assert r2.o == [0.0] * 5
+    # empty series: NULL, not INVALID_INDEX_OF_ZERO from the median's
+    # computed element index (regression: r3 crashed the whole query)
+    r3 = kql(
+        df, "T | project o = series_outliers(dynamic([]))"
+    ).collect()[0]
+    assert r3.o is None or list(r3.o) == []
 
 
 def test_series_pearson_correlation(spark):

@@ -63,8 +63,10 @@ def test_gated_queries_are_jvm_side(plans):
         # the KQL `scan` operator: sequential per-group state machine
         # (steps may reference arbitrary prior-match state) — inherently
         # order-dependent imperative logic, run as ONE Arrow-batched
-        # applyInPandas per serialize-group after JVM-side projection to
-        # only the key/order/predicate columns (see operators/scan.py).
+        # applyInPandas per serialize-group; step predicates are
+        # evaluated JVM-side into boolean flag columns first, so the
+        # pandas stage only walks precomputed flags
+        # (operators/kql_parser.py, the `scan` stage).
         # The property test (test_scan_property.py) proves it against an
         # in-driver reference simulation.
         "kql_text_scan_matches",

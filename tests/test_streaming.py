@@ -400,3 +400,73 @@ def test_exactly_once_batch_sink_replay_safe(spark, tmp_path):
     # a NEW batch id appends
     sink(base.limit(10), 99)
     assert cat.read("routed").count() == 110
+
+
+def test_streaming_spans_multichunk_order(spark, tmp_path, fixture_pdf):
+    """applyInPandasWithState delivers one group as MULTIPLE Arrow
+    chunks with no inter-chunk ordering guarantee. Force pathological
+    chunking (maxRecordsPerBatch=3) over an input written in DESCENDING
+    turn order, and assert the state machine still produces exactly the
+    batch derivation — i.e. the group is sorted as a whole, not
+    per-chunk (regression: r3 sorted each chunk independently)."""
+    from pyspark.sql import Window
+
+    from otel_arrow_spark.parse import parse_turns
+    from otel_arrow_spark.router import route_turns
+    from otel_arrow_spark.signals import signal_base, spans_table
+    from otel_arrow_spark.streaming import read_transcript_stream
+    from otel_arrow_spark.streaming.pipeline import streaming_spans
+
+    in_dir = str(tmp_path / "in")
+    pdf = fixture_pdf[fixture_pdf.conv_id.isin(
+        sorted(fixture_pdf.conv_id.unique())[:6]
+    )]
+    (
+        spark.createDataFrame(pdf)
+        .orderBy(F.col("conv_id"), F.col("turn_idx").desc())
+        .coalesce(1)
+        .write.parquet(in_dir)
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "3")
+    try:
+        stream = route_turns(parse_turns(read_transcript_stream(spark, in_dir)))
+        q = (
+            streaming_spans(stream, timeout_ms=5_000)
+            .writeStream.format("memory")
+            .queryName("spans_stream_chunked")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set(key, prev)
+    streamed = spark.sql("SELECT * FROM spans_stream_chunked")
+
+    batch = spans_table(
+        signal_base(route_turns(parse_turns(spark.read.parquet(in_dir))))
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+    batch_marked = batch.withColumn("_final", F.row_number().over(w) == 1)
+
+    def snap(df):
+        return {
+            r.span_id: (
+                r.trace_id, r.parent_span_id, r.name, r.start_ts,
+                r.end_ts, r.duration_us, r.conv_id, r.turn_idx,
+            )
+            for r in df.collect()
+        }
+
+    s = snap(streamed)
+    b_rows = batch_marked.collect()
+    b = snap(batch_marked.drop("_final"))
+    finals = {r.span_id for r in b_rows if r._final}
+    closed = set(b) - finals
+    assert len(s) > 0 and len(closed) > 0
+    assert all(s[k] == b[k] for k in s), {
+        k: (s[k], b.get(k)) for k in s if s[k] != b.get(k)
+    }
+    assert closed <= set(s)
