@@ -562,6 +562,73 @@ def q_otlp_reconstruct_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_reconstruct_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics OTLP reconstruction: metrics star (UNIVARIATE_METRICS +
+    NUMBER_DATA_POINTS + exemplars + exemplar attrs) → nested metric
+    records (reference encoders `rust/otel-arrow-rust/src/otlp/metrics/*`,
+    `docs/data_model.md:19-76`), projected to engine-comparable scalars."""
+    from otel_arrow_spark.reconstruct import reconstruct_metrics
+    from otel_arrow_spark.signals import (
+        exemplar_attrs_table, exemplars_table, metric_points,
+        number_data_points, univariate_metrics,
+    )
+
+    base = _signal_base(spark, sf_dir)
+    pts = metric_points(base)
+    dim = univariate_metrics(pts)
+    nested = reconstruct_metrics(
+        dim,
+        number_data_points(pts, dim),
+        exemplars_table(pts),
+        exemplar_attrs_table(pts),
+    )
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return nested.select(
+        "metric_id",
+        "metric_name",
+        "metric_type",
+        "unit",
+        F.size("points").alias("n_points"),
+        F.array_join(
+            F.transform("points", lambda p: p.getField("point_id")), ","
+        ).alias("points_csv"),
+        F.when(
+            F.exists("points", lambda p: p.getField("value").isNotNull()),
+            F.round(
+                F.aggregate(
+                    "points",
+                    F.lit(0.0),
+                    lambda a, p: a + F.coalesce(
+                        p.getField("value"), F.lit(0.0)
+                    ),
+                ),
+                6,
+            ),
+        ).alias("sum_value"),
+        F.timestamp_diff(
+            "MICROSECOND",
+            epoch,
+            F.array_min(
+                F.transform("points", lambda p: p.getField("time_ts"))
+            ),
+        ).alias("first_point_us"),
+        F.aggregate(
+            "points",
+            F.lit(0),
+            lambda a, p: a + F.size(p.getField("exemplars")),
+        ).alias("n_exemplars"),
+        F.aggregate(
+            "points",
+            F.lit(0),
+            lambda a, p: a + F.aggregate(
+                p.getField("exemplars"),
+                F.lit(0),
+                lambda b, e: b + F.size(e.getField("attrs")),
+            ),
+        ).alias("n_exemplar_attrs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # KQL tabular/scalar operator queries over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -2043,6 +2110,8 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "sample_stratified_docs", "sample_mixture_docs", "decontam_flags",
     "pack_stats", "training_order", "text_lm_scores", "text_repetition",
     "pii_redaction", "doc_chunks",
+    # r4 additions — new queries with no driver row yet
+    "otlp_reconstruct_metrics",
 )
 
 
@@ -2099,6 +2168,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_exemplar_attrs": q_metrics_exemplar_attrs,
         "span_events_to_logs": q_span_events_to_logs,
         "otlp_reconstruct_spans": q_otlp_reconstruct_spans,
+        "otlp_reconstruct_metrics": q_otlp_reconstruct_metrics,
         "kql_text_where_summarize": q_kql_text_where_summarize,
         "kql_text_topk": q_kql_text_topk,
         "kql_mv_expand": q_kql_mv_expand,
@@ -2555,6 +2625,34 @@ LEFT JOIN (SELECT parent_span_id, COUNT(*) AS n_links FROM slinks
 LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n_attrs
            FROM ({ATTRS_EAV_ORACLE}) GROUP BY 1, 2) sa
        ON s.conv_id = sa.conv_id AND s.turn_idx = sa.turn_idx
+"""
+        ),
+        "otlp_reconstruct_metrics": _signals_oracle(
+            f"""
+SELECT d.metric_id, d.metric_name,
+  CASE WHEN d.metric_name LIKE 'cef.%' THEN 'sum' ELSE 'gauge' END
+    AS metric_type,
+  '1' AS unit,
+  CAST(COUNT(*) AS INT) AS n_points,
+  string_agg(p.point_id, ',' ORDER BY p.conv_id, p.turn_idx)
+    AS points_csv,
+  CASE WHEN COUNT(p.value) > 0
+       THEN ROUND(SUM(COALESCE(p.value, 0)), 6) END AS sum_value,
+  CAST(date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00',
+                 MIN(p.time_ts)) AS BIGINT) AS first_point_us,
+  CAST(SUM(CASE WHEN p.value >= 90 THEN 1 ELSE 0 END) AS INT)
+    AS n_exemplars,
+  CAST(SUM(CASE WHEN p.value >= 90 THEN COALESCE(ea.n, 0) ELSE 0 END)
+       AS INT) AS n_exemplar_attrs
+FROM (SELECT metric_name,
+             CAST(dense_rank() OVER (ORDER BY metric_name) AS INT)
+               AS metric_id
+      FROM (SELECT DISTINCT metric_name FROM mpoints)) d
+JOIN mpoints p USING (metric_name)
+LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n
+           FROM ({ATTRS_EAV_ORACLE}) GROUP BY 1, 2) ea
+       ON p.conv_id = ea.conv_id AND p.turn_idx = ea.turn_idx
+GROUP BY 1, 2
 """
         ),
         "kql_text_where_summarize": (

@@ -200,3 +200,141 @@ def span_vpaths(nested: DataFrame) -> DataFrame:
         .unionByName(event_attr_paths)
         .unionByName(link_paths)
     )
+
+
+def reconstruct_metrics(
+    metrics: DataFrame,
+    number_points: DataFrame,
+    exemplars: DataFrame,
+    exemplar_attrs: DataFrame,
+) -> DataFrame:
+    """Nested OTLP metric records from the metrics star: each
+    UNIVARIATE_METRICS row with its sorted data points, each point
+    carrying its exemplars (each exemplar its sorted attrs) — the
+    metrics analog of :func:`reconstruct_spans`, mirroring the
+    reference's metrics OTLP encoders
+    (`rust/otel-arrow-rust/src/otlp/metrics/mod.rs` data-point cursor
+    walk + `otlp/metrics/data_points.rs` exemplar/attr attachment).
+
+    Same declarative shape: one groupBy per child level (exemplar attrs
+    → exemplars → points), sorted arrays via ``array_sort`` on a struct
+    whose leading fields ``(conv_id, turn_idx)`` are unique, then plain
+    FK equi-joins upward. One shuffle per level, no windows, no driver
+    nesting — Catalyst broadcasts the tiny metrics dim side.
+
+    Output: UNIVARIATE_METRICS columns plus a ``points`` array column
+    (possibly-empty, never NULL, matching OTLP's always-present lists).
+    """
+    ex_attrs = _attrs_array(exemplar_attrs, "attrs")
+    empty_attrs = F.array().cast(
+        "array<struct<key: string, str_value: string>>"
+    )
+    ex_nested = (
+        exemplars.join(
+            ex_attrs,
+            exemplars.parent_point_id == ex_attrs.parent_id,
+            "left",
+        )
+        .select(
+            "parent_point_id",
+            F.struct(
+                F.col("turn_idx"),
+                F.col("value"),
+                F.col("trace_id"),
+                F.col("span_id"),
+                F.coalesce(F.col("attrs"), empty_attrs).alias("attrs"),
+            ).alias("ex"),
+        )
+        .groupBy("parent_point_id")
+        .agg(F.array_sort(F.collect_list("ex")).alias("exemplars"))
+    )
+    empty_ex = F.array().cast(
+        ex_nested.schema["exemplars"].dataType.simpleString()
+    )
+    pts_nested = (
+        number_points.join(
+            ex_nested,
+            number_points.point_id == ex_nested.parent_point_id,
+            "left",
+        )
+        .select(
+            F.col("parent_id"),
+            F.struct(
+                F.col("conv_id"),
+                F.col("turn_idx"),
+                F.col("point_id"),
+                F.col("time_ts"),
+                F.col("value"),
+                F.col("flags"),
+                F.coalesce(F.col("exemplars"), empty_ex).alias("exemplars"),
+            ).alias("pt"),
+        )
+        .groupBy("parent_id")
+        .agg(F.array_sort(F.collect_list("pt")).alias("points"))
+    )
+    empty_pts = F.array().cast(
+        pts_nested.schema["points"].dataType.simpleString()
+    )
+    return (
+        metrics.join(
+            pts_nested, metrics.metric_id == pts_nested.parent_id, "left"
+        )
+        .drop("parent_id")
+        .withColumn("points", F.coalesce(F.col("points"), empty_pts))
+    )
+
+
+def metric_vpaths(nested: DataFrame) -> DataFrame:
+    """Reconstructed nested metrics → the vPath relation: one
+    ``(path=value)`` string row per leaf, addressed by content-derived
+    ids (metric name, point id) — never list position — so the set is
+    invariant to batch/partition re-organization, the same equivalence
+    the reference's Equiv asserts for metrics
+    (`go/pkg/otel/assert/equiv.go:99-150`)."""
+    m = F.col("metric_name")
+    scalars = nested.select(
+        F.explode(
+            F.array(
+                F.concat_ws("=", F.concat(m, F.lit("/type")),
+                            F.col("metric_type")),
+                F.concat_ws("=", F.concat(m, F.lit("/unit")), F.col("unit")),
+            )
+        ).alias("vpath")
+    )
+    pts = nested.select(F.explode("points").alias("p"), m.alias("m"))
+    pp = F.concat_ws("/", F.col("m"), F.lit("point"), F.col("p.point_id"))
+    point_paths = pts.select(
+        F.concat_ws(
+            "=",
+            F.concat(pp, F.lit("/value")),
+            F.coalesce(F.col("p.value").cast("string"), F.lit("-")),
+        ).alias("vpath")
+    )
+    ex = pts.select(F.explode("p.exemplars").alias("e"), pp.alias("pp"))
+    ex_paths = ex.select(
+        F.explode(
+            F.array(
+                F.concat_ws("=", F.concat(F.col("pp"), F.lit("/exemplar/trace")),
+                            F.col("e.trace_id")),
+                F.concat_ws("=", F.concat(F.col("pp"), F.lit("/exemplar/span")),
+                            F.coalesce(F.col("e.span_id"), F.lit("-"))),
+                F.concat_ws("=", F.concat(F.col("pp"), F.lit("/exemplar/value")),
+                            F.col("e.value").cast("string")),
+            )
+        ).alias("vpath")
+    )
+    ex_attr_paths = ex.select(
+        F.explode("e.attrs").alias("a"), F.col("pp")
+    ).select(
+        F.concat_ws(
+            "=",
+            F.concat_ws("/", F.col("pp"), F.lit("exemplar"), F.lit("attr"),
+                        F.col("a.key")),
+            F.col("a.str_value"),
+        ).alias("vpath")
+    )
+    return (
+        scalars.unionByName(point_paths)
+        .unionByName(ex_paths)
+        .unionByName(ex_attr_paths)
+    )

@@ -151,3 +151,158 @@ def test_reconstructed_children_are_ordered_and_complete(base):
     )
     assert bad_order.count() == 0
     nested.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# metrics round-trip (the metrics analog of the span vPath gate;
+# reference encoders `rust/otel-arrow-rust/src/otlp/metrics/*`)
+# ---------------------------------------------------------------------------
+
+def _reconstructed_metric_vpaths(base) -> set[str]:
+    from otel_arrow_spark.reconstruct import metric_vpaths, reconstruct_metrics
+    from otel_arrow_spark.signals import (
+        exemplar_attrs_table, exemplars_table, metric_points,
+        number_data_points, univariate_metrics,
+    )
+
+    pts = metric_points(base)
+    dim = univariate_metrics(pts)
+    nested = reconstruct_metrics(
+        dim,
+        number_data_points(pts, dim),
+        exemplars_table(pts),
+        exemplar_attrs_table(pts),
+    )
+    return {r.vpath for r in metric_vpaths(nested).collect()}
+
+
+def _direct_metric_vpaths(base) -> set[str]:
+    """Independent derivation: pure-Python walk over the parsed turns —
+    tracks the current span per conversation (for exemplar span
+    linkage) and derives metric names/values/exemplars straight from
+    the turn fields, never touching signals.py's star-schema logic."""
+    from otel_arrow_spark.signals import EXEMPLAR_MIN_VALUE
+
+    rows = base.select(
+        "conv_id", "turn_idx", "role", "tool", "format",
+        "event_name", "severity", "attrs", "sink",
+    ).collect()
+    by_conv: dict[str, list] = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+
+    def tryfloat(s):
+        try:
+            return float(s)
+        except (TypeError, ValueError):
+            return None
+
+    exp: set[str] = set()
+    names: set[str] = set()
+    for conv_id, turns in by_conv.items():
+        turns.sort(key=lambda r: r.turn_idx)
+        trace_id = _sha(conv_id)[:32]
+        cur_span = None
+        for r in turns:
+            if r.role == "tool" and r.tool is not None:
+                cur_span = _sha(f"{conv_id}:{r.turn_idx}")[:16]
+            if r.sink != "sink_metrics":
+                continue
+            name = (
+                r.event_name if r.format == "rfc5424"
+                else f"cef.{r.event_name}"
+            )
+            names.add(name)
+            value = (
+                tryfloat((r.attrs or {}).get("code"))
+                if r.format == "rfc5424"
+                else (float(r.severity) if r.severity is not None else None)
+            )
+            pid = _sha(f"{conv_id}:{r.turn_idx}")[:16]
+            pp = f"{name}/point/{pid}"
+            exp.add(f"{pp}/value={value if value is not None else '-'}")
+            if value is not None and value >= EXEMPLAR_MIN_VALUE:
+                exp.add(f"{pp}/exemplar/trace={trace_id}")
+                exp.add(f"{pp}/exemplar/span={cur_span or '-'}")
+                exp.add(f"{pp}/exemplar/value={value}")
+                for k, v in (r.attrs or {}).items():
+                    exp.add(f"{pp}/exemplar/attr/{k}={v}")
+    for name in names:
+        mtype = "sum" if name.startswith("cef.") else "gauge"
+        exp.add(f"{name}/type={mtype}")
+        exp.add(f"{name}/unit=1")
+    return exp
+
+
+def test_otlp_metrics_roundtrip_vpath_set_equality(base):
+    got = _reconstructed_metric_vpaths(base)
+    exp = _direct_metric_vpaths(base)
+    missing = exp - got
+    extra = got - exp
+    assert not missing and not extra, (
+        f"{len(missing)} missing (e.g. {sorted(missing)[:3]}), "
+        f"{len(extra)} extra (e.g. {sorted(extra)[:3]})"
+    )
+    assert len(got) > 500  # the fixture must actually exercise the walk
+
+
+def test_metrics_roundtrip_catches_reorganized_batches(base):
+    shuffled = base.repartition(17)
+    assert (
+        _reconstructed_metric_vpaths(shuffled)
+        == _reconstructed_metric_vpaths(base)
+    )
+
+
+def test_reconstructed_points_are_ordered_and_complete(base):
+    from otel_arrow_spark.reconstruct import reconstruct_metrics
+    from otel_arrow_spark.signals import (
+        exemplar_attrs_table, exemplars_table, metric_points,
+        number_data_points, univariate_metrics,
+    )
+
+    pts = metric_points(base)
+    dim = univariate_metrics(pts)
+    nested = reconstruct_metrics(
+        dim,
+        number_data_points(pts, dim),
+        exemplars_table(pts),
+        exemplar_attrs_table(pts),
+    ).cache()
+    # every data point lands in exactly one metric's array
+    n_nested = nested.select(
+        F.sum(F.size("points")).alias("n")
+    ).collect()[0].n
+    assert n_nested == pts.count()
+    # arrays sorted by (conv_id, turn_idx)
+    bad_order = nested.filter(
+        F.exists(
+            F.zip_with(
+                F.col("points"),
+                F.slice(F.col("points"), 2, 1000000),
+                # field-wise, NOT struct >= struct: zip_with pads the
+                # tail with NULL and struct ordering ranks NULLs FIRST,
+                # so struct(a) >= struct(NULL,NULL) is TRUE; field
+                # comparisons yield NULL there, which exists() skips
+                lambda a, b: (
+                    a.getField("conv_id") > b.getField("conv_id")
+                ) | (
+                    (a.getField("conv_id") == b.getField("conv_id"))
+                    & (a.getField("turn_idx") >= b.getField("turn_idx"))
+                ),
+            ),
+            lambda x: x,
+        )
+    )
+    assert bad_order.count() == 0
+    # exemplar closure: total nested exemplars == exemplars_table rows
+    n_ex = nested.select(
+        F.sum(
+            F.aggregate(
+                "points", F.lit(0),
+                lambda a, p: a + F.size(p.getField("exemplars")),
+            )
+        ).alias("n")
+    ).collect()[0].n
+    assert n_ex == exemplars_table(pts).count()
+    nested.unpersist()
