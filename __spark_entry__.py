@@ -1084,6 +1084,35 @@ def q_kql_text_scan_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_text_scan_declare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL `scan declare(...)` — typed state variables riding the same
+    per-group Arrow state machine (reference grammar: kql.pest scan
+    rule + declare clause): a per-user session accumulator sums event
+    values from each `click` up to the first `purchase`, with the
+    closing step gated ON the accumulated state (`spend >= 100` — a
+    prefix-dependent predicate no window can express). Aggregated to
+    per-step counts/sums so the output is small and stable. No SQL
+    oracle (same rows-only standing as kql_text_scan_matches); exact
+    semantics pinned by test_scan_declare_property_vs_reference."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "T | project user_id, ts, event_id, event_type, value"
+        " | sort by user_id asc, ts asc, event_id asc"
+        " | serialize by user_id"
+        " | scan declare (spend: real = 0, n_ev: long = 0) with ("
+        ' step opened: event_type == "click"'
+        "   => spend = spend + value, n_ev = n_ev + 1;"
+        ' step closed: spend >= 100 and event_type == "purchase"'
+        "   => n_ev = n_ev + 1)"
+        " | summarize n = count(), total_spend = round(sum(spend), 4),"
+        " total_ev = sum(n_ev) by step",
+        tables={"T": events},
+    )
+
+
 def q_kql_text_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`facet by` in long form (one value-count aggregation per facet
     column, zero-shuffle stack) + `render` accepted as the no-op
@@ -2111,7 +2140,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "pack_stats", "training_order", "text_lm_scores", "text_repetition",
     "pii_redaction", "doc_chunks",
     # r4 additions — new queries with no driver row yet
-    "otlp_reconstruct_metrics",
+    "otlp_reconstruct_metrics", "kql_text_scan_declare",
 )
 
 
@@ -2185,6 +2214,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_corpus": q_dedup_cross_corpus,
         "kql_text_user_fn": q_kql_text_user_fn,
         "kql_text_scan_matches": q_kql_text_scan_matches,
+        "kql_text_scan_declare": q_kql_text_scan_declare,
         "kql_text_facet": q_kql_text_facet,
         "kql_text_parse_where": q_kql_text_parse_where,
         "kql_text_parse_kv": q_kql_text_parse_kv,

@@ -1219,6 +1219,298 @@ def _split_pipes(q: str) -> list[str]:
     return _split_top_level(q, "|")
 
 
+# ---------------------------------------------------------------------------
+# scan declare(...) expression compiler
+# ---------------------------------------------------------------------------
+# `scan` state-variable programs run INSIDE the per-group state machine
+# (the declared accumulators ride the same Arrow batch), so expressions
+# that reference declared variables cannot compile to Catalyst columns —
+# the value of `total` at row i depends on the whole prefix. They
+# compile ONCE at parse time to Python closures over (row, state); only
+# the sequential walk is Python, never per-row parsing. Step predicates
+# that do NOT touch declared state still compile to JVM flag columns
+# exactly as before. Reference semantics: kql.pest scan rule +
+# `query_engine` scan docs; documented subset below (bare-name variable
+# refs instead of Kusto's step-qualified `s.x`, KQL 3-valued logic).
+
+_SCAN_TOK = re.compile(
+    r"\s*(?:(?P<num>\d+\.\d*|\.\d+|\d+)"
+    r"|(?P<str>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<id>[A-Za-z_]\w*)"
+    r"|(?P<op><=|>=|==|!=|[-+*/%(),<>]))"
+)
+
+_SCAN_FNS = frozenset(
+    {"strcat", "iff", "tolong", "toreal", "todouble", "tostring",
+     "strlen", "abs", "min_of", "max_of"}
+)
+
+
+def _scan_tokenize(src: str) -> list[tuple[str, str]]:
+    toks, i = [], 0
+    while i < len(src):
+        if src[i].isspace():
+            i += 1
+            continue
+        m = _SCAN_TOK.match(src, i)
+        if not m:
+            raise KqlError(
+                f"scan declare expression: cannot tokenize {src[i:]!r} "
+                "(supported: literals, columns/variables, + - * / %, "
+                "comparisons, and/or/not, strcat/iff/tolong/toreal/"
+                "tostring/strlen/abs/min_of/max_of)"
+            )
+        i = m.end()
+        for kind in ("num", "str", "id", "op"):
+            if m.group(kind) is not None:
+                toks.append((kind, m.group(kind)))
+                break
+    return toks
+
+
+def _compile_scan_expr(
+    src: str, declared: frozenset
+) -> tuple[object, set, bool]:
+    """Compile a KQL scalar expression (subset) to a Python closure
+    ``fn(row: dict, st: dict) -> value`` with Kusto null semantics:
+    arithmetic/comparison with null → null, 3-valued and/or/not.
+    Returns (fn, referenced_columns, references_declared_state)."""
+    toks = _scan_tokenize(src)
+    pos = [0]
+    cols: set = set()
+    uses_state = [False]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else (None, None)
+
+    def advance():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def expect(op):
+        k, v = advance()
+        if k != "op" or v != op:
+            raise KqlError(f"scan expression {src!r}: expected {op!r}")
+
+    def p_or():
+        f = p_and()
+        while peek() == ("id", "or"):
+            advance()
+            g = p_and()
+
+            def h(r, s, a=f, b=g):
+                x, y = a(r, s), b(r, s)
+                if x is True or y is True:
+                    return True
+                if x is None or y is None:
+                    return None
+                return False
+            f = h
+        return f
+
+    def p_and():
+        f = p_not()
+        while peek() == ("id", "and"):
+            advance()
+            g = p_not()
+
+            def h(r, s, a=f, b=g):
+                x, y = a(r, s), b(r, s)
+                if x is False or y is False:
+                    return False
+                if x is None or y is None:
+                    return None
+                return True
+            f = h
+        return f
+
+    def p_not():
+        if peek() == ("id", "not"):
+            advance()
+            g = p_not()
+            return lambda r, s, a=g: (
+                None if a(r, s) is None else not a(r, s)
+            )
+        return p_cmp()
+
+    _CMP = {"==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}
+
+    def p_cmp():
+        f = p_add()
+        k, v = peek()
+        if k == "op" and v in _CMP:
+            advance()
+            g = p_add()
+
+            def h(r, s, a=f, b=g, op=_CMP[v]):
+                x, y = a(r, s), b(r, s)
+                if x is None or y is None:
+                    return None
+                try:
+                    return op(x, y)
+                except TypeError:
+                    return None
+            return h
+        return f
+
+    def _arith(op):
+        def h(x, y):
+            if x is None or y is None:
+                return None
+            try:
+                if op == "+":
+                    return x + y
+                if op == "-":
+                    return x - y
+                if op == "*":
+                    return x * y
+                if op == "/":
+                    return None if y == 0 else x / y
+                if op == "%":
+                    return None if y == 0 else x % y
+            except TypeError:
+                return None
+        return h
+
+    def p_add():
+        f = p_mul()
+        while peek()[0] == "op" and peek()[1] in ("+", "-"):
+            _, v = advance()
+            g = p_mul()
+            f = (lambda a=f, b=g, op=_arith(v):
+                 lambda r, s: op(a(r, s), b(r, s)))()
+        return f
+
+    def p_mul():
+        f = p_unary()
+        while peek()[0] == "op" and peek()[1] in ("*", "/", "%"):
+            _, v = advance()
+            g = p_unary()
+            f = (lambda a=f, b=g, op=_arith(v):
+                 lambda r, s: op(a(r, s), b(r, s)))()
+        return f
+
+    def p_unary():
+        if peek() == ("op", "-"):
+            advance()
+            g = p_unary()
+            return lambda r, s, a=g: (
+                None if a(r, s) is None else -a(r, s)
+            )
+        return p_primary()
+
+    def _call(name, args):
+        if name == "strcat":
+            return lambda r, s: "".join(
+                "" if (v := a(r, s)) is None else str(v) for a in args
+            )
+        if name == "iff":
+            if len(args) != 3:
+                raise KqlError("iff takes 3 arguments")
+            c, t, e = args
+            return lambda r, s: t(r, s) if c(r, s) is True else e(r, s)
+        if name == "tolong":
+            (a,) = args
+
+            def f(r, s):
+                v = a(r, s)
+                try:
+                    return None if v is None else int(float(v))
+                except (TypeError, ValueError):
+                    return None
+            return f
+        if name in ("toreal", "todouble"):
+            (a,) = args
+
+            def f(r, s):
+                v = a(r, s)
+                try:
+                    return None if v is None else float(v)
+                except (TypeError, ValueError):
+                    return None
+            return f
+        if name == "tostring":
+            (a,) = args
+            return lambda r, s: (
+                "" if (v := a(r, s)) is None else str(v)
+            )
+        if name == "strlen":
+            (a,) = args
+            return lambda r, s: (
+                None if (v := a(r, s)) is None else len(str(v))
+            )
+        if name == "abs":
+            (a,) = args
+            return lambda r, s: (
+                None if (v := a(r, s)) is None else abs(v)
+            )
+        if name in ("min_of", "max_of"):
+            red = min if name == "min_of" else max
+
+            def f(r, s):
+                vals = [v for a in args if (v := a(r, s)) is not None]
+                return red(vals) if vals else None
+            return f
+        raise KqlError(f"scan expression: unsupported function {name}()")
+
+    def p_primary():
+        k, v = advance()
+        if k == "num":
+            lit = float(v) if ("." in v) else int(v)
+            return lambda r, s, x=lit: x
+        if k == "str":
+            x = _unquote(v)
+            return lambda r, s, x=x: x
+        if k == "op" and v == "(":
+            f = p_or()
+            expect(")")
+            return f
+        if k == "id":
+            if v == "true":
+                return lambda r, s: True
+            if v == "false":
+                return lambda r, s: False
+            if peek() == ("op", "("):
+                if v not in _SCAN_FNS:
+                    raise KqlError(
+                        f"scan expression: unsupported function {v}()"
+                    )
+                advance()
+                args = []
+                if peek() != ("op", ")"):
+                    args.append(p_or())
+                    while peek() == ("op", ","):
+                        advance()
+                        args.append(p_or())
+                expect(")")
+                return _call(v, args)
+            if v in declared:
+                uses_state[0] = True
+                return lambda r, s, n=v: s[n]
+            cols.add(v)
+            return lambda r, s, n=v: r[n]
+        raise KqlError(f"scan expression {src!r}: parse error at {v!r}")
+
+    fn = p_or()
+    if pos[0] != len(toks):
+        raise KqlError(
+            f"scan expression {src!r}: trailing input "
+            f"{toks[pos[0]:]!r}"
+        )
+    return fn, cols, uses_state[0]
+
+
+_SCAN_DECL_TYPES = {
+    "long": ("long", int), "int": ("long", int),
+    "real": ("double", float), "double": ("double", float),
+    "string": ("string", str), "bool": ("boolean", bool),
+    "boolean": ("boolean", bool),
+}
+
+
 def _split_commas(s: str) -> list[str]:
     parts, depth, buf = [], 0, []
     in_str: str | None = None
@@ -2248,35 +2540,114 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             # small relations, same rule as bare `serialize`).
             #
             # Subset semantics (documented deviation from full Kusto
-            # scan): no `declare` state variables; a row advances the
-            # match if it satisfies the NEXT step, else extends the
-            # CURRENT step, else is skipped; a match completes at the
-            # first row reaching the final step; matched rows of
-            # incomplete sequences are still emitted. Output = matched
-            # rows + (match_id, step).
-            if "declare" in rest.split("(")[0]:
-                raise KqlError(
-                    "scan declare(...) state variables are not "
-                    "supported — precompute with extend"
-                )
+            # scan): a row advances the match if it satisfies the NEXT
+            # step, else extends the CURRENT step, else is skipped; a
+            # match completes at the first row reaching the final step;
+            # matched rows of incomplete sequences are still emitted.
+            # Output = matched rows + (match_id, step) + one column per
+            # `declare`d state variable (its value AFTER the row's step
+            # assignments ran). Declared variables initialize at match
+            # start, are assignable in step bodies (`step s: pred =>
+            # x = x + v, …`), and may appear in predicates/assignments
+            # by BARE name (simplification of Kusto's step-qualified
+            # `s.x`; one live match candidate per group, so there is a
+            # single unambiguous state).
             m2 = re.match(
                 r"^(?:with_match_id\s*=\s*([A-Za-z_]\w*)\s+)?"
+                r"(?:declare\s*\((.*?)\)\s*)?"
                 r"with\s*\((.+)\)\s*$",
                 rest, re.S,
             )
             if not m2:
                 raise KqlError(
-                    "scan needs `scan [with_match_id=c] with "
-                    "(step s1: pred; …)`"
+                    "scan needs `scan [with_match_id=c] "
+                    "[declare (v: type [= lit], …)] with "
+                    "(step s1: pred [=> v = expr, …]; …)`"
                 )
             mid_col = m2.group(1) or "match_id"
-            steps = []
-            for st in _split_top_level(m2.group(2), ";"):
+            decl_src = m2.group(2)
+            declares: list[tuple[str, str, object, object]] = []
+            if decl_src and decl_src.strip():
+                for item in _split_commas(decl_src):
+                    dm = re.match(
+                        r"^([A-Za-z_]\w*)\s*:\s*([A-Za-z]\w*)"
+                        r"\s*(?:=\s*(.+))?$",
+                        item.strip(), re.S,
+                    )
+                    if not dm or dm.group(2) not in _SCAN_DECL_TYPES:
+                        raise KqlError(
+                            f"bad scan declare item {item!r} (need "
+                            "`name: long|real|string|bool [= literal]`)"
+                        )
+                    vname, vtype, vinit = dm.groups()
+                    if vname in df.columns or vname == mid_col:
+                        raise KqlError(
+                            f"scan declare variable {vname!r} collides "
+                            "with an input column"
+                        )
+                    init = None
+                    if vinit is not None:
+                        initfn, initcols, _us = _compile_scan_expr(
+                            vinit, frozenset()
+                        )
+                        if initcols:
+                            raise KqlError(
+                                f"scan declare init for {vname!r} must "
+                                "be a constant expression"
+                            )
+                        init = initfn({}, {})
+                    spark_t, py_t = _SCAN_DECL_TYPES[vtype]
+                    if init is not None:
+                        init = py_t(init)
+                    declares.append((vname, spark_t, py_t, init))
+            declared_names = frozenset(d[0] for d in declares)
+
+            def _split_arrow(s: str) -> tuple[str, str | None]:
+                in_str, depth = None, 0
+                for i, ch in enumerate(s):
+                    if in_str:
+                        if ch == in_str and s[i - 1] != "\\":
+                            in_str = None
+                    elif ch in "'\"":
+                        in_str = ch
+                    elif ch in "([":
+                        depth += 1
+                    elif ch in ")]":
+                        depth -= 1
+                    elif (ch == "=" and depth == 0
+                          and s[i:i + 2] == "=>"
+                          and (i == 0 or s[i - 1] not in "=!<>")):
+                        return s[:i].strip(), s[i + 2:].strip()
+                return s.strip(), None
+
+            steps = []       # (name, pred_src)
+            step_assigns = []  # list[list[(var, fn, cols)]]
+            for st in _split_top_level(m2.group(3), ";"):
                 sm = re.match(r"^step\s+([A-Za-z_]\w*)\s*:\s*(.+)$",
                               st.strip(), re.S)
                 if not sm:
                     raise KqlError(f"bad scan step {st!r}")
-                steps.append((sm.group(1), sm.group(2)))
+                pred_src, assign_src = _split_arrow(sm.group(2))
+                assigns = []
+                if assign_src is not None:
+                    if not declares:
+                        raise KqlError(
+                            "scan step assignments need declare(...)"
+                        )
+                    for a in _split_commas(assign_src):
+                        am = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+)$",
+                                      a.strip(), re.S)
+                        if not am or am.group(1) not in declared_names:
+                            raise KqlError(
+                                f"scan assignment {a!r} must set a "
+                                "declared variable"
+                            )
+                        afn, acols, _us = _compile_scan_expr(
+                            am.group(2), declared_names
+                        )
+                        assigns.append((am.group(1), afn, acols))
+                steps.append((sm.group(1), pred_src))
+                step_assigns.append(assigns)
             if not steps:
                 raise KqlError("scan needs at least one step")
             osrc = sctx.get("order_src")
@@ -2287,22 +2658,70 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 )
             keys = sctx.get("keys") or []
             base_cols = list(df.columns)
+            # Hybrid predicate compilation: state-free predicates stay
+            # Catalyst flag columns (JVM codegen); predicates touching
+            # declared variables compile to (row, state) closures run
+            # inside the machine. String literals are stripped before
+            # the reference scan so a literal containing a variable's
+            # name doesn't force the Python path.
+            _lit_re = r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\""
+            pred_fns: list = []   # per step: None (JVM flag) or closure
+            pred_cols: set = set()
+            for _nm, pred in steps:
+                no_lits = re.sub(_lit_re, " ", pred)
+                if declared_names and any(
+                    w in declared_names
+                    for w in re.findall(r"[A-Za-z_]\w*", no_lits)
+                ):
+                    pfn, pcols, _us = _compile_scan_expr(
+                        pred, declared_names
+                    )
+                    pred_fns.append(pfn)
+                    pred_cols |= pcols
+                else:
+                    pred_fns.append(None)
             flags = df
-            for i, (_nm, pred) in enumerate(steps):
-                flags = flags.withColumn(f"__scan{i}", pe(pred))
+            for i, (fn_, (_nm, pred)) in enumerate(zip(pred_fns, steps)):
+                flags = flags.withColumn(
+                    f"__scan{i}", F.lit(False) if fn_ else pe(pred)
+                )
             from pyspark.sql.types import (
-                LongType, StringType, StructField, StructType,
+                BooleanType, DoubleType, LongType, StringType,
+                StructField, StructType,
             )
 
+            _decl_spark_t = {"long": LongType(), "double": DoubleType(),
+                             "string": StringType(),
+                             "boolean": BooleanType()}
             out_schema = StructType(
                 [f for f in df.schema.fields]
                 + [StructField(mid_col, LongType()),
                    StructField("step", StringType())]
+                + [StructField(vn, _decl_spark_t[vt])
+                   for vn, vt, _pt, _iv in declares]
             )
             names = [n for n, _a in osrc]
             asc = [a for _n, a in osrc]
             step_names = [nm for nm, _p in steps]
             nsteps = len(steps)
+            var_names = [vn for vn, _t, _pt, _iv in declares]
+            init_state = {vn: iv for vn, _t, _pt, iv in declares}
+            coercers = {vn: pt for vn, _t, pt, _iv in declares}
+            # columns the Python closures read (predicates + assigns)
+            ref_cols = sorted(
+                (pred_cols | {c for a in step_assigns
+                              for _v, _f, cs in a for c in cs})
+                & set(base_cols)
+            )
+            missing_refs = (
+                pred_cols | {c for a in step_assigns
+                             for _v, _f, cs in a for c in cs}
+            ) - set(base_cols)
+            if missing_refs:
+                raise KqlError(
+                    f"scan expression references unknown column(s) "
+                    f"{sorted(missing_refs)}"
+                )
 
             def _scan_group(pdf):
                 import pandas as pd
@@ -2311,27 +2730,64 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                                       kind="stable")
                 fl = pdf[[f"__scan{i}" for i in range(nsteps)]].fillna(
                     False).to_numpy(dtype=bool)
+                recs = (
+                    [
+                        {k: (None if pd.isna(v) else v)
+                         for k, v in rec.items()}
+                        for rec in pdf[ref_cols].to_dict("records")
+                    ]
+                    if ref_cols else None
+                )
                 n = len(pdf)
                 take, mid_out, step_out = [], [], []
+                var_out: dict = {vn: [] for vn in var_names}
                 s, mid, active = -1, 0, False
+                st: dict = {}
+
+                def test(j, i, state):
+                    fn_ = pred_fns[j]
+                    if fn_ is None:
+                        return bool(fl[i, j])
+                    row = recs[i] if recs is not None else {}
+                    return fn_(row, state) is True
+
                 for i in range(n):
-                    if active and s + 1 < nsteps and fl[i, s + 1]:
+                    if active and s + 1 < nsteps and test(s + 1, i, st):
                         s += 1
-                    elif active and fl[i, s]:
+                    elif active and test(s, i, st):
                         pass
-                    elif not active and fl[i, 0]:
-                        mid += 1
-                        s, active = 0, True
+                    elif not active:
+                        st0 = dict(init_state)
+                        if test(0, i, st0):
+                            mid += 1
+                            s, active, st = 0, True, st0
+                        else:
+                            continue
                     else:
                         continue
+                    row = recs[i] if recs is not None else {}
+                    for vn, afn, _cs in step_assigns[s]:
+                        v = afn(row, st)
+                        st[vn] = None if v is None else coercers[vn](v)
                     take.append(i)
                     mid_out.append(mid)
                     step_out.append(step_names[s])
+                    for vn in var_names:
+                        var_out[vn].append(st.get(vn))
                     if s == nsteps - 1:
-                        s, active = -1, False
+                        s, active, st = -1, False, {}
                 out = pdf.iloc[take][base_cols].copy()
                 out[mid_col] = pd.array(mid_out, dtype="int64")
                 out["step"] = step_out
+                for vn, _t, pt, _iv in declares:
+                    if pt is int:
+                        out[vn] = pd.array(var_out[vn], dtype="Int64")
+                    elif pt is float:
+                        out[vn] = pd.array(var_out[vn], dtype="Float64")
+                    else:
+                        out[vn] = pd.Series(
+                            var_out[vn], index=out.index, dtype="object"
+                        )
                 return out
 
             if keys:

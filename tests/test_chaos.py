@@ -235,6 +235,15 @@ STAGE_FRAGMENTS = st.sampled_from([
     "join", "join kind=bogus (T) on k", "union", "lookup", "search",
     "evaluate", "evaluate pivot(", "evaluate bag_unpack()", "serialize",
     "serialize by", "scan", "scan with ()", "scan with (step : x)",
+    "scan declare", "scan declare () with (step a: true)",
+    "scan declare (x) with (step a: true)",
+    "scan declare (x: bogus) with (step a: true)",
+    "scan declare (x: long = ) with (step a: true)",
+    "scan declare (x: long = k) with (step a: true)",
+    "scan declare (x: long = 0) with (step a: x => )",
+    "scan declare (x: long = 0) with (step a: x + => x = 1)",
+    "scan declare (x: long = 0) with (step a: true => y = 1)",
+    "scan declare (x: long = 0) with (step a: nosuch(x) => x = 1)",
     "partition", "partition by k", "partition by k (sort by v)",
     "invoke", "invoke f()", "as", "as 9", "getschema extra",
     "top-hitters", "top-hitters 2 of", "sample", "sample-distinct",

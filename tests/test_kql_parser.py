@@ -974,9 +974,139 @@ def test_scan_operator(spark):
     assert ms == [(1, 2, 1), (1, 3, 2), (2, 3, 1)]
     with pytest.raises(KqlError):
         kql(df, 'T | scan with (step a: et == "x")')  # no sort
+
+
+def test_scan_declare_state_variables(spark):
+    """scan declare(...) typed accumulators: initialized at match
+    start, assigned in step bodies, readable in predicates, emitted as
+    output columns (value AFTER the row's assignments)."""
+    rows = [
+        (1, 1, "start", 10), (1, 2, "add", 5), (1, 3, "add", 7),
+        (1, 4, "stop", 1),
+        (1, 5, "start", 2), (1, 6, "stop", 3),
+        (2, 1, "add", 99), (2, 2, "start", 1), (2, 3, "add", 4),
+    ]
+    df = spark.createDataFrame(rows, "uid long, seq int, et string, v int")
+    out = kql(
+        df,
+        "T | sort by uid asc, seq asc | serialize by uid | scan"
+        ' declare (total: long = 0, n: long = 0) with ('
+        ' step opened: et == "start" => total = total + v, n = n + 1;'
+        ' step closed: et == "stop" => total = total + v, n = n + 1)',
+    )
+    got = sorted(
+        (r.uid, r.seq, r.match_id, r.step, r.total, r.n)
+        for r in out.collect()
+    )
+    # 'add' rows match neither step (no extend pred) -> skipped;
+    # totals accumulate per MATCH and reset at the next match start
+    assert got == [
+        (1, 1, 1, "opened", 10, 1), (1, 4, 1, "closed", 11, 2),
+        (1, 5, 2, "opened", 2, 1), (1, 6, 2, "closed", 5, 2),
+        (2, 2, 1, "opened", 1, 1),
+    ]
+    # declared variables usable in PREDICATES: stop only after the
+    # accumulated total crosses a threshold
+    out2 = kql(
+        df,
+        "T | sort by uid asc, seq asc | serialize by uid | scan"
+        " declare (acc: long = 0) with ("
+        ' step going: et == "start" or et == "add" => acc = acc + v;'
+        ' step done: acc >= 20 and et == "stop")',
+    )
+    got2 = sorted(
+        (r.uid, r.seq, r.match_id, r.step, r.acc) for r in out2.collect()
+    )
+    # uid 1: acc reaches 22 by seq 3; seq 4 'stop' completes. The
+    # second 'start' (seq 5) begins match 2 with acc reset; its 'stop'
+    # (seq 6) has acc=2 < 20, matches neither step -> skipped.
+    assert got2 == [
+        (1, 1, 1, "going", 10), (1, 2, 1, "going", 15),
+        (1, 3, 1, "going", 22), (1, 4, 1, "done", 22),
+        (1, 5, 2, "going", 2),
+        (2, 1, 1, "going", 99), (2, 2, 1, "going", 100),
+        (2, 3, 1, "going", 104),
+    ]
+    # string accumulator + strcat/iff/strlen across an extending step
+    out3 = kql(
+        df,
+        "T | sort by uid asc, seq asc | serialize by uid | scan"
+        ' declare (path: string = "") with ('
+        ' step going: et != "stop" =>'
+        ' path = strcat(path, iff(strlen(path) > 0, ">", ""), et);'
+        ' step fin: et == "stop" =>'
+        ' path = strcat(path, ">", et))',
+    )
+    paths = {(r.uid, r.seq): r.path for r in out3.collect()}
+    assert paths[(1, 4)] == "start>add>add>stop"
+    assert paths[(1, 6)] == "start>stop"         # match 2 reset
+    assert paths[(2, 3)] == "add>start>add"       # incomplete, emitted
+    # errors: assignment to an undeclared name; non-constant init;
+    # unsupported function in a state-referencing predicate
     with pytest.raises(KqlError):
-        kql(df, "T | sort by uid asc | serialize by uid"
-                " | scan declare (d: long) with (step a: true)")
+        kql(df, "T | sort by uid asc | serialize by uid | scan"
+                " declare (x: long) with (step a: true => y = 1)")
+    with pytest.raises(KqlError):
+        kql(df, "T | sort by uid asc | serialize by uid | scan"
+                " declare (x: long = v) with (step a: true)")
+    with pytest.raises(KqlError):
+        kql(df, "T | sort by uid asc | serialize by uid | scan"
+                " declare (x: long = 0) with"
+                " (step a: bin(x, 2) == 0 => x = x + 1)")
+    with pytest.raises(KqlError):  # collision with an input column
+        kql(df, "T | sort by uid asc | serialize by uid | scan"
+                " declare (v: long = 0) with (step a: true)")
+
+
+def test_scan_declare_property_vs_reference(spark):
+    """Property gate for declared state: the distributed execution must
+    equal a single-process simulation of the documented semantics on a
+    randomized input — accumulator programs included (the r4 extension
+    of the plain-scan property test)."""
+    import random
+
+    rng = random.Random(20260818)
+    rows = [
+        (rng.randrange(5), i, rng.choice(["a", "b", "x"]),
+         rng.randrange(1, 10))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "uid long, seq int, et string, v int")
+    out = kql(
+        df,
+        "T | sort by uid asc, seq asc | serialize by uid | scan"
+        " declare (t: long = 0) with ("
+        ' step s1: et == "a" => t = t + v;'
+        ' step s2: t >= 12 and et == "b" => t = t + 100)',
+    )
+    got = sorted(
+        (r.uid, r.seq, r.match_id, r.step, r.t) for r in out.collect()
+    )
+
+    exp = []
+    by_uid: dict = {}
+    for uid, seq, et, v in sorted(rows):
+        by_uid.setdefault(uid, []).append((seq, et, v))
+    for uid, evs in by_uid.items():
+        s, mid, active, t = -1, 0, False, 0
+        for seq, et, v in evs:
+            if active and s + 1 < 2 and (t >= 12 and et == "b"):
+                s = 1
+            elif active and s == 0 and et == "a":
+                pass
+            elif active and s == 1 and (t >= 12 and et == "b"):
+                pass
+            elif not active and et == "a":
+                mid += 1
+                s, active, t = 0, True, 0
+            else:
+                continue
+            t = t + v if s == 0 else t + 100
+            exp.append((uid, seq, mid, "s1" if s == 0 else "s2", t))
+            if s == 1:
+                s, active = -1, False
+    assert got == sorted(exp)
+    assert len(got) > 50
 
 
 def test_scan_property_vs_reference(spark):

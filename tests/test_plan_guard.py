@@ -70,6 +70,10 @@ def test_gated_queries_are_jvm_side(plans):
         # The property test (test_scan_property.py) proves it against an
         # in-driver reference simulation.
         "kql_text_scan_matches",
+        # same seam, with declare(...) state variables — accumulator
+        # assignments and state-referencing predicates are inherently
+        # prefix-dependent (see test_scan_declare_property_vs_reference)
+        "kql_text_scan_declare",
     }
     python_ops = ("ArrowEvalPython", "FlatMapGroupsInPandas",
                   "MapInPandas", "BatchEvalPython")
