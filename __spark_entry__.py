@@ -1260,6 +1260,22 @@ def q_kql_diffpatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_diffpatterns_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate diffpatterns(pred, 2)` — cohort comparison extended to
+    column-PAIR patterns (the basket pair-leg machinery over the same
+    persisted base): single-column legs plus one conditional
+    aggregation per column pair, stacked in the same long-form shape
+    (pair pattern_column 'c1&c2', '&'-joined values, NULLs marked)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        "documents | project source, lang"
+        ' | evaluate diffpatterns(lang == "en", 2)',
+    )
+
+
 def q_kql_toscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`toscalar()` — scalar subquery evaluated ahead of the main query
     and folded as a literal (Kusto's semantics; the 1-value collect is
@@ -2141,6 +2157,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "pii_redaction", "doc_chunks",
     # r4 additions — new queries with no driver row yet
     "otlp_reconstruct_metrics", "kql_text_scan_declare",
+    "kql_diffpatterns_pairs",
 )
 
 
@@ -2227,6 +2244,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_basket": q_kql_basket,
         "kql_ipv4": q_kql_ipv4,
         "kql_diffpatterns": q_kql_diffpatterns,
+        "kql_diffpatterns_pairs": q_kql_diffpatterns_pairs,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2905,6 +2923,39 @@ GROUP BY 1, 2
             "CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT), "
             "CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) "
             "FROM b GROUP BY lang) "
+            "SELECT pattern_column, value, count_a, count_b, "
+            "ROUND(count_a / CAST(ta AS DOUBLE), 6) AS pct_a, "
+            "ROUND(count_b / CAST(tb AS DOUBLE), 6) AS pct_b, "
+            "ROUND(count_a / CAST(ta AS DOUBLE) "
+            "- count_b / CAST(tb AS DOUBLE), 6) AS diff "
+            "FROM u CROSS JOIN t"
+        ),
+        "kql_diffpatterns_pairs": (
+            "WITH b AS (SELECT source, lang, (lang = 'en') AS s "
+            "FROM documents), "
+            "t AS (SELECT greatest(CAST(SUM(CASE WHEN s THEN 1 ELSE 0 "
+            "END) AS BIGINT), 1) AS ta, "
+            "greatest(CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) "
+            "AS BIGINT), 1) AS tb FROM b), "
+            "u AS ("
+            "SELECT 'source' AS pattern_column, "
+            "CAST(source AS VARCHAR) AS value, "
+            "CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS count_a, "
+            "CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS count_b FROM b GROUP BY source "
+            "UNION ALL "
+            "SELECT 'lang', CAST(lang AS VARCHAR), "
+            "CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM b GROUP BY lang "
+            "UNION ALL "
+            "SELECT 'source&lang', "
+            "COALESCE(CAST(source AS VARCHAR), '~null~') || '&' || "
+            "COALESCE(CAST(lang AS VARCHAR), '~null~'), "
+            "CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM b GROUP BY source, lang) "
             "SELECT pattern_column, value, count_a, count_b, "
             "ROUND(count_a / CAST(ta AS DOUBLE), 6) AS pct_a, "
             "ROUND(count_b / CAST(tb AS DOUBLE), 6) AS pct_b, "

@@ -51,6 +51,13 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def persist_registered(df: DataFrame) -> DataFrame:
+    """Public registration point for OPERATOR-scoped persists (e.g. the
+    KQL basket/diffpatterns leg loops) so they share release_caches()'s
+    lifecycle with the dedup relations."""
+    return _persist(df)
+
+
 def release_caches() -> int:
     """Unpersist every relation cached by dedup operators since the last
     release; returns how many were released. Safe to call any time after

@@ -451,14 +451,24 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
     vocabulary. Unusual/garbled text scores low; repetitive/common text
     scores high.
 
-    Scale shape: training is one explode + two keyed counts (map-side
-    combinable); scoring joins the document bigrams against the count
-    relation ON THE BIGRAM KEY — a plain shuffle equi-join that
-    co-partitions both sides (never a broadcast: at 100 TB the bigram
-    table is corpus-sized), then one per-doc aggregation. Unseen
-    bigrams (scoring docs outside the training corpus) fall back to the
-    smoothing mass via the left join's COALESCE.
+    Scale shape: the doc-side bigrams are PRE-AGGREGATED to per-doc
+    multiplicities before anything else — one row per (doc, w1, w2)
+    instead of one per bigram instance — which shrinks both the join
+    shuffle and the skew exposure on hot ``w1`` tokens (a stop-word's
+    fan-in collapses from its instance count to its distinct-context
+    count). The bigram count relation derives from that SAME persisted
+    pre-aggregation (no second scan of the corpus), and ``uni_counts``
+    is persisted across its two uses (the vocab scalar + the scoring
+    join). The scoring join stays a plain shuffle equi-join ON THE
+    BIGRAM KEY that co-partitions both sides (never a broadcast: at
+    100 TB the bigram table is corpus-sized), then one per-doc
+    aggregation. Unseen bigrams (scoring docs outside the training
+    corpus) fall back to the smoothing mass via the left join's
+    COALESCE. Persists are registered for
+    :func:`~otel_arrow_spark.dataops.dedup.release_caches`.
     """
+    from otel_arrow_spark.dataops.dedup import persist_registered
+
     w = words_of(F.col(text_col))
     m = F.size(w)
     big = F.zip_with(
@@ -469,19 +479,26 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
     doc_bigrams = docs.select(
         "doc_id", F.explode(big).alias("g")
     ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    doc_bg = persist_registered(
+        doc_bigrams.groupBy("doc_id", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("mult"))
+    )
 
-    bi_counts = doc_bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12"))
-    uni_counts = docs.select(F.explode(w).alias("w1")).groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1"))
+    bi_counts = doc_bg.groupBy("w1", "w2").agg(
+        F.sum("mult").alias("c12"))
+    uni_counts = persist_registered(
+        docs.select(F.explode(w).alias("w1")).groupBy("w1").agg(
+            F.count(F.lit(1)).alias("c1"))
+    )
     vocab = uni_counts.count()  # one scalar: the smoothing denominator
 
     scored = (
-        doc_bigrams
+        doc_bg
         .join(bi_counts, ["w1", "w2"], "left")
         .join(uni_counts, ["w1"], "left")
         .select(
             "doc_id",
+            "mult",
             F.log(
                 (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
                 / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k * vocab))
@@ -489,8 +506,10 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text",
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("logp"), 6).alias("avg_logp"),
+        F.sum("mult").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("mult") * F.col("logp")) / F.sum("mult"), 6
+        ).alias("avg_logp"),
     )
 
 
@@ -507,19 +526,25 @@ WITH toks AS (
   FROM toks
 ), db AS (
   SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM dbg
+), bg AS (
+  -- doc-side pre-aggregation: one row per (doc, bigram) with its
+  -- multiplicity — mirrors the engine's skew-shrinking join input
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS mult
+  FROM db GROUP BY 1, 2, 3
 ), bi AS (
-  SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY 1, 2
+  SELECT w1, w2, CAST(SUM(mult) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
 ), uni AS (
   SELECT unnest(w) AS w1 FROM toks
 ), uc AS (
   SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1
 ), v AS (SELECT COUNT(*) AS vocab FROM uc)
-SELECT db.doc_id, COUNT(*) AS n_bigrams,
-  ROUND(AVG(ln((COALESCE(bi.c12, 0) + {k})
-              / (COALESCE(uc.c1, 0) + {k} * v.vocab))), 6) AS avg_logp
-FROM db
+SELECT bg.doc_id, CAST(SUM(bg.mult) AS BIGINT) AS n_bigrams,
+  ROUND(SUM(bg.mult * ln((COALESCE(bi.c12, 0) + {k})
+              / (COALESCE(uc.c1, 0) + {k} * v.vocab))) / SUM(bg.mult), 6)
+    AS avg_logp
+FROM bg
 LEFT JOIN bi USING (w1, w2)
 LEFT JOIN uc USING (w1)
 CROSS JOIN v
-GROUP BY db.doc_id
+GROUP BY bg.doc_id
 """

@@ -2937,6 +2937,17 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 # marks a wildcard position (Kusto's shape). The row
                 # total is a 1-value driver aggregate (toscalar shape).
                 frac = float(mbsk.group(1) or 0.05)
+                # persist the (already-projected) input across the leg
+                # loop: every leg is a full aggregation of the SAME
+                # relation, and without the persist each one replays
+                # the source scan + upstream stages. The total-count
+                # action doubles as the cache-warming pass; released by
+                # release_caches() after the consuming action.
+                from otel_arrow_spark.dataops.dedup import (
+                    persist_registered,
+                )
+
+                df = persist_registered(df)
                 total = df.count()
                 thresh = max(int(total * frac), 1)
                 cols = df.columns
@@ -2970,30 +2981,56 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 continue
             mdp = re.match(r"^diffpatterns\s*\((.+)\)\s*$", rest, re.S)
             if mdp:
-                # `evaluate diffpatterns(split_pred)` — the Kusto
-                # cohort-comparison plugin restricted to single-column
-                # patterns: for every (column, value) of the input's
-                # non-split columns, report counts and cohort fractions
-                # in the split=true (A) vs split=false (B) cohorts,
-                # with the fraction delta. One conditional aggregation
-                # per column — each map-side combinable, long-form
-                # stacked output (the facet shape).
-                pred = pe(mdp.group(1)).cast("boolean")
-                base = df.withColumn("_split", pred)
+                # `evaluate diffpatterns(split_pred [, max_size])` —
+                # the Kusto cohort-comparison plugin restricted to
+                # patterns of 1 column (default) or, with max_size=2,
+                # 1 and 2 columns: for every (column[, column]) value
+                # combination of the input's non-split columns, report
+                # counts and cohort fractions in the split=true (A) vs
+                # split=false (B) cohorts, with the fraction delta. One
+                # conditional aggregation per leg — each map-side
+                # combinable, long-form stacked output (the facet
+                # shape; a pair pattern renders as pattern_column
+                # "c1&c2" with '&'-joined values, NULLs marked). The
+                # projected input is persisted across the leg loop (the
+                # cohort-total action warms it); released via
+                # release_caches().
+                dp_parts = _split_commas(mdp.group(1))
+                if len(dp_parts) > 2:
+                    raise KqlError(
+                        "diffpatterns takes (split_pred [, max_size])"
+                    )
+                max_size = 1
+                if len(dp_parts) == 2:
+                    if dp_parts[1].strip() not in ("1", "2"):
+                        raise KqlError(
+                            "diffpatterns max_size must be 1 or 2"
+                        )
+                    max_size = int(dp_parts[1])
+                from otel_arrow_spark.dataops.dedup import (
+                    persist_registered,
+                )
+
+                pred = pe(dp_parts[0]).cast("boolean")
+                base = persist_registered(df.withColumn("_split", pred))
                 na = F.sum(F.when(F.col("_split"), 1).otherwise(0))
                 nb = F.sum(F.when(~F.col("_split"), 1).otherwise(0))
                 tot = base.agg(na.alias("na"), nb.alias("nb")).collect()[0]
                 ta, tb = max(tot.na, 1), max(tot.nb, 1)
-                legs = []
-                for c in df.columns:
-                    legs.append(
-                        base.groupBy(
-                            F.lit(c).alias("pattern_column"),
-                            F.col(c).cast("string").alias("value"),
-                        )
+
+                def _null_marked(c: str) -> Column:
+                    return F.coalesce(
+                        F.col(c).cast("string"), F.lit("~null~")
+                    )
+
+                def _dp_leg(pat_name: Column, value: Column, keys):
+                    return (
+                        base.groupBy(*keys)
                         .agg(na.alias("count_a"), nb.alias("count_b"))
                         .select(
-                            "pattern_column", "value", "count_a",
+                            pat_name.alias("pattern_column"),
+                            value.alias("value"),
+                            "count_a",
                             "count_b",
                             F.round(F.col("count_a") / F.lit(ta), 6)
                             .alias("pct_a"),
@@ -3005,6 +3042,23 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                             ).alias("diff"),
                         )
                     )
+
+                legs = [
+                    _dp_leg(F.lit(c), F.col(c).cast("string"), [c])
+                    for c in df.columns
+                ]
+                if max_size == 2:
+                    dpcols = df.columns
+                    for i, c1 in enumerate(dpcols):
+                        for c2 in dpcols[i + 1:]:
+                            legs.append(_dp_leg(
+                                F.lit(f"{c1}&{c2}"),
+                                F.concat_ws(
+                                    "&",
+                                    _null_marked(c1), _null_marked(c2),
+                                ),
+                                [c1, c2],
+                            ))
                 out = legs[0]
                 for leg in legs[1:]:
                     out = out.unionByName(leg)
