@@ -491,22 +491,167 @@ def exactly_once_batch_sink(catalog, table: str, ledger_dir: str):
       AFTER the data commit) lets clean replays skip the write
       entirely.
 
+    **Ledger durability**: ``foreachBatch`` functions run on the
+    DRIVER, so ``ledger_dir`` must survive whatever the driver can —
+    on a cluster where the driver may restart on another node, point
+    it at shared storage (an ``s3://``/``hdfs://``/… URI is opened
+    through ``fsspec`` when that package is installed; plain paths use
+    the local filesystem). A LOST ledger is safe either way: replays
+    then fall through to the dynamic-partition overwrite, which is
+    idempotent by construction (asserted by
+    ``test_exactly_once_batch_sink_replay_safe``) — the ledger is an
+    optimization that skips re-writes, not the correctness guard.
+
     Returns the function to pass to ``writeStream.foreachBatch``.
     """
     import os
 
-    os.makedirs(ledger_dir, exist_ok=True)
+    if "://" in ledger_dir:
+        try:
+            import fsspec
+        except ImportError as e:
+            raise RuntimeError(
+                f"ledger_dir {ledger_dir!r} has a URI scheme, which "
+                "needs the optional fsspec package; install it or use "
+                "a local/mounted path"
+            ) from e
+        fs, root = fsspec.core.url_to_fs(ledger_dir)
+        fs.makedirs(root, exist_ok=True)
+
+        def _marker(batch_id: int) -> str:
+            return f"{root.rstrip('/')}/batch-{batch_id}.done"
+
+        def _exists(p: str) -> bool:
+            return fs.exists(p)
+
+        def _commit(p: str) -> None:
+            with fs.open(p, "w") as f:
+                f.write("committed\n")
+    else:
+        os.makedirs(ledger_dir, exist_ok=True)
+
+        def _marker(batch_id: int) -> str:
+            return os.path.join(ledger_dir, f"batch-{batch_id}.done")
+
+        def _exists(p: str) -> bool:
+            return os.path.exists(p)
+
+        def _commit(p: str) -> None:
+            with open(p, "w") as f:
+                f.write("committed\n")
 
     def _write(df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
-        if os.path.exists(marker):
+        marker = _marker(batch_id)
+        if _exists(marker):
             return
         catalog.overwrite_partitions(
             df.withColumn("_batch_id", F.lit(int(batch_id))),
             table,
             partition_by=["_batch_id"],
         )
-        with open(marker, "w") as f:
-            f.write("committed\n")
+        _commit(marker)
 
     return _write
+
+
+def streaming_make_series(
+    stream: DataFrame,
+    start: str,
+    end: str,
+    step: str = "1 hour",
+    keys: tuple = ("tool",),
+    on: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The INCREMENTAL half of a streaming `make-series`: a watermarked
+    tumbling-window count per key, emitted as finalized
+    ``(keys…, _msi bin index, _msv value)`` rows once the watermark
+    passes each window — bounded state (windows in flight only), each
+    bin exactly once (append mode).
+
+    A dense per-key series array can only finalize when the WHOLE
+    [from, to) range passes the watermark, so the scalable streaming
+    shape is: emit bins incrementally, assemble the regular arrays at
+    read time with :func:`assemble_series` (the same split the
+    reference's batch exporter applies between incremental aggregation
+    and final encoding). Batch/stream parity is gated by
+    ``test_streaming_make_series_equals_batch``: streamed bins +
+    assembly must equal the batch KQL ``make-series`` arrays exactly.
+
+    ``start`` must be aligned to ``step`` (tumbling windows are
+    epoch-aligned; an unaligned start would shift bin boundaries vs the
+    batch operator, which bins relative to ``from``)."""
+    startc = F.lit(start).cast("timestamp")
+    endc = F.lit(end).cast("timestamp")
+    onc = F.col(on)
+    win = F.window(on, step).alias("_win")
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s+(hour|minute|second|day)s?", step.strip())
+    if not m:
+        raise ValueError(f"step {step!r}: use '<n> hour|minute|second|day'")
+    step_sec = int(m.group(1)) * {
+        "hour": 3600, "minute": 60, "second": 1, "day": 86400
+    }[m.group(2)]
+    return (
+        stream.filter((onc >= startc) & (onc < endc))
+        .withWatermark(on, watermark)
+        .groupBy(win, *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("_msv"))
+        .select(
+            *keys,
+            F.floor(
+                (F.col("_win.start").cast("double")
+                 - startc.cast("double")) / step_sec
+            ).cast("int").alias("_msi"),
+            "_msv",
+        )
+    )
+
+
+def assemble_series(
+    binned: DataFrame,
+    start: str,
+    end: str,
+    step_sec: int,
+    keys: tuple = ("tool",),
+    name: str = "n",
+    default: int = 0,
+) -> DataFrame:
+    """Collapse streamed make-series bins into the REGULAR per-key
+    series (every bin present, gaps filled with ``default``) + the
+    matching timestamp array — the read-time assembly companion of
+    :func:`streaming_make_series`, producing exactly the batch
+    ``make-series`` output shape. One map-side-combinable aggregation;
+    the dense grid is a per-row ``transform(sequence(…))`` over a
+    bin→value map, no grid join."""
+    from datetime import datetime as _dt
+
+    n_bins = int(-(-(
+        (_dt.fromisoformat(end) - _dt.fromisoformat(start)).total_seconds()
+    ) // step_sec))
+    startc = F.lit(start).cast("timestamp")
+    seq = F.sequence(F.lit(0), F.lit(n_bins - 1))
+    return (
+        binned.groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_msi", "_msv"))
+            ).alias("_msm")
+        )
+        .select(
+            *keys,
+            F.transform(
+                seq,
+                lambda i: F.coalesce(
+                    F.try_element_at("_msm", i), F.lit(default)
+                ).cast("long"),
+            ).alias(name),
+            F.transform(
+                seq,
+                lambda i: F.timestamp_seconds(
+                    startc.cast("double") + i * F.lit(step_sec)
+                ),
+            ).alias("ts_series"),
+        )
+    )

@@ -470,3 +470,76 @@ def test_streaming_spans_multichunk_order(spark, tmp_path, fixture_pdf):
         k: (s[k], b.get(k)) for k in s if s[k] != b.get(k)
     }
     assert closed <= set(s)
+
+
+def test_exactly_once_sink_uri_ledger_requires_fsspec(spark, tmp_path):
+    """A URI-scheme ledger_dir without fsspec installed must fail fast
+    with a clear message, not fall back to a silently-local path."""
+    import importlib.util
+
+    from otel_arrow_spark.catalog import Catalog
+    from otel_arrow_spark.streaming.pipeline import exactly_once_batch_sink
+
+    if importlib.util.find_spec("fsspec") is not None:
+        pytest.skip("fsspec installed; the URI path is exercised for real")
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    with pytest.raises(RuntimeError, match="fsspec"):
+        exactly_once_batch_sink(cat, "t", "s3://bucket/ledger")
+
+
+def test_streaming_make_series_equals_batch(spark, stream_dirs):
+    """Streaming make-series twin: watermarked tumbling-window bins
+    (streaming_make_series) + read-time assembly (assemble_series) must
+    equal the batch KQL `make-series` arrays exactly — regular grid,
+    default-filled gaps, per-key."""
+    from otel_arrow_spark.operators.kql_parser import kql
+    from otel_arrow_spark.streaming import read_transcript_stream
+    from otel_arrow_spark.streaming.pipeline import (
+        assemble_series, streaming_make_series,
+    )
+
+    in_dir, _out, _ckpt = stream_dirs
+    start, end = "2026-08-16 00:00:00", "2026-08-16 08:00:00"
+    q = (
+        streaming_make_series(
+            read_transcript_stream(spark, in_dir),
+            start, end, step="1 hour", keys=("tool",),
+        )
+        .writeStream.format("memory")
+        .queryName("ms_bins")
+        # complete mode: availableNow's single pass never advances the
+        # watermark past the data, so append would (correctly) hold all
+        # bins back — same convention as the histogram parity test. In
+        # production append emits each finalized bin exactly once.
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assembled = assemble_series(
+        spark.sql("SELECT * FROM ms_bins"),
+        start, end, step_sec=3600, keys=("tool",), name="n", default=0,
+    )
+    got = {
+        r.tool: (list(r.n), [str(t) for t in r.ts_series])
+        for r in assembled.collect()
+    }
+
+    batch = kql(
+        spark.read.parquet(in_dir),
+        "T | make-series n = count() default = 0 on ts"
+        f" from datetime({start}) to datetime({end})"
+        " step 1h by tool",
+    )
+    exp = {
+        r.tool: (list(r.n), [str(t) for t in r.ts])
+        for r in batch.collect()
+    }
+    assert set(got) == set(exp)
+    assert len(got) > 1
+    for k in exp:
+        assert got[k][0] == exp[k][0], k   # value series identical
+        assert got[k][1] == exp[k][1], k   # time grid identical
+    # the grid really is regular and default-filled
+    any_series = next(iter(got.values()))[0]
+    assert len(any_series) == 8
