@@ -1260,6 +1260,20 @@ def q_kql_diffpatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_autocluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate autocluster` — high-coverage attribute-pattern mining
+    (Kusto's third pattern plugin; deterministic exhaustive subset over
+    1- and 2-column patterns): segments ranked by coverage with NULL
+    wildcards, count and percent per segment."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        "documents | project source, lang | evaluate autocluster(0.1)",
+    )
+
+
 def q_kql_diffpatterns_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate diffpatterns(pred, 2)` — cohort comparison extended to
     column-PAIR patterns (the basket pair-leg machinery over the same
@@ -2157,7 +2171,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "pii_redaction", "doc_chunks",
     # r4 additions — new queries with no driver row yet
     "otlp_reconstruct_metrics", "kql_text_scan_declare",
-    "kql_diffpatterns_pairs",
+    "kql_diffpatterns_pairs", "kql_autocluster",
 )
 
 
@@ -2245,6 +2259,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_ipv4": q_kql_ipv4,
         "kql_diffpatterns": q_kql_diffpatterns,
         "kql_diffpatterns_pairs": q_kql_diffpatterns_pairs,
+        "kql_autocluster": q_kql_autocluster,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2929,6 +2944,32 @@ GROUP BY 1, 2
             "ROUND(count_a / CAST(ta AS DOUBLE) "
             "- count_b / CAST(tb AS DOUBLE), 6) AS diff "
             "FROM u CROSS JOIN t"
+        ),
+        "kql_autocluster": (
+            "WITH b AS (SELECT source, lang FROM documents), "
+            "t AS (SELECT greatest(COUNT(*), 1) AS total, "
+            "greatest(CAST(trunc(COUNT(*) * 0.1) AS BIGINT), 1) AS th "
+            "FROM b), "
+            "u AS ("
+            "SELECT CAST(source AS VARCHAR) AS source, "
+            "CAST(NULL AS VARCHAR) AS lang, "
+            "CAST(COUNT(*) AS BIGINT) AS count_ FROM b GROUP BY source "
+            "HAVING COUNT(*) >= (SELECT th FROM t) "
+            "UNION ALL "
+            "SELECT NULL, CAST(lang AS VARCHAR), "
+            "CAST(COUNT(*) AS BIGINT) FROM b GROUP BY lang "
+            "HAVING COUNT(*) >= (SELECT th FROM t) "
+            "UNION ALL "
+            "SELECT CAST(source AS VARCHAR), CAST(lang AS VARCHAR), "
+            "CAST(COUNT(*) AS BIGINT) FROM b GROUP BY source, lang "
+            "HAVING COUNT(*) >= (SELECT th FROM t)) "
+            "SELECT CAST(row_number() OVER (ORDER BY count_ DESC, "
+            "COALESCE(source, '~*~') || '|' || COALESCE(lang, '~*~')) "
+            "- 1 AS INT) AS segment_id, "
+            "count_, "
+            "ROUND(count_ / CAST((SELECT total FROM t) AS DOUBLE) "
+            "* 100, 4) AS percent, "
+            "source, lang FROM u"
         ),
         "kql_diffpatterns_pairs": (
             "WITH b AS (SELECT source, lang, (lang = 'en') AS s "

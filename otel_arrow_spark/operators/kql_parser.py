@@ -2546,7 +2546,11 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             # matched rows of incomplete sequences are still emitted.
             # Output = matched rows + (match_id, step) + one column per
             # `declare`d state variable (its value AFTER the row's step
-            # assignments ran). Declared variables initialize at match
+            # assignments ran). Per-step `output=all|last|none`
+            # (default all) controls emission: `last` keeps only the
+            # final row matched at that step (flushed when the match
+            # advances, completes, or the group ends), `none` drops the
+            # step's rows. Declared variables initialize at match
             # start, are assignable in step bodies (`step s: pred =>
             # x = x + v, …`), and may appear in predicates/assignments
             # by BARE name (simplification of Kusto's step-qualified
@@ -2622,12 +2626,18 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
 
             steps = []       # (name, pred_src)
             step_assigns = []  # list[list[(var, fn, cols)]]
+            step_modes = []    # per step: "all" (default) | "last" | "none"
             for st in _split_top_level(m2.group(3), ";"):
-                sm = re.match(r"^step\s+([A-Za-z_]\w*)\s*:\s*(.+)$",
-                              st.strip(), re.S)
+                sm = re.match(
+                    r"^step\s+([A-Za-z_]\w*)\s*"
+                    r"(?:output\s*=\s*(all|last|none)\s*)?"
+                    r":\s*(.+)$",
+                    st.strip(), re.S,
+                )
                 if not sm:
                     raise KqlError(f"bad scan step {st!r}")
-                pred_src, assign_src = _split_arrow(sm.group(2))
+                step_modes.append(sm.group(2) or "all")
+                pred_src, assign_src = _split_arrow(sm.group(3))
                 assigns = []
                 if assign_src is not None:
                     if not declares:
@@ -2743,6 +2753,10 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 var_out: dict = {vn: [] for vn in var_names}
                 s, mid, active = -1, 0, False
                 st: dict = {}
+                # `output=last` buffer: at most ONE pending row — only
+                # the current step buffers, and advancing flushes it
+                # before the advancing row emits, so input order holds.
+                pending: list | None = None
 
                 def test(j, i, state):
                     fn_ = pred_fns[j]
@@ -2751,8 +2765,22 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     row = recs[i] if recs is not None else {}
                     return fn_(row, state) is True
 
+                def emit(i, m, sname, snap):
+                    take.append(i)
+                    mid_out.append(m)
+                    step_out.append(sname)
+                    for vn in var_names:
+                        var_out[vn].append(snap.get(vn))
+
+                def flush_pending():
+                    nonlocal pending
+                    if pending is not None:
+                        emit(*pending)
+                        pending = None
+
                 for i in range(n):
                     if active and s + 1 < nsteps and test(s + 1, i, st):
+                        flush_pending()  # leaving step s
                         s += 1
                     elif active and test(s, i, st):
                         pass
@@ -2769,13 +2797,15 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     for vn, afn, _cs in step_assigns[s]:
                         v = afn(row, st)
                         st[vn] = None if v is None else coercers[vn](v)
-                    take.append(i)
-                    mid_out.append(mid)
-                    step_out.append(step_names[s])
-                    for vn in var_names:
-                        var_out[vn].append(st.get(vn))
+                    mode = step_modes[s]
+                    if mode == "all":
+                        emit(i, mid, step_names[s], st)
+                    elif mode == "last":
+                        pending = [i, mid, step_names[s], dict(st)]
                     if s == nsteps - 1:
+                        flush_pending()  # the completing row if 'last'
                         s, active, st = -1, False, {}
+                flush_pending()  # incomplete match at group end
                 out = pdf.iloc[take][base_cols].copy()
                 out[mid_col] = pd.array(mid_out, dtype="int64")
                 out["step"] = step_out
@@ -2978,6 +3008,68 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 for leg in legs[1:]:
                     out = out.unionByName(leg)
                 df = out
+                continue
+            mac = re.match(r"^autocluster\s*\(\s*([0-9.]*)\s*\)\s*$", rest)
+            if mac:
+                # `evaluate autocluster([MinPercentFrac])` — Kusto's
+                # third pattern-mining plugin (family: basket,
+                # diffpatterns): segments = attribute-value patterns
+                # covering a large share of the input. Documented
+                # subset of Kusto's seed-based search: ALL patterns of
+                # 1 and 2 columns above the coverage threshold
+                # (deterministic, exhaustive at these sizes — the sizes
+                # that stay tractable without the seed heuristic).
+                # Output = Kusto's shape: segment_id (0-based, by
+                # coverage desc, stable tiebreak), count_, percent,
+                # then the input columns with NULL marking a wildcard
+                # position. Same persist-once leg loop as basket; the
+                # final ranking window runs over the tiny
+                # above-threshold pattern set only.
+                min_frac = float(mac.group(1) or 0.05)
+                from otel_arrow_spark.dataops.dedup import (
+                    persist_registered,
+                )
+
+                df = persist_registered(df)
+                ac_total = max(df.count(), 1)
+                ac_thresh = max(int(ac_total * min_frac), 1)
+                cols = df.columns
+                legs = []
+
+                def _ac_leg(keys):
+                    return (
+                        df.groupBy(*keys)
+                        .agg(F.count(F.lit(1)).alias("count_"))
+                        .filter(F.col("count_") >= ac_thresh)
+                        .select(*[
+                            (F.col(c).cast("string") if c in keys
+                             else F.lit(None).cast("string")).alias(c)
+                            for c in cols
+                        ] + [F.col("count_")])
+                    )
+
+                for i, c1 in enumerate(cols):
+                    legs.append(_ac_leg([c1]))
+                    for c2 in cols[i + 1:]:
+                        legs.append(_ac_leg([c1, c2]))
+                out = legs[0]
+                for leg in legs[1:]:
+                    out = out.unionByName(leg)
+                pattern_key = F.concat_ws(
+                    "|", *[F.coalesce(F.col(c), F.lit("~*~"))
+                           for c in cols]
+                )
+                w = Window.orderBy(
+                    F.col("count_").desc(), pattern_key.asc()
+                )
+                df = out.select(
+                    (F.row_number().over(w) - 1).alias("segment_id"),
+                    F.col("count_"),
+                    F.round(
+                        F.col("count_") / F.lit(float(ac_total)) * 100, 4
+                    ).alias("percent"),
+                    *cols,
+                )
                 continue
             mdp = re.match(r"^diffpatterns\s*\((.+)\)\s*$", rest, re.S)
             if mdp:

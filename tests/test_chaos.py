@@ -244,6 +244,9 @@ STAGE_FRAGMENTS = st.sampled_from([
     "scan declare (x: long = 0) with (step a: x + => x = 1)",
     "scan declare (x: long = 0) with (step a: true => y = 1)",
     "scan declare (x: long = 0) with (step a: nosuch(x) => x = 1)",
+    "scan with (step a output: true)",
+    "scan with (step a output=bogus: true)",
+    "scan with (step a output=last: )",
     "partition", "partition by k", "partition by k (sort by v)",
     "invoke", "invoke f()", "as", "as 9", "getschema extra",
     "top-hitters", "top-hitters 2 of", "sample", "sample-distinct",

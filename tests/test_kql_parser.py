@@ -1608,3 +1608,73 @@ def test_series_fill_const(spark):
         " | project f = series_fill_const(s, 0)",
     ).collect()[0]
     assert r.f == [1, 0, 3]
+
+
+def test_evaluate_autocluster(spark):
+    """autocluster: exhaustive 1- and 2-column coverage patterns above
+    the threshold, Kusto output shape (segment_id by coverage desc,
+    count_, percent, NULL wildcards)."""
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "x")] * 5,
+        "k string, m string",
+    )
+    out = kql(df, "T | evaluate autocluster(0.3)")
+    rows = [(r.segment_id, r.count_, r.percent, r.k, r.m)
+            for r in out.collect()]
+    # 'a' covers 75%, 'x' covers 75%, ('a','x') covers 50%;
+    # 'b' (25%) and 'y' (25%) fall below the 30% threshold
+    assert sorted(rows) == [
+        (0, 15, 75.0, "a", None),
+        (1, 15, 75.0, None, "x"),
+        (2, 10, 50.0, "a", "x"),
+    ]
+    # default threshold keeps everything at 5%
+    out2 = kql(df, "T | evaluate autocluster()")
+    assert out2.count() == 2 + 2 + 3  # k vals + m vals + 3 pairs
+
+
+def test_scan_output_modes(spark):
+    """Per-step output=all|last|none: 'last' emits only the final row
+    matched at the step (flushed on advance/completion/group end),
+    'none' suppresses the step entirely."""
+    rows = [
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "a"), (1, 4, "b"),
+        (1, 5, "a"), (1, 6, "a"),   # second match, never completes
+        (2, 1, "b"), (2, 2, "a"),   # 'b' before any match; then opens
+    ]
+    df = spark.createDataFrame(rows, "uid long, seq int, et string")
+    out = kql(
+        df,
+        "T | sort by uid asc, seq asc | serialize by uid | scan with ("
+        ' step sa output=last: et == "a";'
+        ' step sb: et == "b")',
+    )
+    got = sorted((r.uid, r.seq, r.match_id, r.step) for r in out.collect())
+    # uid1 match1: 'a' rows 1-3 -> only seq 3 (last) + seq 4 'b';
+    # uid1 match2: 'a' rows 5-6 incomplete -> last (seq 6) flushed at
+    # group end; uid2: match opens at seq 2, incomplete -> seq 2
+    assert got == [
+        (1, 3, 1, "sa"), (1, 4, 1, "sb"), (1, 6, 2, "sa"),
+        (2, 2, 1, "sa"),
+    ]
+    out2 = kql(
+        df,
+        "T | sort by uid asc, seq asc | serialize by uid | scan with ("
+        ' step sa output=none: et == "a";'
+        ' step sb: et == "b")',
+    )
+    got2 = sorted((r.uid, r.seq, r.step) for r in out2.collect())
+    assert got2 == [(1, 4, "sb")]
+    # output=last snapshots declared state at the buffered row
+    out3 = kql(
+        df,
+        "T | sort by uid asc, seq asc | serialize by uid | scan"
+        " declare (n: long = 0) with ("
+        ' step sa output=last: et == "a" => n = n + 1;'
+        ' step sb: et == "b" => n = n + 100)',
+    )
+    got3 = sorted((r.uid, r.seq, r.step, r.n) for r in out3.collect())
+    assert got3 == [
+        (1, 3, "sa", 3), (1, 4, "sb", 103), (1, 6, "sa", 2),
+        (2, 2, "sa", 1),
+    ]
