@@ -925,7 +925,8 @@ def q_kql_text_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _tables(spark, sf_dir, "events")
     return kql(
         events,
-        "events | top-nested 3 of event_type by count(),"
+        'events | top-nested 3 of event_type with others = "other_types"'
+        " by count(),"
         " top-nested 2 of user_id by s = sum(value)"
         " | extend s = round(s, 6)",
     )
@@ -1372,6 +1373,29 @@ def q_kql_series_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | extend o = series_outliers(n)"
         " | project event_type, mx = round(series_max(o), 4),"
         " mn = round(series_min(o), 4)",
+    )
+
+
+def q_kql_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`series_moving_avg` + `series_decompose_anomalies` — the
+    detrend-then-flag anomaly primitive over make-series arrays
+    (centered ±k moving average, MAD z-score flags on the residual).
+    Gated per key through flag counts (|f| sum), the net flag sum, and
+    the rounded moving-average extreme, vs a DuckDB window-function
+    derivation of the identical math."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series n = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 15m"
+        " by event_type"
+        " | extend f = series_decompose_anomalies(n)"
+        " | project event_type,"
+        " n_anom = array_sum(series_multiply(f, f)),"
+        " net = array_sum(f),"
+        " mamax = round(series_max(series_moving_avg(n, 1)), 4)",
     )
 
 
@@ -2171,7 +2195,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "pii_redaction", "doc_chunks",
     # r4 additions — new queries with no driver row yet
     "otlp_reconstruct_metrics", "kql_text_scan_declare",
-    "kql_diffpatterns_pairs", "kql_autocluster",
+    "kql_diffpatterns_pairs", "kql_autocluster", "kql_series_anomalies",
 )
 
 
@@ -2260,6 +2284,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_diffpatterns": q_kql_diffpatterns,
         "kql_diffpatterns_pairs": q_kql_diffpatterns_pairs,
         "kql_autocluster": q_kql_autocluster,
+        "kql_series_anomalies": q_kql_series_anomalies,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2746,7 +2771,11 @@ GROUP BY 1, 2
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY e.event_type "
             "ORDER BY s_raw DESC, e.user_id ASC) <= 2) "
             "SELECT l2.event_type, l1.aggregated_event_type, l2.user_id, "
-            "ROUND(l2.s_raw, 6) AS s FROM l2 JOIN l1 USING (event_type)"
+            "ROUND(l2.s_raw, 6) AS s FROM l2 JOIN l1 USING (event_type) "
+            "UNION ALL "
+            "SELECT 'other_types', COUNT(*), CAST(NULL AS BIGINT), "
+            "CAST(NULL AS DOUBLE) FROM events e "
+            "ANTI JOIN l1 USING (event_type)"
         ),
         "kql_text_scalar_suite2": (
             "SELECT event_id, CAST(sign(value - 50.0) AS DOUBLE) AS sg, "
@@ -3093,6 +3122,48 @@ GROUP BY 1, 2
             "FROM f JOIN m USING (event_type) JOIN a USING (event_type)) "
             "SELECT event_type, ROUND(MAX(sc), 4) AS mx, "
             "ROUND(MIN(sc), 4) AS mn FROM s GROUP BY event_type"
+        ),
+        "kql_series_anomalies": (
+            "WITH r AS (SELECT event_type, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-03'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 900) AS INT)"
+            " AS i, COUNT(*) AS v FROM r GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type FROM r), "
+            "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+            "(SELECT unnest(range(0, 192)) AS i) gs), "
+            "f AS (SELECT g.event_type, g.i, COALESCE(b.v, 0) AS v "
+            "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+            "AND g.i = b.i), "
+            # centered clamped moving averages via window frames: ±2
+            # for the detrend, ±1 for the reported extreme
+            "ma AS (SELECT event_type, i, v, "
+            "AVG(CAST(v AS DOUBLE)) OVER (PARTITION BY event_type "
+            "ORDER BY i ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) "
+            "AS m2, "
+            "AVG(CAST(v AS DOUBLE)) OVER (PARTITION BY event_type "
+            "ORDER BY i ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) "
+            "AS m1 FROM f), "
+            "res AS (SELECT event_type, i, v - m2 AS rsd, m1 FROM ma), "
+            "md AS (SELECT event_type, quantile_cont(rsd, 0.5) AS med "
+            "FROM res GROUP BY 1), "
+            "sc AS (SELECT res.event_type, "
+            "quantile_cont(abs(rsd - med), 0.5) * 1.4826 AS scale "
+            "FROM res JOIN md USING (event_type) GROUP BY 1), "
+            "z AS (SELECT res.event_type, res.m1, "
+            "CASE WHEN scale > 0 THEN (rsd - med) / scale "
+            "ELSE 0.0 END AS s "
+            "FROM res JOIN md USING (event_type) "
+            "JOIN sc USING (event_type)), "
+            "fl AS (SELECT event_type, m1, "
+            "CASE WHEN s > 1.5 THEN 1 WHEN s < -1.5 THEN -1 ELSE 0 END "
+            "AS flag FROM z) "
+            "SELECT event_type, "
+            "CAST(SUM(flag * flag) AS DOUBLE) AS n_anom, "
+            "CAST(SUM(flag) AS DOUBLE) AS net, "
+            "ROUND(MAX(m1), 4) AS mamax "
+            "FROM fl GROUP BY event_type"
         ),
         "kql_agg_suite": (
             "SELECT user_id % 10 AS bucket, COUNT(*) AS n, "

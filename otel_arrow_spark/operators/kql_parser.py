@@ -250,6 +250,55 @@ def _series_outliers(arr: Column) -> Column:
     )
 
 
+def _series_moving_avg(arr: Column, k: Column) -> Column:
+    """Centered moving average, window [i−k, i+k] clamped at the edges
+    (the Kusto analog is ``series_fir`` with a centered uniform
+    kernel). O(n·k) narrow array work per row, zero shuffle.
+
+    CAUTION (the _series_outliers rule): ``arr`` is referenced inside
+    the transform lambda, so pass a COLUMN (or cheap expression) — a
+    captured complex expression would re-evaluate per element."""
+    n = F.size(arr)
+    k = k.cast("int")
+
+    def _avg_at(i: Column) -> Column:
+        start0 = F.greatest(i - k, F.lit(0))
+        end0 = F.least(i + k, n - 1)
+        ln = end0 - start0 + 1
+        sl = F.slice(arr, start0 + 1, ln)
+        return (
+            F.aggregate(sl, F.lit(0.0), lambda acc, x: acc + x)
+            / ln.cast("double")
+        )
+
+    # n = 0 must yield an empty array, not sequence(0, -1) (which would
+    # count DOWN and produce [0, -1])
+    return F.when(
+        n > 0, F.transform(F.sequence(F.lit(0), n - 1), _avg_at)
+    ).otherwise(F.array().cast("array<double>"))
+
+
+def _series_decompose_anomalies(
+    arr: Column, threshold: Column, k: Column
+) -> Column:
+    """Anomaly flags (+1 / −1 / 0) per element: detrend with the
+    centered moving average (window ±k), then flag residuals whose MAD
+    z-score exceeds ``threshold`` — a documented simplification of
+    Kusto's series_decompose_anomalies (no seasonal component; our
+    decomposition is trend + residual only). All narrow array ops."""
+    residual = F.zip_with(
+        arr, _series_moving_avg(arr, k),
+        lambda x, m: x.cast("double") - m,
+    )
+    scores = _series_outliers(residual)
+    return F.transform(
+        scores,
+        lambda s: F.when(s > threshold, 1)
+        .when(s < -threshold, -1)
+        .otherwise(0),
+    )
+
+
 def _series_pearson(x: Column, y: Column) -> Column:
     """Pearson correlation of two equal-length series: closed form from
     five sequential folds — O(n), narrow, no per-element captured
@@ -439,6 +488,16 @@ _FUNC_MAP_SIMPLE = {
         a[0], lambda x: F.coalesce(x, a[1])),
     "series_stats_min": lambda a: F.array_min(a[0]),
     "series_stats_max": lambda a: F.array_max(a[0]),
+    # centered moving average (window ±k, edges clamped) and the
+    # residual-based anomaly flags built on it — see the helper
+    # docstrings for the documented Kusto simplifications
+    "series_moving_avg": lambda a: _series_moving_avg(
+        a[0], a[1] if len(a) > 1 else F.lit(2)),
+    "series_decompose_anomalies": lambda a: _series_decompose_anomalies(
+        a[0],
+        a[1] if len(a) > 1 else F.lit(1.5),
+        a[2] if len(a) > 2 else F.lit(2),
+    ),
     "series_fit_line_slope": lambda a: _series_fit(a[0])[0],
     "series_fit_line_intercept": lambda a: _series_fit(a[0])[1],
     # IPv4 predicates (log-pipeline staples; all narrow arithmetic —
@@ -3327,20 +3386,33 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             # with a window whose partitions are the kept parents only.
             # Ties break on the key value ascending so results are
             # deterministic (KQL leaves ties arbitrary).
+            #
+            # `with others = "Label"` per level adds one row per kept
+            # parent combo aggregating everything OUTSIDE that level's
+            # top-N (recomputed from the RAW rows — correct for any
+            # aggregate, not just distributive ones — via anti-join
+            # against the tiny kept key set). Documented subset: others
+            # rows are terminal (deeper-level columns NULL, they do not
+            # nest), and the level column must be string-typed so the
+            # label shares its type.
             kept = None
             prev_cols: list[str] = []
             out_cols: list[str] = []
+            others_parts: list[DataFrame] = []
             for lvl in re.split(r",\s*top-nested\s+", rest):
                 m2 = re.match(
-                    r"^(\d+)\s+of\s+([A-Za-z_]\w*)\s+by\s+"
-                    r"(?:([A-Za-z_]\w*)\s*=\s*)?(.+)$",
+                    r"^(\d+)\s+of\s+([A-Za-z_]\w*)\s*"
+                    r"(?:with\s+others\s*=\s*"
+                    r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")\s*)?"
+                    r"\s+by\s+(?:([A-Za-z_]\w*)\s*=\s*)?(.+)$",
                     lvl.strip(), re.S,
                 )
                 if not m2:
                     raise KqlError(
-                        "top-nested needs `N of col by [name =] agg()`"
+                        "top-nested needs `N of col "
+                        "[with others = \"label\"] by [name =] agg()`"
                     )
-                n, col, aname, aggsrc = m2.groups()
+                n, col, others_src, aname, aggsrc = m2.groups()
                 aname = aname or f"aggregated_{col}"
                 grp = df.groupBy(*prev_cols, col).agg(pe(aggsrc).alias(aname))
                 if kept is not None:
@@ -3357,15 +3429,47 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         .filter(F.col("_tn_rank") <= int(n))
                         .drop("_tn_rank")
                     )
-                    grp = grp.join(F.broadcast(kept), prev_cols, "inner")
                 else:
                     grp = grp.orderBy(
                         F.col(aname).desc(), F.col(col).asc()
                     ).limit(int(n))
+                if others_src is not None:
+                    if df.schema[col].dataType.typeName() != "string":
+                        raise KqlError(
+                            f"top-nested with others: column {col!r} "
+                            "must be string-typed (the label shares "
+                            "its type)"
+                        )
+                    label = _unquote(others_src)
+                    src = df
+                    if kept is not None:
+                        src = src.join(
+                            F.broadcast(kept.select(*prev_cols)),
+                            prev_cols, "semi",
+                        )
+                    excl = src.join(
+                        F.broadcast(grp.select(*prev_cols, col)),
+                        prev_cols + [col], "anti",
+                    )
+                    oth = (
+                        excl.groupBy(*prev_cols)
+                        .agg(pe(aggsrc).alias(aname))
+                        .withColumn(col, F.lit(label))
+                    )
+                    if kept is not None:
+                        oth = oth.join(F.broadcast(kept), prev_cols,
+                                       "inner")
+                    others_parts.append(
+                        oth.select(*out_cols, col, aname)
+                    )
+                if prev_cols:
+                    grp = grp.join(F.broadcast(kept), prev_cols, "inner")
                 kept = grp
                 prev_cols = prev_cols + [col]
                 out_cols += [col, aname]
             df = kept.select(*out_cols)
+            for oth in others_parts:
+                df = df.unionByName(oth, allowMissingColumns=True)
         else:
             raise KqlError(f"unknown operator {op!r}")
     flush_sort()  # KQL sorted-output guarantee, on the final relation

@@ -635,6 +635,27 @@ def test_top_nested_hierarchical_topk(spark):
     assert got == [("t1", 7, "h1", 40), ("t2", 5, "h1", 15)]
     with pytest.raises(KqlError):
         kql(df, "T | top-nested 2 of tool")
+    # `with others = "label"`: one catch-all row per kept parent combo,
+    # aggregated from the RAW excluded rows; terminal (deeper cols NULL)
+    out2 = kql(
+        df,
+        'T | top-nested 2 of tool with others = "rest" by count(),'
+        ' top-nested 1 of host with others = "more" by s = sum(v)',
+    )
+    got2 = sorted(
+        ((r.tool, r.aggregated_tool, r.host, r.s) for r in out2.collect()),
+        key=str,
+    )
+    # level-1 others: t3's single row; level-2 others per kept tool:
+    # t1's h2 rows (sum 3), t2's h3 rows (sum 4)
+    assert sorted(got2, key=str) == sorted([
+        ("t1", 7, "h1", 40), ("t2", 5, "h1", 15),
+        ("rest", 1, None, None),
+        ("t1", 7, "more", 3), ("t2", 5, "more", 4),
+    ], key=str)
+    # the label's type must match -> non-string level column refuses
+    with pytest.raises(KqlError):
+        kql(df, 'T | top-nested 1 of v with others = "x" by count()')
 
 
 def test_scalar_suite2_functions(spark):
@@ -1678,3 +1699,32 @@ def test_scan_output_modes(spark):
         (1, 3, "sa", 3), (1, 4, "sb", 103), (1, 6, "sa", 2),
         (2, 2, "sa", 1),
     ]
+
+
+def test_series_moving_avg_and_decompose_anomalies(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project ma = series_moving_avg(pack_array(1, 2, 3, 4, 5), 1),"
+        " ma2 = series_moving_avg(pack_array(10, 10, 10, 10), 2),"
+        " empty = series_moving_avg(dynamic([]))",
+    ).collect()[0]
+    # centered ±1, clamped edges: [avg(1,2), avg(1,2,3), ..., avg(4,5)]
+    assert r.ma == [1.5, 2.0, 3.0, 4.0, 4.5]
+    assert r.ma2 == [10.0] * 4
+    assert list(r.empty) == []
+    # a flat series with one spike: the spike flags +1, everything else 0
+    r2 = kql(
+        df,
+        "T | project f = series_decompose_anomalies("
+        "pack_array(5, 5, 5, 5, 50, 5, 5, 5, 5))",
+    ).collect()[0]
+    assert r2.f[4] == 1 and sum(1 for x in r2.f if x == 1) == 1
+    assert all(x in (-1, 0, 1) for x in r2.f)
+    # negative spike flags -1
+    r3 = kql(
+        df,
+        "T | project f = series_decompose_anomalies("
+        "pack_array(5, 5, 5, 5, -40, 5, 5, 5, 5), 1.5)",
+    ).collect()[0]
+    assert r3.f[4] == -1
