@@ -1246,6 +1246,22 @@ def q_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_basket3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate basket(0.05)` over a THREE-column projection — the
+    size-3 itemset extension: all 3 singles, 3 pairs, and the triple,
+    each one map-side-combinable aggregation of the one persisted
+    input, NULL-wildcard output shape."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        "documents | project lang, source,"
+        ' size_bucket = iff(n_chars > 600, "big", "small")'
+        " | evaluate basket(0.05)",
+    )
+
+
 def q_kql_diffpatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate diffpatterns` — cohort comparison (English vs
     non-English documents) over the (source, lang) projection: per
@@ -1396,6 +1412,141 @@ def q_kql_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_anom = array_sum(series_multiply(f, f)),"
         " net = array_sum(f),"
         " mamax = round(series_max(series_moving_avg(n, 1)), 4)",
+    )
+
+
+def q_kql_series_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`series_fir` (centered weighted / causal uniform / raw
+    non-normalized kernels) + the series_stats round-out (sample
+    variance, argmin/argmax). Edge bins are where FIR bugs live, so the
+    gate probes first/second/mid/last elements of each filtered series
+    (bit-exact: integer bin counts make every numerator/denominator an
+    exact double, both engines round the single division identically);
+    the non-normalized [1,1] kernel yields integer outputs whose full
+    series_sum is order-insensitive-exact and checksums every bin."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series n = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 15m"
+        " by event_type"
+        " | extend sm = series_fir(n, dynamic([1.0, 2.0, 1.0]), true, true)"
+        " | extend tr = series_fir(n, dynamic([1.0, 1.0, 1.0, 1.0]),"
+        " true, false)"
+        " | extend raw = series_fir(n, dynamic([1.0, 1.0]), false, false)"
+        " | project event_type,"
+        " sm0 = round(sm[0], 6), sm1 = round(sm[1], 6),"
+        " sm_mid = round(sm[96], 6), sm_last = round(sm[191], 6),"
+        " tr0 = round(tr[0], 6), tr3 = round(tr[3], 6),"
+        " tr_last = round(tr[191], 6),"
+        " raw_sum = series_sum(raw),"
+        " var_n = round(series_stats_variance(n), 6),"
+        " min_i = series_stats_min_idx(n),"
+        " max_i = series_stats_max_idx(n)",
+    )
+
+
+def q_kql_series_iir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`series_iir` — recursive filter over make-series arrays. The
+    EWMA form y = 0.25·x − (−0.75)·y_prev exercises the a-side
+    recursion (the probe at the LAST index checksums the whole series:
+    y[191] depends on every input); b=[0.5, 0.5], a=[1] exercises the
+    b-side window with no recursion (half-integer outputs are exact
+    doubles, so their full sum is order-insensitive). Oracle: a
+    recursive CTE computing the identical arithmetic."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series n = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 15m"
+        " by event_type"
+        " | extend e = series_iir(n, dynamic([0.25]),"
+        " dynamic([1.0, -0.75]))"
+        " | extend m = series_iir(n, dynamic([0.5, 0.5]), dynamic([1.0]))"
+        " | project event_type,"
+        " e0 = round(e[0], 6), e1 = round(e[1], 6),"
+        " e_last = round(e[191], 6),"
+        " m_last = round(m[191], 6), m_sum = series_sum(m)",
+    )
+
+
+def q_kql_series_fit2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`series_fit_2lines` — best two-segment line fit (split index +
+    both slopes/intercepts + total RSS). Bin counts are small exact
+    integers, so all prefix sums are exact doubles and both engines
+    compute the identical closed forms bit-for-bit; ties on RSS break
+    to the smaller split in both (struct min / ORDER BY rss, s)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series n = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 15m"
+        " by event_type"
+        " | extend f2 = series_fit_2lines(n)"
+        " | project event_type, split = f2[0],"
+        " sl_l = round(f2[1], 6), ic_l = round(f2[2], 6),"
+        " sl_r = round(f2[3], 6), ic_r = round(f2[4], 6),"
+        " rss = round(f2[5], 4)",
+    )
+
+
+def q_kql_series_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`series_periods_detect` — best autocorrelation lag in [4, 120]
+    over the 15-minute bin series (the daily cycle sits at lag 96).
+    Integer bin counts keep every correlation sum exact, so both
+    engines rank identical score doubles and pick the identical lag."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series n = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 15m"
+        " by event_type"
+        " | extend p = series_periods_detect(n, 4, 120)"
+        " | project event_type, period = p[0], score = round(p[1], 6)",
+    )
+
+
+def q_kql_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array shape/manipulation round-out: slice (incl. negative
+    indices), concat, rotate (both directions, wraparound), shift
+    (fill default NULL and explicit), reverse, zip, repeat, array_iff,
+    strcat_array — element probes so every output is a scalar column
+    (the gate's pandas sort rejects array columns). The oracle states
+    each expected element directly from the same row values."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | where event_id % 100 < 5"
+        " | extend arr = pack_array(value, value * 2, value + 5)"
+        " | project event_id,"
+        " sl = array_slice(arr, 1, 2)[0],"
+        " sln = array_slice(arr, -2, -1)[1],"
+        " cat = array_concat(arr, arr)[3],"
+        " rotl = array_rotate_left(arr, 1)[0],"
+        " rotr = array_rotate_right(arr, 1)[0],"
+        " rot4 = array_rotate_left(arr, 4)[0],"
+        " shl = array_shift_left(arr, 1)[2],"
+        " shl0 = array_shift_left(arr, 1)[0],"
+        " shlf = array_shift_left(arr, 2, 0.0)[1],"
+        " shr = array_shift_right(arr, 1, -1.0)[0],"
+        " rev = array_reverse(arr)[0],"
+        " zp = zip(arr, array_reverse(arr))[0][1],"
+        " rp = repeat(value, 3)[2],"
+        " ai = array_iff(pack_array(true, false, true), arr,"
+        " array_reverse(arr))[0],"
+        " ai2 = array_iff(pack_array(false, true, false), arr,"
+        " array_reverse(arr))[0],"
+        ' sj = strcat_array(pack_array(event_type, "x"), "-")',
     )
 
 
@@ -1931,6 +2082,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_dup_corpus(spark, sf_dir))
 
 
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al.'s repeated-n-gram
+    dedup, the distributable n-gram-fingerprint form of the
+    suffix-array method): per-doc count + union coverage of 8-token
+    windows whose text repeats ≥2× anywhere in the corpus. Linear
+    explode → one count shuffle (map-side partials) → one join back →
+    one lead() window per doc; see duplicate_ngram_spans for the
+    100 TB notes."""
+    from otel_arrow_spark.dataops.dedup import duplicate_ngram_spans
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(docs, n=8, min_count=2)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_spark.dataops.dedup import simhash
 
@@ -2196,6 +2361,9 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     # r4 additions — new queries with no driver row yet
     "otlp_reconstruct_metrics", "kql_text_scan_declare",
     "kql_diffpatterns_pairs", "kql_autocluster", "kql_series_anomalies",
+    "kql_series_fir", "kql_series_iir", "kql_series_fit2",
+    "dedup_substring_spans", "kql_basket3", "kql_array_ops",
+    "kql_series_periods",
 )
 
 
@@ -2285,6 +2453,12 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_diffpatterns_pairs": q_kql_diffpatterns_pairs,
         "kql_autocluster": q_kql_autocluster,
         "kql_series_anomalies": q_kql_series_anomalies,
+        "kql_series_fir": q_kql_series_fir,
+        "kql_series_iir": q_kql_series_iir,
+        "kql_series_fit2": q_kql_series_fit2,
+        "kql_basket3": q_kql_basket3,
+        "kql_array_ops": q_kql_array_ops,
+        "kql_series_periods": q_kql_series_periods,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2311,6 +2485,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_neardup_clusters": q_dedup_neardup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -3059,6 +3234,96 @@ GROUP BY 1, 2
             "COUNT(*) FROM documents GROUP BY lang, source "
             "HAVING COUNT(*) >= (SELECT t FROM th)"
         ),
+        "kql_basket3": (
+            "WITH d AS (SELECT lang, source, CASE WHEN n_chars > 600 "
+            "THEN 'big' ELSE 'small' END AS size_bucket FROM documents), "
+            "th AS (SELECT greatest(CAST(trunc(COUNT(*) * 0.05) "
+            "AS BIGINT), 1) AS t FROM d) "
+            "SELECT CAST(lang AS VARCHAR) AS lang, "
+            "CAST(NULL AS VARCHAR) AS source, "
+            "CAST(NULL AS VARCHAR) AS size_bucket, "
+            "COUNT(*) AS support_count FROM d GROUP BY lang "
+            "HAVING COUNT(*) >= (SELECT t FROM th) "
+            "UNION ALL SELECT NULL, CAST(source AS VARCHAR), NULL, "
+            "COUNT(*) FROM d GROUP BY source "
+            "HAVING COUNT(*) >= (SELECT t FROM th) "
+            "UNION ALL SELECT NULL, NULL, CAST(size_bucket AS VARCHAR), "
+            "COUNT(*) FROM d GROUP BY size_bucket "
+            "HAVING COUNT(*) >= (SELECT t FROM th) "
+            "UNION ALL SELECT CAST(lang AS VARCHAR), "
+            "CAST(source AS VARCHAR), NULL, COUNT(*) "
+            "FROM d GROUP BY lang, source "
+            "HAVING COUNT(*) >= (SELECT t FROM th) "
+            "UNION ALL SELECT CAST(lang AS VARCHAR), NULL, "
+            "CAST(size_bucket AS VARCHAR), COUNT(*) "
+            "FROM d GROUP BY lang, size_bucket "
+            "HAVING COUNT(*) >= (SELECT t FROM th) "
+            "UNION ALL SELECT NULL, CAST(source AS VARCHAR), "
+            "CAST(size_bucket AS VARCHAR), COUNT(*) "
+            "FROM d GROUP BY source, size_bucket "
+            "HAVING COUNT(*) >= (SELECT t FROM th) "
+            "UNION ALL SELECT CAST(lang AS VARCHAR), "
+            "CAST(source AS VARCHAR), CAST(size_bucket AS VARCHAR), "
+            "COUNT(*) FROM d GROUP BY lang, source, size_bucket "
+            "HAVING COUNT(*) >= (SELECT t FROM th)"
+        ),
+        "kql_series_periods": (
+            "WITH r AS (SELECT event_type, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-03'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 900) AS INT)"
+            " AS i, COUNT(*) AS v FROM r GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type FROM r), "
+            "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+            "(SELECT unnest(range(0, 192)) AS i) gs), "
+            "f AS (SELECT g.event_type, g.i, COALESCE(b.v, 0) AS v "
+            "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+            "AND g.i = b.i), "
+            "lg AS (SELECT unnest(range(4, 121)) AS L), "
+            "pairs AS (SELECT f1.event_type, lg.L, f1.v AS xv, "
+            "f2.v AS yv FROM lg CROSS JOIN f f1 "
+            "JOIN f f2 ON f2.event_type = f1.event_type "
+            "AND f2.i = f1.i + lg.L), "
+            "st AS (SELECT event_type, L, "
+            "CAST(COUNT(*) AS DOUBLE) AS nn, "
+            "SUM(CAST(xv AS DOUBLE)) AS sx, "
+            "SUM(CAST(yv AS DOUBLE)) AS sy, "
+            "SUM(CAST(xv AS DOUBLE) * xv) AS sxx, "
+            "SUM(CAST(yv AS DOUBLE) * yv) AS syy, "
+            "SUM(CAST(xv AS DOUBLE) * yv) AS sxy "
+            "FROM pairs GROUP BY 1, 2), "
+            "sc AS (SELECT event_type, L, "
+            "CASE WHEN (nn * sxx - sx * sx) > 0 "
+            "AND (nn * syy - sy * sy) > 0 "
+            "THEN (nn * sxy - sx * sy) / "
+            "sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)) END "
+            "AS score FROM st) "
+            "SELECT event_type, CAST(L AS DOUBLE) AS period, "
+            "ROUND(score, 6) AS score FROM sc "
+            "QUALIFY row_number() OVER (PARTITION BY event_type "
+            "ORDER BY COALESCE(score, -2.0) DESC, L) = 1"
+        ),
+        "kql_array_ops": (
+            "SELECT event_id, "
+            "value * 2 AS sl, "
+            "value + 5 AS sln, "
+            "value AS cat, "
+            "value * 2 AS rotl, "
+            "value + 5 AS rotr, "
+            "value * 2 AS rot4, "
+            "CAST(NULL AS DOUBLE) AS shl, "
+            "value * 2 AS shl0, "
+            "CAST(0.0 AS DOUBLE) AS shlf, "
+            "CAST(-1.0 AS DOUBLE) AS shr, "
+            "value + 5 AS rev, "
+            "value + 5 AS zp, "
+            "value AS rp, "
+            "value AS ai, "
+            "value + 5 AS ai2, "
+            "event_type || '-x' AS sj "
+            "FROM events WHERE event_id % 100 < 5"
+        ),
         "kql_toscalar": (
             "SELECT event_type, COUNT(*) AS n FROM events "
             "WHERE value > (SELECT MAX(value) FROM events) * 0.95 "
@@ -3164,6 +3429,144 @@ GROUP BY 1, 2
             "CAST(SUM(flag) AS DOUBLE) AS net, "
             "ROUND(MAX(m1), 4) AS mamax "
             "FROM fl GROUP BY event_type"
+        ),
+        # FIR kernels mirrored with lag/lead + frame windows; every
+        # numerator/denominator is an exact double (integer bin counts,
+        # halves/quarters), so the single division per element is
+        # bit-identical across engines — see q_kql_series_fir
+        "kql_series_fir": (
+            "WITH r AS (SELECT event_type, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-03'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 900) AS INT)"
+            " AS i, COUNT(*) AS v FROM r GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type FROM r), "
+            "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+            "(SELECT unnest(range(0, 192)) AS i) gs), "
+            "f AS (SELECT g.event_type, g.i, COALESCE(b.v, 0) AS v "
+            "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+            "AND g.i = b.i), "
+            "w AS (SELECT event_type, i, CAST(v AS DOUBLE) AS v, "
+            "lag(CAST(v AS DOUBLE)) OVER pw AS p1, "
+            "lead(CAST(v AS DOUBLE)) OVER pw AS n1, "
+            "SUM(CAST(v AS DOUBLE)) OVER (PARTITION BY event_type "
+            "ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s4, "
+            "CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY i "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS c4 "
+            "FROM f WINDOW pw AS (PARTITION BY event_type ORDER BY i)), "
+            "e AS (SELECT event_type, i, "
+            "((COALESCE(p1 * 1.0, 0.0) + v * 2.0) "
+            "+ COALESCE(n1 * 1.0, 0.0)) / "
+            "(2.0 + CASE WHEN i > 0 THEN 1.0 ELSE 0.0 END "
+            "+ CASE WHEN i < 191 THEN 1.0 ELSE 0.0 END) AS sm, "
+            "s4 / c4 AS tr, "
+            "COALESCE(p1, 0.0) + v AS raw, v FROM w), "
+            "e2 AS (SELECT *, MIN(v) OVER (PARTITION BY event_type) "
+            "AS mn, MAX(v) OVER (PARTITION BY event_type) AS mx FROM e) "
+            "SELECT event_type, "
+            "ROUND(MAX(CASE WHEN i = 0 THEN sm END), 6) AS sm0, "
+            "ROUND(MAX(CASE WHEN i = 1 THEN sm END), 6) AS sm1, "
+            "ROUND(MAX(CASE WHEN i = 96 THEN sm END), 6) AS sm_mid, "
+            "ROUND(MAX(CASE WHEN i = 191 THEN sm END), 6) AS sm_last, "
+            "ROUND(MAX(CASE WHEN i = 0 THEN tr END), 6) AS tr0, "
+            "ROUND(MAX(CASE WHEN i = 3 THEN tr END), 6) AS tr3, "
+            "ROUND(MAX(CASE WHEN i = 191 THEN tr END), 6) AS tr_last, "
+            "SUM(raw) AS raw_sum, "
+            "ROUND((SUM(v * v) - SUM(v) * SUM(v) / 192.0) / 191.0, 6) "
+            "AS var_n, "
+            "CAST(MIN(CASE WHEN v = mn THEN i END) AS BIGINT) AS min_i, "
+            "CAST(MIN(CASE WHEN v = mx THEN i END) AS BIGINT) AS max_i "
+            "FROM e2 GROUP BY event_type"
+        ),
+        # the EWMA leg is a recursive CTE computing the identical
+        # arithmetic (same operand order, division by 1.0 is exact);
+        # the b-side-only leg is plain lag — see q_kql_series_iir
+        "kql_series_iir": (
+            "WITH RECURSIVE r AS (SELECT event_type, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-03'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 900) AS INT)"
+            " AS i, COUNT(*) AS v FROM r GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type FROM r), "
+            "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+            "(SELECT unnest(range(0, 192)) AS i) gs), "
+            "f AS (SELECT g.event_type, g.i, COALESCE(b.v, 0) AS v "
+            "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+            "AND g.i = b.i), "
+            "it AS (SELECT event_type, i, "
+            "(0.25 * CAST(v AS DOUBLE) - 0.0) / 1.0 AS y "
+            "FROM f WHERE i = 0 "
+            "UNION ALL "
+            "SELECT f.event_type, f.i, "
+            "(0.25 * CAST(f.v AS DOUBLE) - (it.y * (-0.75))) / 1.0 "
+            "FROM it JOIN f ON f.event_type = it.event_type "
+            "AND f.i = it.i + 1), "
+            "mm AS (SELECT event_type, i, "
+            "(CAST(v AS DOUBLE) * 0.5 + COALESCE("
+            "lag(CAST(v AS DOUBLE)) OVER (PARTITION BY event_type "
+            "ORDER BY i) * 0.5, 0.0)) / 1.0 AS m FROM f) "
+            "SELECT it.event_type, "
+            "ROUND(MAX(CASE WHEN it.i = 0 THEN it.y END), 6) AS e0, "
+            "ROUND(MAX(CASE WHEN it.i = 1 THEN it.y END), 6) AS e1, "
+            "ROUND(MAX(CASE WHEN it.i = 191 THEN it.y END), 6) AS e_last, "
+            "ROUND(MAX(CASE WHEN mm.i = 191 THEN mm.m END), 6) AS m_last, "
+            "SUM(mm.m) AS m_sum "
+            "FROM it JOIN mm ON mm.event_type = it.event_type "
+            "AND mm.i = it.i GROUP BY it.event_type"
+        ),
+        # cumulative window prefix sums (exact over integer bins) +
+        # the identical closed-form segment fits; argmin by (rss, s)
+        # via QUALIFY — see q_kql_series_fit2
+        "kql_series_fit2": (
+            "WITH r AS (SELECT event_type, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-03'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 900) AS INT)"
+            " AS i, COUNT(*) AS v FROM r GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type FROM r), "
+            "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+            "(SELECT unnest(range(0, 192)) AS i) gs), "
+            "f AS (SELECT g.event_type, g.i, "
+            "CAST(COALESCE(b.v, 0) AS DOUBLE) AS v "
+            "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+            "AND g.i = b.i), "
+            "pc AS (SELECT event_type, i, "
+            "SUM(v) OVER pw AS sy, SUM(v * i) OVER pw AS sxy, "
+            "SUM(v * v) OVER pw AS syy "
+            "FROM f WINDOW pw AS (PARTITION BY event_type ORDER BY i "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "tt AS (SELECT event_type, sy AS tsy, sxy AS tsxy, "
+            "syy AS tsyy FROM pc WHERE i = 191), "
+            "sc AS (SELECT pc.event_type, "
+            "CAST(pc.i + 1 AS DOUBLE) AS s, pc.sy, pc.sxy, pc.syy, "
+            "tt.tsy, tt.tsxy, tt.tsyy FROM pc JOIN tt "
+            "ON tt.event_type = pc.event_type "
+            "WHERE pc.i + 1 BETWEEN 2 AND 190), "
+            "sx AS (SELECT *, s * (s - 1) / 2 AS sx_l, "
+            "(s - 1) * s * (2 * s - 1) / 6 AS sxx_l, "
+            "192.0 - s AS nr, "
+            "192.0 * (192.0 - 1) / 2 - s * (s - 1) / 2 AS sx_r, "
+            "(192.0 - 1) * 192.0 * (2 * 192.0 - 1) / 6 "
+            "- (s - 1) * s * (2 * s - 1) / 6 AS sxx_r, "
+            "tsy - sy AS sy_r, tsxy - sxy AS sxy_r, tsyy - syy AS syy_r "
+            "FROM sc), "
+            "sl AS (SELECT *, "
+            "(s * sxy - sx_l * sy) / (s * sxx_l - sx_l * sx_l) AS sl_l, "
+            "(nr * sxy_r - sx_r * sy_r) / (nr * sxx_r - sx_r * sx_r) "
+            "AS sl_r FROM sx), "
+            "ic AS (SELECT *, (sy - sl_l * sx_l) / s AS ic_l, "
+            "(sy_r - sl_r * sx_r) / nr AS ic_r FROM sl), "
+            "rs AS (SELECT event_type, s, sl_l, ic_l, sl_r, ic_r, "
+            "(syy - ic_l * sy - sl_l * sxy) "
+            "+ (syy_r - ic_r * sy_r - sl_r * sxy_r) AS rss FROM ic) "
+            "SELECT event_type, s AS split, ROUND(sl_l, 6) AS sl_l, "
+            "ROUND(ic_l, 6) AS ic_l, ROUND(sl_r, 6) AS sl_r, "
+            "ROUND(ic_r, 6) AS ic_r, ROUND(rss, 4) AS rss FROM rs "
+            "QUALIFY row_number() OVER (PARTITION BY event_type "
+            "ORDER BY rss, s) = 1"
         ),
         "kql_agg_suite": (
             "SELECT user_id % 10 AS bucket, COUNT(*) AS n, "
@@ -3334,6 +3737,9 @@ def _dataops_oracles() -> dict[str, str]:
         ),
         "dedup_neardup_clusters": dedup.neardup_clusters_oracle_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),
+        "dedup_substring_spans": dedup.duplicate_ngram_spans_oracle_sql(
+            n=8, min_count=2
+        ),
         "dedup_simhash": dedup.simhash_oracle_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_oracle_sql(),
         "dedup_embedding_neardup": dedup.embedding_neardup_pairs_oracle_sql(),

@@ -869,3 +869,111 @@ JOIN newb_sets sa ON cands.new_id = sa.doc_id
 JOIN corp_sets sb ON cands.corpus_id = sb.doc_id
 WHERE {jac} >= {tau}
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (the "repeated n-gram" dedup of
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" — the n-gram-fingerprint approximation of the suffix-array
+# method, which is the form that distributes)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame, n: int = 8, min_count: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-substring report: every length-``n``
+    token window whose exact text occurs ≥ ``min_count`` times anywhere
+    in the corpus (within- OR cross-document — repeated boilerplate
+    counts, per the paper), reduced per document to the duplicated
+    window count, the UNION token coverage of those windows, and the
+    coverage ratio.
+
+    100 TB shape: the window explode is linear (one output row per
+    token, not per pair); counting shuffles once on the gram key with
+    map-side partial aggregation; flagged grams join back with one more
+    equi-join shuffle (AQE's skew split covers hot boilerplate grams).
+    Coverage is an interval union computed with a single ``lead()``
+    window partitioned by doc — Σ min(next_start − start, n) over the
+    doc's flagged windows, never a second explode. This gate keys on
+    the gram TEXT so the DuckDB twin is hash-free; at scale, key on
+    ``xxhash64(gram)`` instead so shuffle rows carry 8 bytes, with an
+    identical plan shape (the digest-key discipline of
+    ``exact_dup_groups``).
+    """
+    from pyspark.sql import Window as W
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+    ).withColumn("nt", F.size("w"))
+    # sequence(0, nt-n) would count DOWN for nt < n — gate it
+    grams = F.when(
+        F.col("nt") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("nt") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = t.select(
+        "doc_id", "nt", F.posexplode(grams).alias("pos", "gram")
+    )
+    flagged = (
+        wins.groupBy("gram")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("gram")
+    )
+    j = wins.join(flagged, "gram")
+    nxt = F.lead("pos").over(W.partitionBy("doc_id").orderBy("pos"))
+    covered = F.least(F.coalesce(nxt - F.col("pos"), F.lit(n)), F.lit(n))
+    return (
+        j.withColumn("cov", covered)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_windows"),
+            F.sum("cov").cast("bigint").alias("covered_tokens"),
+            F.max("nt").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ),
+        )
+    )
+
+
+def duplicate_ngram_spans_oracle_sql(
+    n: int = 8, min_count: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB twin of duplicate_ngram_spans (gram-text keys, identical
+    window/coverage arithmetic — all-integer inputs, so the one
+    division is bit-exact)."""
+    return f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM {table}),
+tn AS (SELECT doc_id, w, len(w) AS nt FROM t),
+ps AS (SELECT doc_id, w, nt,
+              unnest(range(0, greatest(nt - {n} + 1, 0))) AS pos
+       FROM tn),
+wins AS (SELECT doc_id, nt, pos,
+                array_to_string(w[pos + 1 : pos + {n}], ' ') AS gram
+         FROM ps),
+c AS (SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= {min_count}),
+j AS (SELECT wins.* FROM wins JOIN c USING (gram)),
+s AS (SELECT doc_id, nt, pos,
+             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM j)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS dup_windows,
+  CAST(SUM(LEAST(COALESCE(nxt - pos, {n}), {n})) AS BIGINT)
+    AS covered_tokens,
+  CAST(MAX(nt) AS BIGINT) AS total_tokens,
+  ROUND(CAST(SUM(LEAST(COALESCE(nxt - pos, {n}), {n})) AS DOUBLE)
+        / MAX(nt), 6) AS dup_ratio
+FROM s GROUP BY doc_id
+"""

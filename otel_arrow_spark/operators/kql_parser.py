@@ -372,6 +372,278 @@ def _series_fit(arr: Column) -> tuple[Column, Column]:
     return slope, intercept
 
 
+def _series_fir(
+    arr: Column, filt: Column, normalize: Column, center: Column
+) -> Column:
+    """FIR filter over a series (Kusto ``series_fir``): per element i,
+    y[i] = Σ_j f[j]·x[i−c+j] over the in-bounds part of the window,
+    where the window anchor c = (K−1)//2 when ``center`` else K−1 (the
+    window ends at the current element — the causal form). With
+    ``normalize`` the sum is divided by the sum of the coefficients
+    actually applied, so at the edges a normalized uniform filter
+    degrades to a plain average of the available window (Kusto's edge
+    behavior). O(n·K) narrow array work per row, zero shuffle.
+
+    CAUTION (the _series_outliers rule): ``arr``/``filt`` are
+    referenced inside the transform lambda — pass plain column refs or
+    literals, never a complex captured expression."""
+    n = F.size(arr)
+    k = F.size(filt)
+    c = F.when(center, ((k - 1) / 2).cast("int")).otherwise(k - 1)
+
+    def _at(i: Column) -> Column:
+        xs = F.greatest(i - c, F.lit(0))
+        xe = F.least(i + (k - 1 - c), n - 1)
+        m = xe - xs + 1
+        xsl = F.slice(arr, xs + 1, m)
+        fsl = F.slice(filt, xs - (i - c) + 1, m)
+        num = F.aggregate(
+            F.zip_with(xsl, fsl, lambda x, f: x.cast("double") * f),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        den = F.aggregate(
+            fsl, F.lit(0.0), lambda acc, v: acc + v.cast("double")
+        )
+        return F.when(
+            normalize, F.when(den != 0, num / den)
+        ).otherwise(num)
+
+    return F.when(
+        n > 0, F.transform(F.sequence(F.lit(0), n - 1), _at)
+    ).otherwise(F.array().cast("array<double>"))
+
+
+def _series_iir(arr: Column, b: Column, a_: Column) -> Column:
+    """IIR (recursive) filter (Kusto ``series_iir``):
+    y[i] = (Σ_j b[j]·x[i−j] − Σ_{k≥1} a[k]·y[i−k]) / a[0].
+    Inherently sequential per element, so it is a left fold that
+    appends to the output array — still a narrow per-row computation
+    (O(n·(|b|+|a|)) multiplies; the array_append copy makes the fold
+    O(n²) in element moves, fine at make-series bin counts). The
+    denominator uses 0-based ``F.get`` so an empty ``a`` yields NULL
+    elements rather than raising. Cross-engine oracle: a recursive CTE
+    computing the identical arithmetic (the probe at the last index
+    checksums the whole series — y[n−1] depends on every input)."""
+    n = F.size(arr)
+    nb = F.size(b)
+    na = F.size(a_)
+    a0 = F.get(a_, 0).cast("double")
+
+    def _step(acc: Column, i: Column) -> Column:
+        m = F.least(i + 1, nb)
+        xterm = F.aggregate(
+            F.zip_with(
+                F.reverse(F.slice(arr, i - m + 2, m)),
+                F.slice(b, 1, m),
+                lambda x, f: x.cast("double") * f,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        mk = F.least(i, na - 1)
+        yterm = F.when(
+            mk > 0,
+            F.aggregate(
+                F.zip_with(
+                    F.reverse(F.slice(acc, i - mk + 1, mk)),
+                    F.slice(a_, 2, mk),
+                    lambda y, f: y * f.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            ),
+        ).otherwise(F.lit(0.0))
+        return F.array_append(acc, (xterm - yterm) / a0)
+
+    return F.when(
+        n > 0,
+        F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.array().cast("array<double>"),
+            _step,
+        ),
+    ).otherwise(F.array().cast("array<double>"))
+
+
+def _series_fit_2lines(arr: Column) -> Column:
+    """Two-segment least-squares fit (Kusto ``series_fit_2lines``,
+    reduced output): picks the split s ∈ [2, n−2] minimizing total RSS
+    of independent line fits over [0, s) and [s, n); returns
+    ``[split_idx, slope_left, icept_left, slope_right, icept_right,
+    rss]`` (NULL when n < 4). One O(n) prefix fold carrying
+    (Σy, Σxy, Σy², s); per-candidate scoring is closed-form from the
+    prefix element itself (zip_with over the prefix array — the
+    candidate's state IS the zipped element, so nothing O(n) is
+    captured inside the lambda; the totals ride an array_repeat, the
+    _series_outliers materialize-once rule). Index sums Σx, Σx² are
+    closed-form in s. All sums of exact small integers stay exact in
+    doubles, so an oracle computing the identical closed forms from
+    windowed prefix sums matches bit-for-bit; ties on RSS break to the
+    smaller split (struct min ordering)."""
+    n = F.size(arr)
+
+    def _pstep(acc: Column, v: Column) -> Column:
+        prev = F.try_element_at(acc, F.lit(-1))
+        s = F.size(acc) + 1
+        vd = v.cast("double")
+        return F.array_append(
+            acc,
+            F.struct(
+                (F.coalesce(prev["sy"], F.lit(0.0)) + vd).alias("sy"),
+                (
+                    F.coalesce(prev["sxy"], F.lit(0.0))
+                    + vd * (s - 1).cast("double")
+                ).alias("sxy"),
+                (
+                    F.coalesce(prev["syy"], F.lit(0.0)) + vd * vd
+                ).alias("syy"),
+                s.cast("double").alias("s"),
+            ),
+        )
+
+    pref = F.aggregate(
+        arr,
+        F.array().cast(
+            "array<struct<sy:double,sxy:double,syy:double,s:double>>"
+        ),
+        _pstep,
+    )
+    tot = F.try_element_at(pref, F.lit(-1))
+    cand = F.slice(pref, 2, F.greatest(n - 3, F.lit(0)))
+    reps = F.array_repeat(
+        F.struct(
+            tot["sy"].alias("tsy"),
+            tot["sxy"].alias("tsxy"),
+            tot["syy"].alias("tsyy"),
+            n.cast("double").alias("nn"),
+        ),
+        F.greatest(n - 3, F.lit(0)),
+    )
+
+    def _seg(
+        ns: Column, sy: Column, sxy: Column, syy: Column,
+        sx: Column, sxx: Column,
+    ) -> tuple[Column, Column, Column]:
+        d = ns * sxx - sx * sx
+        slope = (ns * sxy - sx * sy) / d
+        icept = (sy - slope * sx) / ns
+        rss = syy - icept * sy - slope * sxy
+        return slope, icept, rss
+
+    def _score(p: Column, t: Column) -> Column:
+        ns = p["s"]
+        sx_l = ns * (ns - 1) / 2
+        sxx_l = (ns - 1) * ns * (2 * ns - 1) / 6
+        sl_l, ic_l, rss_l = _seg(
+            ns, p["sy"], p["sxy"], p["syy"], sx_l, sxx_l
+        )
+        nn = t["nn"]
+        nr = nn - ns
+        sx_r = nn * (nn - 1) / 2 - sx_l
+        sxx_r = (nn - 1) * nn * (2 * nn - 1) / 6 - sxx_l
+        sl_r, ic_r, rss_r = _seg(
+            nr, t["tsy"] - p["sy"], t["tsxy"] - p["sxy"],
+            t["tsyy"] - p["syy"], sx_r, sxx_r,
+        )
+        return F.struct(
+            (rss_l + rss_r).alias("rss"),
+            ns.alias("split"),
+            sl_l.alias("sl_l"),
+            ic_l.alias("ic_l"),
+            sl_r.alias("sl_r"),
+            ic_r.alias("ic_r"),
+        )
+
+    best = F.array_min(F.zip_with(cand, reps, _score))
+    return F.when(
+        n >= 4,
+        F.array(
+            best["split"], best["sl_l"], best["ic_l"],
+            best["sl_r"], best["ic_r"], best["rss"],
+        ),
+    )
+
+
+def _series_periods(arr: Column, min_p: Column, max_p: Column) -> Column:
+    """Dominant-period detection (Kusto ``series_periods_detect``,
+    reduced to the single best hit): for each candidate lag L in
+    [min_p, max_p] score the autocorrelation pearson(x[0:n−L],
+    x[L:n]); return ``[best_lag, score]`` (ties → smaller lag; a
+    zero-variance window scores NULL and ranks below every real
+    correlation via the −2.0 sentinel). O(Σ_L (n−L)) narrow array
+    folds per row — each lag's five sums are direct zip_with/fold args
+    on slices, nothing O(n) is captured per element."""
+    n = F.size(arr)
+    lo = F.greatest(min_p.cast("int"), F.lit(1))
+    hi = F.least(max_p.cast("int"), n - 2)
+    lags = F.when(
+        hi >= lo, F.sequence(lo, hi)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _score(lag: Column) -> Column:
+        x = F.slice(arr, 1, n - lag)
+        y = F.slice(arr, lag + 1, n - lag)
+        s = _series_pearson(x, y)
+        return F.struct(
+            (-F.coalesce(s, F.lit(-2.0))).alias("ns"),
+            lag.cast("double").alias("lag"),
+            s.alias("score"),
+        )
+
+    best = F.array_min(F.transform(lags, _score))
+    return F.when(
+        F.size(lags) > 0, F.array(best["lag"], best["score"])
+    )
+
+
+def _array_slice(arr: Column, start: Column, end: Column) -> Column:
+    """Kusto array_slice: inclusive [start, end], negative indices
+    count from the end; out-of-range windows clamp (empty when the
+    normalized window inverts). slice(arr, 1, 0) is the typed-empty
+    idiom (keeps the input's element type without naming it)."""
+    n = F.size(arr)
+    st = (
+        F.when(start < 0, F.greatest(n + start, F.lit(0)))
+        .otherwise(start)
+        .cast("int")
+    )
+    en = F.least(
+        F.when(end < 0, n + end).otherwise(end), (n - 1).cast("bigint")
+    ).cast("int")
+    return F.when(
+        en >= st, F.slice(arr, st + 1, en - st + 1)
+    ).otherwise(F.slice(arr, 1, 0))
+
+
+def _array_rotate(arr: Column, by: Column) -> Column:
+    """Rotate left by ``by`` (mod size; negative rotates right).
+    pmod sits inside the size guard — ANSI pmod(n, 0) raises."""
+    sz = F.size(arr)
+    k = F.when(sz > 0, F.pmod(by, sz)).otherwise(F.lit(0)).cast("int")
+    return F.when(
+        sz > 0,
+        F.concat(F.slice(arr, k + 1, sz - k), F.slice(arr, 1, k)),
+    ).otherwise(arr)
+
+
+def _array_shift(arr: Column, by: Column, fill: Column) -> Column:
+    """Shift left by ``by`` (negative shifts right), vacated slots take
+    ``fill`` (default NULL). The pad rides a transform over a slice of
+    the input so it inherits the element type even when ``fill`` is an
+    untyped NULL literal (when(false, x).otherwise(fill) types the
+    lambda by the common type)."""
+    sz = F.size(arr)
+    n_ = F.least(F.abs(by), sz.cast("bigint")).cast("int")
+    pad = F.transform(
+        F.slice(arr, 1, n_),
+        lambda x: F.when(F.lit(False), x).otherwise(fill),
+    )
+    return F.when(
+        by >= 0, F.concat(F.slice(arr, n_ + 1, sz - n_), pad)
+    ).otherwise(F.concat(pad, F.slice(arr, 1, sz - n_)))
+
+
 _FUNC_MAP_SIMPLE = {
     # text (text_scalar_expression.rs:7-22)
     "strlen": lambda a: F.length(a[0]),
@@ -500,6 +772,49 @@ _FUNC_MAP_SIMPLE = {
     ),
     "series_fit_line_slope": lambda a: _series_fit(a[0])[0],
     "series_fit_line_intercept": lambda a: _series_fit(a[0])[1],
+    # FIR / IIR filters and the two-segment line fit — see the helper
+    # docstrings for window anchoring, edge normalization, and the
+    # reduced 2lines output shape
+    "series_fir": lambda a: _series_fir(
+        a[0], a[1],
+        a[2] if len(a) > 2 else F.lit(True),
+        a[3] if len(a) > 3 else F.lit(False),
+    ),
+    "series_iir": lambda a: _series_iir(a[0], a[1], a[2]),
+    "series_periods_detect": lambda a: _series_periods(
+        a[0],
+        a[1] if len(a) > 1 else F.lit(2),
+        a[2] if len(a) > 2 else F.size(a[0]) / 2,
+    ),
+    "series_fit_2lines": lambda a: _series_fit_2lines(a[0]),
+    # series_stats companions beyond min/max: sample variance/stdev and
+    # first-occurrence argmin/argmax (0-based, the Kusto shape)
+    "series_stats_variance": lambda a: F.when(
+        F.size(a[0]) > 1,
+        (
+            _series_sum(F.zip_with(
+                a[0], a[0], lambda x, y: x.cast("double") * y
+            ))
+            - _series_sum(a[0]) * _series_sum(a[0])
+            / F.size(a[0]).cast("double")
+        ) / (F.size(a[0]) - 1).cast("double"),
+    ),
+    "series_stats_stdev": lambda a: F.when(
+        F.size(a[0]) > 1,
+        F.sqrt((
+            _series_sum(F.zip_with(
+                a[0], a[0], lambda x, y: x.cast("double") * y
+            ))
+            - _series_sum(a[0]) * _series_sum(a[0])
+            / F.size(a[0]).cast("double")
+        ) / (F.size(a[0]) - 1).cast("double")),
+    ),
+    "series_stats_min_idx": lambda a: (
+        F.array_position(a[0], F.array_min(a[0])) - 1
+    ).cast("bigint"),
+    "series_stats_max_idx": lambda a: (
+        F.array_position(a[0], F.array_max(a[0])) - 1
+    ).cast("bigint"),
     # IPv4 predicates (log-pipeline staples; all narrow arithmetic —
     # split + try_cast octets, no regex, no Python)
     "ipv4_is_private": lambda a: (
@@ -522,6 +837,32 @@ _FUNC_MAP_SIMPLE = {
     / F.greatest(F.size(a[0]), F.lit(1)),
     "array_sort_asc": lambda a: F.sort_array(a[0]),
     "array_sort_desc": lambda a: F.sort_array(a[0], asc=False),
+    # array shape/manipulation round-out (Kusto dynamic helpers) — all
+    # narrow slice/concat arithmetic, see the helper docstrings
+    "array_slice": lambda a: _array_slice(a[0], a[1], a[2]),
+    "array_concat": lambda a: F.concat(*a),
+    "array_reverse": lambda a: F.reverse(a[0]),
+    "array_rotate_left": lambda a: _array_rotate(a[0], a[1]),
+    "array_rotate_right": lambda a: _array_rotate(a[0], -a[1]),
+    "array_shift_left": lambda a: _array_shift(
+        a[0], a[1], a[2] if len(a) > 2 else F.lit(None)),
+    "array_shift_right": lambda a: _array_shift(
+        a[0], -a[1], a[2] if len(a) > 2 else F.lit(None)),
+    # zip restricted to same-type arrays (Kusto zips to dynamic pairs;
+    # the Spark twin is array<array<T>>)
+    "zip": lambda a: F.zip_with(
+        a[0], a[1], lambda x, y: F.array(x, y)),
+    "repeat": lambda a: F.array_repeat(a[0], a[1].cast("int")),
+    # elementwise conditional over three equal-length arrays (Kusto
+    # array_iff; scalar branches not supported in this subset)
+    "array_iff": lambda a: F.zip_with(
+        a[0],
+        F.zip_with(
+            a[1], a[2],
+            lambda x, y: F.struct(x.alias("t"), y.alias("f")),
+        ),
+        lambda c, s: F.when(c.cast("boolean"), s["t"]).otherwise(s["f"]),
+    ),
     "set_union": lambda a: F.array_distinct(F.array_union(a[0], a[1])),
     "set_difference": lambda a: F.array_distinct(F.array_except(a[0], a[1])),
     "set_intersect": lambda a: F.array_distinct(F.array_intersect(a[0], a[1])),
@@ -1020,15 +1361,8 @@ class ExprParser:
                 raise KqlError("capture needs (s, pattern[, group])")
             grp = _lit_int(args[2]) if len(args) > 2 else 1
             return KE(F.regexp_extract(args[0].col, _lit_str(args[1]), grp))
-        if lname == "array_slice":
-            # array_slice(arr, start, end) — KQL 0-based INCLUSIVE ends;
-            # Spark slice is 1-based (start, length)
-            if len(args) != 3:
-                raise KqlError("array_slice needs (arr, start, end)")
-            lo, hi = _lit_int(args[1]), _lit_int(args[2])
-            if lo < 0 or hi < lo:
-                raise KqlError("array_slice supports 0 <= start <= end")
-            return KE(F.slice(args[0].col, lo + 1, hi - lo + 1))
+        # array_slice is handled by _FUNC_MAP_SIMPLE (_array_slice:
+        # negative wrap-around indices, clamping, inverted -> empty)
         if lname == "totimespan":
             # literal timespan string "1h" / "90s" / "250ms"
             # (convert_scalar_expression.rs:7-24 ToTimespan)
@@ -1073,6 +1407,14 @@ class ExprParser:
             if len(parts) == 1:
                 return KE(F.array_join(parts[0], delim))
             return KE(F.concat_ws(delim, *parts))
+        if lname == "strcat_array":
+            # delimiter must be a literal (array_join's contract);
+            # NULL elements are skipped (array_join semantics)
+            if len(args) != 2:
+                raise KqlError("strcat_array needs (arr, delim)")
+            return KE(F.array_join(
+                args[0].col.cast("array<string>"), _lit_str(args[1])
+            ))
         if lname == "percentile":
             if len(args) != 2:
                 raise KqlError("percentile needs (x, p)")
@@ -3020,11 +3362,14 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 # `evaluate basket(SupportFrac)` — frequent itemset
                 # mining over the (categorical) input columns, the
                 # Kusto basket plugin restricted to itemsets of size
-                # 1 and 2 (the sizes that stay tractable without an
-                # FP-tree). One hash aggregation per column / column
-                # pair — each map-side combinable; NULL in the output
-                # marks a wildcard position (Kusto's shape). The row
-                # total is a 1-value driver aggregate (toscalar shape).
+                # ≤ 3 (exhaustive column combos stay tractable without
+                # an FP-tree at basket's usual narrow projections:
+                # C(k,3) map-side-combinable aggregations of the one
+                # persisted input; at high k you'd add the Apriori
+                # prune — only extend column pairs that produced a
+                # frequent pair). NULL in the output marks a wildcard
+                # position (Kusto's shape). The row total is a 1-value
+                # driver aggregate (toscalar shape).
                 frac = float(mbsk.group(1) or 0.05)
                 # persist the (already-projected) input across the leg
                 # loop: every leg is a full aggregation of the SAME
@@ -3032,6 +3377,8 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 # the source scan + upstream stages. The total-count
                 # action doubles as the cache-warming pass; released by
                 # release_caches() after the consuming action.
+                from itertools import combinations
+
                 from otel_arrow_spark.dataops.dedup import (
                     persist_registered,
                 )
@@ -3041,25 +3388,15 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 thresh = max(int(total * frac), 1)
                 cols = df.columns
                 legs = []
-                for i, c1 in enumerate(cols):
-                    single = (
-                        df.groupBy(c1)
-                        .agg(F.count(F.lit(1)).alias("support_count"))
-                        .filter(F.col("support_count") >= thresh)
-                    )
-                    legs.append(single.select(*[
-                        (F.col(c).cast("string") if c == c1
-                         else F.lit(None).cast("string")).alias(c)
-                        for c in cols
-                    ] + [F.col("support_count")]))
-                    for c2 in cols[i + 1:]:
-                        pair = (
-                            df.groupBy(c1, c2)
+                for size in (1, 2, 3):
+                    for keys in combinations(cols, size):
+                        leg = (
+                            df.groupBy(*keys)
                             .agg(F.count(F.lit(1)).alias("support_count"))
                             .filter(F.col("support_count") >= thresh)
                         )
-                        legs.append(pair.select(*[
-                            (F.col(c).cast("string") if c in (c1, c2)
+                        legs.append(leg.select(*[
+                            (F.col(c).cast("string") if c in keys
                              else F.lit(None).cast("string")).alias(c)
                             for c in cols
                         ] + [F.col("support_count")]))

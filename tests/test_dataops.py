@@ -759,3 +759,41 @@ def test_bigram_lm_scores_rank_garbled_below_common(spark):
     # deterministic across recomputation
     again = {r.doc_id: r.avg_logp for r in bigram_lm_scores(df).collect()}
     assert again == {d: r.avg_logp for d, r in out.items()}
+
+
+def test_duplicate_ngram_spans(spark):
+    from otel_arrow_spark.dataops.dedup import duplicate_ngram_spans
+
+    shared = "a b c d"  # the repeated 4-token phrase
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 {shared} y1 z1"),          # one flagged window
+            (2, f"x2 {shared} y2 z2 w2"),       # same phrase, other doc
+            (3, f"q {shared} r {shared} s"),    # internal repeat too
+            (4, "entirely unique tokens only here"),  # no dup windows
+            (5, "short"),                        # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_ngram_spans(docs, n=4, min_count=2).collect()
+    rows = {r.doc_id: r for r in out}
+    # doc 4 and 5 have no duplicated window at all -> absent
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].dup_windows == 1
+    assert rows[1].covered_tokens == 4
+    assert rows[1].total_tokens == 7
+    assert rows[2].dup_windows == 1 and rows[2].covered_tokens == 4
+    # doc 3: "a b c d" at pos 1 and pos 6 -> 2 windows, disjoint union
+    assert rows[3].dup_windows == 2
+    assert rows[3].covered_tokens == 8
+    assert abs(rows[3].dup_ratio - 8 / 11) < 1e-6  # ratio rounds to 6dp
+    # overlap coverage: two overlapping flagged windows union correctly
+    docs2 = spark.createDataFrame(
+        [(1, "p a b c d a b c d e"), (2, "a b c d a b c d")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in
+            duplicate_ngram_spans(docs2, n=4, min_count=2).collect()}
+    # doc 2 windows at pos 0..4 all repeat somewhere; union covers all 8
+    assert out2[2].covered_tokens == 8
+    assert out2[2].total_tokens == 8

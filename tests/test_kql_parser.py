@@ -687,8 +687,11 @@ def test_scalar_suite2_functions(spark):
     assert r.tsp.total_seconds() == 90.0
     with pytest.raises(KqlError):
         kql(df, 'T | project z = totimespan("soon")')
-    with pytest.raises(KqlError):
-        kql(df, "T | project z = array_slice(split(s, \"\"), 3, 1)")
+    # inverted window is NOT an error in Kusto — it yields empty
+    rz = kql(
+        df, 'T | project z = array_slice(split(s, ""), 3, 1)'
+    ).collect()[0]
+    assert list(rz.z) == []
 
 
 def test_search_all_string_columns(spark):
@@ -1728,3 +1731,156 @@ def test_series_moving_avg_and_decompose_anomalies(spark):
         "pack_array(5, 5, 5, 5, -40, 5, 5, 5, 5), 1.5)",
     ).collect()[0]
     assert r3.f[4] == -1
+
+
+def test_series_fir(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        # centered [1,2,1], normalized: interior (x0+2*x1+x2)/4,
+        # edges renormalize over the in-bounds coefficients
+        " c = series_fir(pack_array(1, 2, 3, 4), dynamic([1.0, 2.0, 1.0]),"
+        " true, true),"
+        # causal uniform normalized == trailing average of available
+        " t = series_fir(pack_array(4, 8, 12), dynamic([1.0, 1.0]),"
+        " true, false),"
+        # non-normalized causal [1,1]: y0=x0, yi=x[i-1]+x[i]
+        " raw = series_fir(pack_array(1, 2, 3), dynamic([1.0, 1.0]),"
+        " false, false),"
+        " empty = series_fir(dynamic([]), dynamic([1.0]), true, false)",
+    ).collect()[0]
+    assert r.c == [(2 * 1 + 2) / 3, (1 + 2 * 2 + 3) / 4,
+                   (2 + 2 * 3 + 4) / 4, (3 + 2 * 4) / 3]
+    assert r.t == [4.0, 6.0, 10.0]
+    assert r.raw == [1.0, 3.0, 5.0]
+    assert list(r.empty) == []
+
+
+def test_series_iir(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        # EWMA y = 0.25*x + 0.75*y_prev (a = [1, -0.75])
+        " e = series_iir(pack_array(4, 4, 4), dynamic([0.25]),"
+        " dynamic([1.0, -0.75])),"
+        # pure FIR through the b path: y = (x + x_prev)/2
+        " m = series_iir(pack_array(2, 4, 6), dynamic([0.5, 0.5]),"
+        " dynamic([1.0])),"
+        # a0 scaling: a = [2] halves everything
+        " h = series_iir(pack_array(2, 4), dynamic([1.0]),"
+        " dynamic([2.0])),"
+        " empty = series_iir(dynamic([]), dynamic([1.0]),"
+        " dynamic([1.0]))",
+    ).collect()[0]
+    assert r.e == [1.0, 1.75, 2.3125]
+    assert r.m == [1.0, 3.0, 5.0]
+    assert r.h == [1.0, 2.0]
+    assert list(r.empty) == []
+
+
+def test_series_fit_2lines(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        # flat then rising: exact fit with split at the knee -> rss ~ 0.
+        # Note (3,0) lies ON the right line y=10x-30, so split 3 and 4
+        # both have rss 0; the documented tie-break picks the smaller.
+        " f = series_fit_2lines(pack_array(0, 0, 0, 0, 10, 20, 30, 40)),"
+        # too short for two 2-point segments -> NULL
+        " short = series_fit_2lines(pack_array(1, 2, 3))",
+    ).collect()[0]
+    split, sl_l, ic_l, sl_r, ic_r, rss = r.f
+    assert split == 3.0          # left = [0,0,0], right covers x = 3..7
+    assert abs(sl_l) < 1e-9 and abs(ic_l) < 1e-9
+    assert abs(sl_r - 10.0) < 1e-9    # y = 10*x - 30 on x = 3..7
+    assert abs(ic_r + 30.0) < 1e-9
+    assert abs(rss) < 1e-9
+    assert r.short is None
+
+
+def test_series_stats_roundout(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        " v = series_stats_variance(pack_array(2, 4, 4, 4, 5, 5, 7, 9)),"
+        " sd = series_stats_stdev(pack_array(2, 4, 4, 4, 5, 5, 7, 9)),"
+        " one = series_stats_variance(pack_array(3)),"
+        " mni = series_stats_min_idx(pack_array(5, 1, 9, 1)),"
+        " mxi = series_stats_max_idx(pack_array(5, 1, 9, 9))",
+    ).collect()[0]
+    assert abs(r.v - 32.0 / 7) < 1e-12      # sample variance
+    assert abs(r.sd - (32.0 / 7) ** 0.5) < 1e-12
+    assert r.one is None
+    assert r.mni == 1 and r.mxi == 2        # first occurrence, 0-based
+
+
+def test_evaluate_basket_triples(spark):
+    df = spark.createDataFrame(
+        [("a", "x", "p")] * 5 + [("a", "x", "q")] * 2
+        + [("b", "y", "p")] * 3,
+        "k string, s string, t string",
+    )
+    rows = {
+        (r.k, r.s, r.t, r.support_count)
+        for r in kql(df, "T | evaluate basket(0.3)").collect()
+    }
+    # total 10, threshold 3: the frequent TRIPLES surface alongside
+    # singles and pairs; (a,x,q)=2 stays below support
+    assert ("a", "x", "p", 5) in rows
+    assert ("b", "y", "p", 3) in rows
+    assert ("a", "x", "q", 2) not in rows
+    # sanity on lower sizes
+    assert ("a", None, None, 7) in rows
+    assert ("a", "x", None, 7) in rows
+    assert (None, "x", "p", 5) in rows
+
+
+def test_array_manipulation_fns(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        " sl = array_slice(pack_array(10, 20, 30, 40), 1, 2),"
+        " sln = array_slice(pack_array(10, 20, 30, 40), -2, -1),"
+        " sle = array_slice(pack_array(10, 20, 30), 2, 1),"
+        " slc = array_slice(pack_array(10, 20, 30), 1, 99),"
+        " cat = array_concat(pack_array(1, 2), pack_array(3)),"
+        " rl = array_rotate_left(pack_array(1, 2, 3), 1),"
+        " rr = array_rotate_right(pack_array(1, 2, 3), 1),"
+        " rl4 = array_rotate_left(pack_array(1, 2, 3), 4),"
+        " rneg = array_rotate_left(pack_array(1, 2, 3), -1),"
+        " re = array_rotate_left(dynamic([]), 2),"
+        " shl = array_shift_left(pack_array(1, 2, 3), 1),"
+        " shlf = array_shift_left(pack_array(1, 2, 3), 2, 0),"
+        " shr = array_shift_right(pack_array(1, 2, 3), 1, 9),"
+        " shbig = array_shift_left(pack_array(1, 2, 3), 5, 7),"
+        " rev = array_reverse(pack_array(1, 2, 3)),"
+        " zp = zip(pack_array(1, 2), pack_array(3, 4)),"
+        " rp = repeat(7, 3),"
+        " ai = array_iff(pack_array(true, false), pack_array(1, 2),"
+        " pack_array(8, 9)),"
+        ' sj = strcat_array(pack_array("a", "b", "c"), "|")',
+    ).collect()[0]
+    assert r.sl == [20, 30]
+    assert r.sln == [30, 40]
+    assert list(r.sle) == []          # inverted window -> empty
+    assert r.slc == [20, 30]          # end clamps to size-1
+    assert r.cat == [1, 2, 3]
+    assert r.rl == [2, 3, 1]
+    assert r.rr == [3, 1, 2]
+    assert r.rl4 == [2, 3, 1]         # 4 mod 3 == 1
+    assert r.rneg == [3, 1, 2]        # negative rotates right
+    assert list(r.re) == []
+    assert r.shl == [2, 3, None]
+    assert r.shlf == [3, 0, 0]
+    assert r.shr == [9, 1, 2]
+    assert r.shbig == [7, 7, 7]       # shift >= size fills everything
+    assert r.rev == [3, 2, 1]
+    assert [list(x) for x in r.zp] == [[1, 3], [2, 4]]
+    assert r.rp == [7, 7, 7]
+    assert r.ai == [1, 9]
+    assert r.sj == "a|b|c"
