@@ -629,6 +629,58 @@ def q_otlp_reconstruct_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_reconstruct_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logs OTLP reconstruction: logs star (LOGS + LOG_ATTRS +
+    resource/scope dims) → nested ResourceLogs → ScopeLogs → LogRecord
+    payloads (reference encoder `rust/otel-arrow-rust/src/otlp/
+    logs.rs:205-515`), projected to engine-comparable scalars — the
+    ordered log_id roster checksums full group membership."""
+    from otel_arrow_spark.reconstruct import reconstruct_logs
+    from otel_arrow_spark.signals import (
+        log_attrs_table, logs_table, resource_dim, scope_dim,
+    )
+
+    base = _signal_base(spark, sf_dir)
+    res, scp = resource_dim(base), scope_dim(base)
+    nested = reconstruct_logs(
+        logs_table(base, res, scp), log_attrs_table(base), res, scp
+    )
+    return nested.select(
+        "resource_id",
+        "scope_id",
+        "host",
+        "app",
+        "format",
+        F.size("records").alias("n_records"),
+        F.array_join(
+            F.transform("records", lambda r: r.getField("log_id")), ","
+        ).alias("log_ids_csv"),
+        F.aggregate(
+            "records", F.lit(0),
+            lambda a, r: a + F.size(r.getField("attrs")),
+        ).alias("n_attrs"),
+        F.aggregate(
+            "records", F.lit(0),
+            lambda a, r: a + F.when(
+                r.getField("severity_number") <= 3, 1
+            ).otherwise(0),
+        ).alias("n_err"),
+        F.aggregate(
+            "records", F.lit(0),
+            lambda a, r: a + F.when(
+                r.getField("span_id").isNotNull(), 1
+            ).otherwise(0),
+        ).alias("n_span_linked"),
+        F.aggregate(
+            "records", F.lit(0).cast("bigint"),
+            lambda a, r: a
+            + F.coalesce(F.length(r.getField("body")), F.lit(0)).cast(
+                "bigint"
+            ),
+        ).alias("body_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # KQL tabular/scalar operator queries over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -1514,6 +1566,54 @@ def q_kql_series_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_fill_forward`` / ``_backward`` / ``_linear`` over a
+    make-series grid with REAL gaps (``max(user_id)`` with no default —
+    empty 5-minute bins stay NULL). ff/fb sums are exact (integer-valued
+    doubles, order-insensitive); the interpolated series is probed
+    element-wise rounded to 6dp (identical double arithmetic from
+    identical anchor inputs in both engines)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series v = max(user_id) on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-02) step 5m"
+        " by event_type"
+        " | extend ff = series_fill_forward(v),"
+        " fb = series_fill_backward(v), fl = series_fill_linear(v)"
+        " | project event_type,"
+        " ff0 = ff[0], ff100 = ff[100], ff_last = ff[287],"
+        " fb0 = fb[0], fb_last = fb[287],"
+        " fl0 = round(fl[0], 6), fl50 = round(fl[50], 6),"
+        " fl150 = round(fl[150], 6), fl_last = round(fl[287], 6),"
+        " s_ff = series_sum(series_fill_const(ff, 0)),"
+        " s_fb = series_sum(series_fill_const(fb, 0))",
+    )
+
+
+def q_kql_series_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_seasonal`` with an explicit 24-hour period over a
+    two-day hourly count grid: each element takes its phase's median
+    (pair mean of the two same-hour samples — exact halves in double,
+    so element probes AND the full-series sum are bit-exact in both
+    engines)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series n = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 1h"
+        " by event_type"
+        " | extend se = series_seasonal(n, 24)"
+        " | project event_type,"
+        " se0 = se[0], se5 = se[5], se23 = se[23], se24 = se[24],"
+        " s_sum = series_sum(se)",
+    )
+
+
 def q_kql_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array shape/manipulation round-out: slice (incl. negative
     indices), concat, rotate (both directions, wraparound), shift
@@ -2363,7 +2463,8 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_diffpatterns_pairs", "kql_autocluster", "kql_series_anomalies",
     "kql_series_fir", "kql_series_iir", "kql_series_fit2",
     "dedup_substring_spans", "kql_basket3", "kql_array_ops",
-    "kql_series_periods",
+    "kql_series_periods", "otlp_reconstruct_logs", "kql_series_fill",
+    "kql_series_seasonal",
 )
 
 
@@ -2421,6 +2522,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_events_to_logs": q_span_events_to_logs,
         "otlp_reconstruct_spans": q_otlp_reconstruct_spans,
         "otlp_reconstruct_metrics": q_otlp_reconstruct_metrics,
+        "otlp_reconstruct_logs": q_otlp_reconstruct_logs,
         "kql_text_where_summarize": q_kql_text_where_summarize,
         "kql_text_topk": q_kql_text_topk,
         "kql_mv_expand": q_kql_mv_expand,
@@ -2459,6 +2561,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_basket3": q_kql_basket3,
         "kql_array_ops": q_kql_array_ops,
         "kql_series_periods": q_kql_series_periods,
+        "kql_series_fill": q_kql_series_fill,
+        "kql_series_seasonal": q_kql_series_seasonal,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -2918,6 +3022,26 @@ LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n
 GROUP BY 1, 2
 """
         ),
+        "otlp_reconstruct_logs": _closure_oracle(
+            f"""
+SELECT l.resource_id, l.scope_id, r2.host, s2.app, s2.format,
+  CAST(COUNT(*) AS INT) AS n_records,
+  string_agg(l.log_id, ',' ORDER BY l.log_id) AS log_ids_csv,
+  CAST(SUM(COALESCE(a.n, 0)) AS INT) AS n_attrs,
+  CAST(SUM(CASE WHEN l.severity_number <= 3 THEN 1 ELSE 0 END) AS INT)
+    AS n_err,
+  CAST(SUM(CASE WHEN l.span_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+    AS n_span_linked,
+  CAST(SUM(COALESCE(length(l.body), 0)) AS BIGINT) AS body_chars
+FROM logsrec l
+LEFT JOIN (SELECT conv_id, turn_idx, COUNT(*) AS n
+           FROM ({ATTRS_EAV_ORACLE}) GROUP BY 1, 2) a
+       ON l.conv_id = a.conv_id AND l.turn_idx = a.turn_idx
+LEFT JOIN res r2 ON l.resource_id = r2.resource_id
+LEFT JOIN scp s2 ON l.scope_id = s2.scope_id
+GROUP BY 1, 2, 3, 4, 5
+"""
+        ),
         "kql_text_where_summarize": (
             "SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n, "
             "ROUND(AVG(value), 6) AS avg_v FROM events "
@@ -3303,6 +3427,75 @@ GROUP BY 1, 2
             "ROUND(score, 6) AS score FROM sc "
             "QUALIFY row_number() OVER (PARTITION BY event_type "
             "ORDER BY COALESCE(score, -2.0) DESC, L) = 1"
+        ),
+        "kql_series_fill": (
+            "WITH r AS (SELECT event_type, ts, user_id FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-02'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 300) AS INT)"
+            " AS i, MAX(user_id) AS v FROM r GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type FROM r), "
+            "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+            "(SELECT unnest(range(0, 288)) AS i) gs), "
+            "f AS (SELECT g.event_type, g.i, CAST(b.v AS DOUBLE) AS v "
+            "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+            "AND g.i = b.i), "
+            "w AS (SELECT event_type, i, v, "
+            "last_value(v IGNORE NULLS) OVER pw AS fv, "
+            "last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) "
+            "OVER pw AS fi, "
+            "first_value(v IGNORE NULLS) OVER fw AS bv, "
+            "first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) "
+            "OVER fw AS bi "
+            "FROM f WINDOW "
+            "pw AS (PARTITION BY event_type ORDER BY i "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+            "fw AS (PARTITION BY event_type ORDER BY i "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), "
+            "x AS (SELECT event_type, i, fv AS ffv, bv AS fbv, "
+            "CASE WHEN v IS NOT NULL THEN v "
+            "WHEN fi IS NULL THEN bv "
+            "WHEN bi IS NULL THEN fv "
+            "ELSE fv + (bv - fv) * (i - fi) / (bi - fi) END AS flv "
+            "FROM w) "
+            "SELECT event_type, "
+            "MAX(CASE WHEN i = 0 THEN ffv END) AS ff0, "
+            "MAX(CASE WHEN i = 100 THEN ffv END) AS ff100, "
+            "MAX(CASE WHEN i = 287 THEN ffv END) AS ff_last, "
+            "MAX(CASE WHEN i = 0 THEN fbv END) AS fb0, "
+            "MAX(CASE WHEN i = 287 THEN fbv END) AS fb_last, "
+            "ROUND(MAX(CASE WHEN i = 0 THEN flv END), 6) AS fl0, "
+            "ROUND(MAX(CASE WHEN i = 50 THEN flv END), 6) AS fl50, "
+            "ROUND(MAX(CASE WHEN i = 150 THEN flv END), 6) AS fl150, "
+            "ROUND(MAX(CASE WHEN i = 287 THEN flv END), 6) AS fl_last, "
+            "CAST(SUM(COALESCE(ffv, 0)) AS DOUBLE) AS s_ff, "
+            "CAST(SUM(COALESCE(fbv, 0)) AS DOUBLE) AS s_fb "
+            "FROM x GROUP BY event_type"
+        ),
+        "kql_series_seasonal": (
+            "WITH r AS (SELECT event_type, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-03'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 3600) AS INT)"
+            " AS i, COUNT(*) AS v FROM r GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type FROM r), "
+            "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+            "(SELECT unnest(range(0, 48)) AS i) gs), "
+            "f AS (SELECT g.event_type, g.i, "
+            "CAST(COALESCE(b.v, 0) AS DOUBLE) AS v "
+            "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+            "AND g.i = b.i), "
+            "m AS (SELECT event_type, i % 24 AS ph, "
+            "quantile_cont(v, 0.5) AS med FROM f GROUP BY 1, 2) "
+            "SELECT event_type, "
+            "MAX(CASE WHEN ph = 0 THEN med END) AS se0, "
+            "MAX(CASE WHEN ph = 5 THEN med END) AS se5, "
+            "MAX(CASE WHEN ph = 23 THEN med END) AS se23, "
+            "MAX(CASE WHEN ph = 0 THEN med END) AS se24, "
+            "CAST(SUM(med) * 2 AS DOUBLE) AS s_sum "
+            "FROM m GROUP BY event_type"
         ),
         "kql_array_ops": (
             "SELECT event_id, "

@@ -597,6 +597,122 @@ def _series_periods(arr: Column, min_p: Column, max_p: Column) -> Column:
     )
 
 
+def _series_fill_forward(arr: Column) -> Column:
+    """Kusto ``series_fill_forward``: each NULL takes the nearest
+    preceding non-null value; leading NULLs stay NULL. One O(n)
+    array fold — narrow, codegen'd, zero shuffle."""
+    def step(acc: Column, v: Column) -> Column:
+        prev = F.try_element_at(acc, F.lit(-1))
+        return F.array_append(acc, F.coalesce(v.cast("double"), prev))
+
+    return F.aggregate(arr, F.array().cast("array<double>"), step)
+
+
+def _series_fill_backward(arr: Column) -> Column:
+    """Kusto ``series_fill_backward`` = forward fill over the reversed
+    array, reversed back (trailing NULLs stay NULL)."""
+    return F.reverse(_series_fill_forward(F.reverse(arr)))
+
+
+def _series_fill_linear(arr: Column) -> Column:
+    """Kusto ``series_fill_linear``: interior NULL runs interpolate
+    linearly between their non-null anchors; leading/trailing NULLs take
+    the nearest non-null value. Two O(n) anchor folds (forward and
+    backward, each carrying (value, index) of the nearest non-null),
+    zipped and combined per element — anchors are zip_with ARGUMENTS,
+    so they materialize once per row, never per element (the
+    _series_outliers materialize-once rule)."""
+    def astep(acc: Column, v: Column) -> Column:
+        prev = F.try_element_at(acc, F.lit(-1))
+        i = F.size(acc)
+        return F.array_append(
+            acc,
+            F.struct(
+                F.coalesce(v.cast("double"), prev["v"]).alias("v"),
+                F.when(v.isNotNull(), i)
+                .otherwise(prev["i"])
+                .cast("int")
+                .alias("i"),
+            ),
+        )
+
+    empty = F.array().cast("array<struct<v:double,i:int>>")
+    fwd = F.aggregate(arr, empty, astep)
+    bwd = F.reverse(F.aggregate(F.reverse(arr), empty, astep))
+    n = F.size(arr)
+    zipped = F.zip_with(
+        F.zip_with(
+            arr,
+            fwd,
+            lambda x, f: F.struct(
+                x.cast("double").alias("x"),
+                f["v"].alias("fv"),
+                f["i"].alias("fi"),
+            ),
+        ),
+        bwd,
+        lambda s, b: F.struct(
+            s["x"].alias("x"),
+            s["fv"].alias("fv"),
+            s["fi"].alias("fi"),
+            b["v"].alias("bv"),
+            b["i"].alias("bi"),
+        ),
+    )
+    return F.transform(
+        zipped,
+        lambda s, i: F.when(s["x"].isNotNull(), s["x"])
+        .when(s["fi"].isNull(), s["bv"])
+        .when(s["bi"].isNull(), s["fv"])
+        .otherwise(
+            s["fv"]
+            + (s["bv"] - s["fv"])
+            * (i - s["fi"]).cast("double")
+            / (n - 1 - s["bi"] - s["fi"]).cast("double")
+        ),
+    )
+
+
+def _series_seasonal(arr: Column, p: Column) -> Column:
+    """Kusto ``series_seasonal`` (explicit period): element i takes the
+    median of all values at the same phase (i mod period). The period's
+    phase-median array computes ONCE per row (it rides an
+    ``array_repeat`` — the _series_outliers materialize-once rule, never
+    recomputed per element); each phase median is the _arr_median of an
+    index-filtered slice. O(p · n log n) per row, narrow, zero shuffle.
+    Auto-detection (period = -1) is deliberately not supported — pass
+    the period from ``series_periods_detect`` so plans stay
+    deterministic."""
+    pi = p.cast("int")
+    n = F.size(arr)
+    ph_meds = F.transform(
+        F.sequence(F.lit(0), pi - 1),
+        lambda ph: _arr_median(
+            F.filter(arr, lambda x, i: i % pi == ph)
+        ),
+    )
+    reps = F.array_repeat(F.struct(ph_meds.alias("m")), n)
+    idx = F.sequence(F.lit(0), n - 1)
+    return F.when(pi <= 0, F.lit(None).cast("array<double>")).when(
+        n > 0,
+        F.zip_with(
+            idx, reps,
+            lambda i, r: F.try_element_at(r["m"], (i % pi) + 1),
+        ),
+    ).otherwise(F.array().cast("array<double>"))
+
+
+def _series_dot(a: Column, b: Column) -> Column:
+    return _series_sum(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y)
+    )
+
+
+def _series_cosine(a: Column, b: Column) -> Column:
+    denom = F.sqrt(_series_dot(a, a)) * F.sqrt(_series_dot(b, b))
+    return F.when(denom > 0, _series_dot(a, b) / denom)
+
+
 def _array_slice(arr: Column, start: Column, end: Column) -> Column:
     """Kusto array_slice: inclusive [start, end], negative indices
     count from the end; out-of-range windows clamp (empty when the
@@ -787,6 +903,38 @@ _FUNC_MAP_SIMPLE = {
         a[2] if len(a) > 2 else F.size(a[0]) / 2,
     ),
     "series_fit_2lines": lambda a: _series_fit_2lines(a[0]),
+    # null-gap fills beyond const: forward / backward carries, linear
+    # interpolation between anchors (edges take the nearest non-null)
+    "series_fill_forward": lambda a: _series_fill_forward(a[0]),
+    "series_fill_backward": lambda a: _series_fill_backward(a[0]),
+    "series_fill_linear": lambda a: _series_fill_linear(a[0]),
+    # element-wise math / comparisons (all narrow zip_with / transform)
+    "series_exp": lambda a: F.transform(a[0], lambda x: F.exp(x)),
+    "series_log": lambda a: F.transform(
+        a[0], lambda x: F.when(x > 0, F.log(x.cast("double")))),
+    "series_sign": lambda a: F.transform(
+        a[0], lambda x: F.signum(x.cast("double"))),
+    "series_floor": lambda a: F.transform(
+        a[0], lambda x: F.floor(x.cast("double")).cast("double")),
+    "series_ceiling": lambda a: F.transform(
+        a[0], lambda x: F.ceil(x.cast("double")).cast("double")),
+    "series_pow": lambda a: F.zip_with(
+        a[0], a[1], lambda x, y: F.pow(x.cast("double"), y)),
+    "series_greater": lambda a: F.zip_with(a[0], a[1], lambda x, y: x > y),
+    "series_greater_equals": lambda a: F.zip_with(
+        a[0], a[1], lambda x, y: x >= y),
+    "series_less": lambda a: F.zip_with(a[0], a[1], lambda x, y: x < y),
+    "series_less_equals": lambda a: F.zip_with(
+        a[0], a[1], lambda x, y: x <= y),
+    "series_equals": lambda a: F.zip_with(a[0], a[1], lambda x, y: x == y),
+    "series_not_equals": lambda a: F.zip_with(
+        a[0], a[1], lambda x, y: x != y),
+    # seasonal component (explicit period — see helper docstring)
+    "series_seasonal": lambda a: _series_seasonal(a[0], a[1]),
+    # vector ops (the embedding-column staples, shared with dataops ANN)
+    "series_dot_product": lambda a: _series_dot(a[0], a[1]),
+    "series_magnitude": lambda a: F.sqrt(_series_dot(a[0], a[0])),
+    "series_cosine_similarity": lambda a: _series_cosine(a[0], a[1]),
     # series_stats companions beyond min/max: sample variance/stdev and
     # first-occurrence argmin/argmax (0-based, the Kusto shape)
     "series_stats_variance": lambda a: F.when(

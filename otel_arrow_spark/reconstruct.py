@@ -284,6 +284,115 @@ def reconstruct_metrics(
     )
 
 
+def reconstruct_logs(
+    logs: DataFrame,
+    log_attrs: DataFrame,
+    resources: DataFrame,
+    scopes: DataFrame,
+) -> DataFrame:
+    """Nested OTLP log payloads from the logs star: one row per
+    (resource, scope) pair carrying the sorted array of its log records,
+    each record with its sorted attrs — the ResourceLogs → ScopeLogs →
+    LogRecord nesting the reference's logs OTLP encoder rebuilds
+    (`rust/otel-arrow-rust/src/otlp/logs.rs:205-515` cursor walk over
+    LOGS sorted by id with LOG_ATTRS advanced by ``parent_id``).
+
+    Same declarative shape as :func:`reconstruct_spans`: one groupBy per
+    child level (attrs → records), ``array_sort`` determinism from the
+    leading unique ``log_id``, tiny dims picked up by broadcast joins.
+    Scale: the only shuffles are the two groupBys (both map-side
+    partial); group count is |resources|×|scopes| — the OTLP batch
+    layout, not a skew risk, because the records array per group is
+    bounded by what a single ResourceLogs message would carry anyway
+    (at 100 TB the upstream would partition by time/slice first, as
+    ``run_pipeline`` does).
+    """
+    attrs_nested = _attrs_array(log_attrs, "attrs")
+    empty_attrs = F.array().cast(
+        "array<struct<key: string, str_value: string>>"
+    )
+    recs = (
+        logs.join(
+            attrs_nested, logs.log_id == attrs_nested.parent_id, "left"
+        )
+        .select(
+            "resource_id",
+            "scope_id",
+            F.struct(
+                F.col("log_id"),
+                F.col("time_ts"),
+                F.col("severity_number"),
+                F.col("severity_text"),
+                F.col("event_name"),
+                F.col("body"),
+                F.col("trace_id"),
+                F.col("span_id"),
+                F.coalesce(F.col("attrs"), empty_attrs).alias("attrs"),
+            ).alias("rec"),
+        )
+        .groupBy("resource_id", "scope_id")
+        .agg(F.array_sort(F.collect_list("rec")).alias("records"))
+    )
+    return (
+        recs.join(F.broadcast(resources), "resource_id", "left")
+        .join(F.broadcast(scopes), "scope_id", "left")
+        .select(
+            "resource_id", "scope_id", "host", "app", "format", "records"
+        )
+    )
+
+
+def log_vpaths(nested: DataFrame) -> DataFrame:
+    """Reconstructed nested logs → the vPath relation: one
+    ``(path=value)`` string row per leaf, addressed by the
+    content-derived ``log_id`` — never list position or dense dim id —
+    so the set is invariant to batch/partition re-organization, the
+    logs rendition of the reference's Equiv gate
+    (`go/pkg/otel/assert/equiv.go:99-150`)."""
+    rec = nested.select(
+        F.coalesce(F.col("host"), F.lit("-")).alias("res_host"),
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col("app"), F.lit("-")),
+            F.coalesce(F.col("format"), F.lit("-")),
+        ).alias("scope_key"),
+        F.explode("records").alias("r"),
+    )
+    rid = F.col("r.log_id")
+
+    def leaf(suffix, value):
+        return F.concat_ws(
+            "=",
+            F.concat(rid, F.lit(suffix)),
+            F.coalesce(value.cast("string"), F.lit("-")),
+        )
+
+    scalars = rec.select(
+        F.explode(
+            F.array(
+                leaf("/res", F.col("res_host")),
+                leaf("/scope", F.col("scope_key")),
+                leaf("/sev", F.col("r.severity_number")),
+                leaf("/sevtext", F.col("r.severity_text")),
+                leaf("/event", F.col("r.event_name")),
+                leaf("/body", F.col("r.body")),
+                leaf("/trace", F.col("r.trace_id")),
+                leaf("/span", F.col("r.span_id")),
+            )
+        ).alias("vpath")
+    )
+    attr_paths = rec.select(
+        F.explode("r.attrs").alias("a"), rid.alias("p")
+    ).select(
+        F.concat_ws(
+            "=",
+            F.concat_ws("/", F.col("p"), F.lit("attr"), F.col("a.key")),
+            F.col("a.str_value"),
+        ).alias("vpath")
+    )
+    return scalars.unionByName(attr_paths)
+
+
 def metric_vpaths(nested: DataFrame) -> DataFrame:
     """Reconstructed nested metrics → the vPath relation: one
     ``(path=value)`` string row per leaf, addressed by content-derived

@@ -1818,6 +1818,77 @@ def test_series_stats_roundout(spark):
     assert r.mni == 1 and r.mxi == 2        # first occurrence, 0-based
 
 
+def test_series_fills(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | extend s = pack_array(null, 1, null, null, 4, null)"
+        " | project ff = series_fill_forward(s),"
+        " fb = series_fill_backward(s),"
+        " fl = series_fill_linear(s),"
+        " f1 = series_fill_linear(pack_array(null, 2, null)),"
+        " f2 = series_fill_linear(pack_array(1, null, null, 7, null, 9))",
+    ).collect()[0]
+    assert r.ff == [None, 1.0, 1.0, 1.0, 4.0, 4.0]
+    assert r.fb == [1.0, 1.0, 4.0, 4.0, 4.0, None]
+    # interior run interpolates between anchors, edges take nearest
+    assert r.fl == [1.0, 1.0, 2.0, 3.0, 4.0, 4.0]
+    assert r.f1 == [2.0, 2.0, 2.0]
+    assert r.f2 == [1.0, 3.0, 5.0, 7.0, 8.0, 9.0]
+
+
+def test_series_elementwise_and_vector(spark):
+    import math
+
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        " e = series_exp(pack_array(0, 1)),"
+        " lg = series_log(pack_array(1.0, 0.0)),"
+        " sg = series_sign(pack_array(-3, 0, 2)),"
+        " flr = series_floor(pack_array(1.7, -1.2)),"
+        " cl = series_ceiling(pack_array(1.2, -1.7)),"
+        " pw = series_pow(pack_array(2, 3), pack_array(3, 2)),"
+        " gt = series_greater(pack_array(1, 5), pack_array(2, 2)),"
+        " eq = series_equals(pack_array(1, 2), pack_array(1, 3)),"
+        " dp = series_dot_product(pack_array(1, 2, 3), pack_array(4, 5, 6)),"
+        " mg = series_magnitude(pack_array(3, 4)),"
+        " cs = series_cosine_similarity(pack_array(1, 0), pack_array(1, 0)),"
+        " cz = series_cosine_similarity(pack_array(0, 0), pack_array(1, 0))",
+    ).collect()[0]
+    assert r.e[0] == 1.0 and abs(r.e[1] - math.e) < 1e-12
+    assert r.lg == [0.0, None]  # log of non-positive -> NULL, no ANSI raise
+    assert r.sg == [-1.0, 0.0, 1.0]
+    assert r.flr == [1.0, -2.0]
+    assert r.cl == [2.0, -1.0]
+    assert r.pw == [8.0, 9.0]
+    assert r.gt == [False, True]
+    assert r.eq == [True, False]
+    assert r.dp == 32.0
+    assert r.mg == 5.0
+    assert abs(r.cs - 1.0) < 1e-12
+    assert r.cz is None  # zero-magnitude side -> NULL, never div-by-zero
+
+
+def test_series_seasonal(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        # period 3 over two full cycles: phase medians are pair means
+        " s = series_seasonal(pack_array(1, 10, 100, 3, 20, 300), 3),"
+        # ragged tail: phase 0 sees {5, 7, 9}, phases 1/2 see pairs
+        " t = series_seasonal(pack_array(5, 1, 2, 7, 3, 4, 9), 3),"
+        " z = series_seasonal(pack_array(1, 2), 0),"
+        " e = series_seasonal(dynamic([]), 3)",
+    ).collect()[0]
+    assert r.s == [2.0, 15.0, 200.0, 2.0, 15.0, 200.0]
+    assert r.t == [7.0, 2.0, 3.0, 7.0, 2.0, 3.0, 7.0]
+    assert r.z is None          # non-positive period -> NULL
+    assert list(r.e) == []
+
+
 def test_evaluate_basket_triples(spark):
     df = spark.createDataFrame(
         [("a", "x", "p")] * 5 + [("a", "x", "q")] * 2

@@ -254,6 +254,129 @@ def test_metrics_roundtrip_catches_reorganized_batches(base):
     )
 
 
+# ---------------------------------------------------------------------------
+# logs round-trip (ResourceLogs → ScopeLogs → LogRecord nesting;
+# reference encoder `rust/otel-arrow-rust/src/otlp/logs.rs:205-515`)
+# ---------------------------------------------------------------------------
+
+def _reconstructed_log_vpaths(base) -> set[str]:
+    from otel_arrow_spark.reconstruct import log_vpaths, reconstruct_logs
+    from otel_arrow_spark.signals import (
+        log_attrs_table, logs_table, resource_dim, scope_dim,
+    )
+
+    res, scp = resource_dim(base), scope_dim(base)
+    nested = reconstruct_logs(
+        logs_table(base, res, scp), log_attrs_table(base), res, scp
+    )
+    return {r.vpath for r in log_vpaths(nested).collect()}
+
+
+def _direct_log_vpaths(base) -> set[str]:
+    """Independent derivation: pure-Python walk over the parsed turns —
+    tracks the current span per conversation for the (trace, span)
+    correlation columns and renders each sink_logs turn's leaves
+    straight from the turn fields, never touching signals.py's
+    star-schema or dim logic."""
+    from otel_arrow_spark.signals import SEVERITY_TEXT
+
+    rows = base.select(
+        "conv_id", "turn_idx", "role", "tool", "sink", "severity",
+        "event_name", "body", "host", "app", "format", "attrs",
+    ).collect()
+    by_conv: dict[str, list] = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+
+    exp: set[str] = set()
+    for conv_id, turns in by_conv.items():
+        turns.sort(key=lambda r: r.turn_idx)
+        trace_id = _sha(conv_id)[:32]
+        cur_span = None
+        for r in turns:
+            if r.role == "tool" and r.tool is not None:
+                cur_span = _sha(f"{conv_id}:{r.turn_idx}")[:16]
+            if r.sink != "sink_logs":
+                continue
+            lid = _sha(f"{conv_id}:{r.turn_idx}")[:16]
+            sevtext = (
+                SEVERITY_TEXT[r.severity] if r.severity is not None else None
+            )
+            exp.add(f"{lid}/res={r.host if r.host is not None else '-'}")
+            exp.add(f"{lid}/scope={r.app or '-'}:{r.format or '-'}")
+            exp.add(f"{lid}/sev={r.severity if r.severity is not None else '-'}")
+            exp.add(f"{lid}/sevtext={sevtext if sevtext is not None else '-'}")
+            exp.add(
+                f"{lid}/event="
+                f"{r.event_name if r.event_name is not None else '-'}"
+            )
+            exp.add(f"{lid}/body={r.body if r.body is not None else '-'}")
+            exp.add(f"{lid}/trace={trace_id}")
+            exp.add(f"{lid}/span={cur_span or '-'}")
+            for k, v in (r.attrs or {}).items():
+                exp.add(f"{lid}/attr/{k}={v}")
+    return exp
+
+
+def test_otlp_logs_roundtrip_vpath_set_equality(base):
+    got = _reconstructed_log_vpaths(base)
+    exp = _direct_log_vpaths(base)
+    missing = exp - got
+    extra = got - exp
+    assert not missing and not extra, (
+        f"{len(missing)} missing (e.g. {sorted(missing)[:3]}), "
+        f"{len(extra)} extra (e.g. {sorted(extra)[:3]})"
+    )
+    assert len(got) > 500  # the fixture must actually exercise the walk
+
+
+def test_logs_roundtrip_catches_reorganized_batches(base):
+    shuffled = base.repartition(19)
+    assert (
+        _reconstructed_log_vpaths(shuffled) == _reconstructed_log_vpaths(base)
+    )
+
+
+def test_reconstructed_log_records_are_ordered_and_complete(base):
+    from otel_arrow_spark.reconstruct import reconstruct_logs
+    from otel_arrow_spark.signals import (
+        log_attrs_table, logs_table, resource_dim, scope_dim,
+    )
+
+    res, scp = resource_dim(base), scope_dim(base)
+    logs = logs_table(base, res, scp)
+    attrs = log_attrs_table(base)
+    nested = reconstruct_logs(logs, attrs, res, scp).cache()
+    # every log record lands in exactly one group's array
+    n_nested = nested.select(
+        F.sum(F.size("records")).alias("n")
+    ).collect()[0].n
+    assert n_nested == logs.count()
+    # attrs closure: total nested attrs == LOG_ATTRS rows
+    n_attrs = nested.select(
+        F.sum(
+            F.aggregate(
+                "records", F.lit(0),
+                lambda a, r: a + F.size(r.getField("attrs")),
+            )
+        ).alias("n")
+    ).collect()[0].n
+    assert n_attrs == attrs.count()
+    # arrays sorted by the leading unique log_id
+    bad_order = nested.filter(
+        F.exists(
+            F.zip_with(
+                F.col("records"),
+                F.slice(F.col("records"), 2, 1000000),
+                lambda a, b: a.getField("log_id") >= b.getField("log_id"),
+            ),
+            lambda x: x,
+        )
+    )
+    assert bad_order.count() == 0
+    nested.unpersist()
+
+
 def test_reconstructed_points_are_ordered_and_complete(base):
     from otel_arrow_spark.reconstruct import reconstruct_metrics
     from otel_arrow_spark.signals import (
