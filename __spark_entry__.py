@@ -1593,6 +1593,22 @@ def q_kql_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate narrow()` — per-row transpose to (Row, Column, Value)
+    string triples over a serialized prefix (sort + take bound the
+    relation first, the documented small-relation contract for the
+    global Row index)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        'events | where event_type == "error"'
+        " | project event_id, event_type, user_id"
+        " | sort by event_id asc | take 50 | evaluate narrow()",
+    )
+
+
 def q_kql_series_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``series_seasonal`` with an explicit 24-hour period over a
     two-day hourly count grid: each element takes its phase's median
@@ -2464,7 +2480,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_series_fir", "kql_series_iir", "kql_series_fit2",
     "dedup_substring_spans", "kql_basket3", "kql_array_ops",
     "kql_series_periods", "otlp_reconstruct_logs", "kql_series_fill",
-    "kql_series_seasonal",
+    "kql_series_seasonal", "kql_narrow",
 )
 
 
@@ -2563,6 +2579,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_periods": q_kql_series_periods,
         "kql_series_fill": q_kql_series_fill,
         "kql_series_seasonal": q_kql_series_seasonal,
+        "kql_narrow": q_kql_narrow,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -3472,6 +3489,17 @@ GROUP BY 1, 2, 3, 4, 5
             "CAST(SUM(COALESCE(ffv, 0)) AS DOUBLE) AS s_ff, "
             "CAST(SUM(COALESCE(fbv, 0)) AS DOUBLE) AS s_fb "
             "FROM x GROUP BY event_type"
+        ),
+        "kql_narrow": (
+            "WITH t AS (SELECT event_id, event_type, user_id FROM events"
+            " WHERE event_type = 'error' ORDER BY event_id LIMIT 50), "
+            "r AS (SELECT *, CAST(row_number() OVER (ORDER BY event_id)"
+            " - 1 AS INT) AS \"Row\" FROM t) "
+            "SELECT \"Row\", 'event_id' AS \"Column\", "
+            "CAST(event_id AS VARCHAR) AS \"Value\" FROM r "
+            "UNION ALL SELECT \"Row\", 'event_type', event_type FROM r "
+            "UNION ALL SELECT \"Row\", 'user_id', "
+            "CAST(user_id AS VARCHAR) FROM r"
         ),
         "kql_series_seasonal": (
             "WITH r AS (SELECT event_type, ts FROM events "

@@ -702,6 +702,43 @@ def _series_seasonal(arr: Column, p: Column) -> Column:
     ).otherwise(F.array().cast("array<double>"))
 
 
+def _series_decompose_part(arr: Column, p: Column, part: str) -> Column:
+    """Kusto ``series_decompose`` split into per-component functions
+    (``series_decompose_trend`` / ``_baseline`` / ``_residual`` — the
+    tuple-assign `extend (b,s,t,r) = series_decompose(..)` syntax is
+    not supported, so each component is its own function; the seasonal
+    component IS ``series_seasonal``). Same algorithm: seasonal =
+    per-phase medians; trend = least-squares line over the
+    DEseasonalized series; baseline = seasonal + trend; residual =
+    x − baseline. All narrow folds/zips, zero shuffle; the line's
+    (slope, intercept) are scalar columns riding an array_repeat so
+    nothing O(n) re-evaluates per element."""
+    seasonal = _series_seasonal(arr, p)
+    deseason = F.zip_with(
+        arr, seasonal, lambda x, s: x.cast("double") - s
+    )
+    slope, icept = _series_fit(deseason)
+    n = F.size(arr)
+    reps = F.array_repeat(
+        F.struct(slope.alias("sl"), icept.alias("ic")), n
+    )
+    idx = F.sequence(F.lit(0), n - 1)
+    trend = F.zip_with(
+        idx, reps, lambda i, r: r["ic"] + r["sl"] * i.cast("double")
+    )
+    if part == "trend":
+        out = trend
+    elif part == "baseline":
+        out = F.zip_with(seasonal, trend, lambda s, t: s + t)
+    else:  # residual
+        out = F.zip_with(
+            F.zip_with(arr, seasonal, lambda x, s: x.cast("double") - s),
+            trend,
+            lambda d, t: d - t,
+        )
+    return F.when(n > 0, out).otherwise(F.array().cast("array<double>"))
+
+
 def _series_dot(a: Column, b: Column) -> Column:
     return _series_sum(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y)
@@ -931,6 +968,14 @@ _FUNC_MAP_SIMPLE = {
         a[0], a[1], lambda x, y: x != y),
     # seasonal component (explicit period — see helper docstring)
     "series_seasonal": lambda a: _series_seasonal(a[0], a[1]),
+    # series_decompose components (seasonal medians + linefit trend on
+    # the deseasonalized series — see _series_decompose_part)
+    "series_decompose_trend": lambda a: _series_decompose_part(
+        a[0], a[1], "trend"),
+    "series_decompose_baseline": lambda a: _series_decompose_part(
+        a[0], a[1], "baseline"),
+    "series_decompose_residual": lambda a: _series_decompose_part(
+        a[0], a[1], "residual"),
     # vector ops (the embedding-column staples, shared with dataops ANN)
     "series_dot_product": lambda a: _series_dot(a[0], a[1]),
     "series_magnitude": lambda a: F.sqrt(_series_dot(a[0], a[0])),
@@ -2504,6 +2549,8 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         if not m:
             raise KqlError(f"bad stage {stage!r}")
         op, rest = m.group(1), m.group(2).strip()
+        # narrow() consumes the serialized order its own stage destroys
+        wspec_before = sctx["wspec"]
         if op in _ORDER_DESTROYING:
             sctx["order"] = sctx["wspec"] = sctx["pending_sort"] = None
             sctx["keys"] = sctx["order_src"] = None
@@ -3505,6 +3552,40 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 cond = piece if cond is None else (cond | piece)
             df = df.filter(cond)
         elif op == "evaluate":
+            mnar = re.match(r"^narrow\s*\(\s*\)\s*$", rest)
+            if mnar:
+                # `evaluate narrow()` — transpose each row to
+                # (Row, Column, Value-as-string) triples (the Kusto
+                # plugin). Row is the 0-based index in the serialized
+                # order, so like the other serialized-window ops it
+                # requires `sort by …` first; the transpose itself is
+                # one explode over a per-row literal struct array
+                # (narrow, no extra shuffle beyond the serialize
+                # window). Use on small/aggregated relations — the Row
+                # index is a global window by construction, exactly
+                # KQL's serialized-table semantics.
+                if wspec_before is None:
+                    raise KqlError(
+                        "evaluate narrow() requires a serialized row "
+                        "set: `sort by …` first"
+                    )
+                entries = F.array(*[
+                    F.struct(
+                        F.lit(c).alias("Column"),
+                        F.col(c).cast("string").alias("Value"),
+                    )
+                    for c in df.columns
+                ])
+                # Row must bind BEFORE the explode (same-select windows
+                # evaluate after Generate — measured: Row would then
+                # number the exploded triples, not the source rows)
+                df = df.select(
+                    (F.row_number().over(wspec_before) - 1).alias("Row"),
+                    entries.alias("_es"),
+                ).select(
+                    "Row", F.explode("_es").alias("_e")
+                ).select("Row", "_e.Column", "_e.Value")
+                continue
             mbsk = re.match(r"^basket\s*\(\s*([0-9.]*)\s*\)\s*$", rest)
             if mbsk:
                 # `evaluate basket(SupportFrac)` — frequent itemset

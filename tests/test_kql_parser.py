@@ -1889,6 +1889,40 @@ def test_series_seasonal(spark):
     assert list(r.e) == []
 
 
+def test_evaluate_narrow(spark):
+    df = spark.createDataFrame([(2, "b"), (1, None)], "k int, s string")
+    rows = kql(df, "T | sort by k asc | evaluate narrow()").collect()
+    assert [tuple(r) for r in rows] == [
+        (0, "k", "1"), (0, "s", None), (1, "k", "2"), (1, "s", "b"),
+    ]
+    # Row binds to the serialized order, which narrow requires
+    with pytest.raises(KqlError):
+        kql(df, "T | evaluate narrow()")
+
+
+def test_series_decompose_parts(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        # period 1: seasonal = global median 3, deseason is a perfect
+        # line -> trend recovers it exactly, residual 0
+        " t1 = series_decompose_trend(pack_array(0, 2, 4, 6), 1),"
+        " b1 = series_decompose_baseline(pack_array(0, 2, 4, 6), 1),"
+        " r1 = series_decompose_residual(pack_array(0, 2, 4, 6), 1),"
+        # pure period-2 oscillation: trend 0, baseline = the pattern
+        " t2 = series_decompose_trend(pack_array(1, 5, 1, 5), 2),"
+        " b2 = series_decompose_baseline(pack_array(1, 5, 1, 5), 2),"
+        " e = series_decompose_residual(dynamic([]), 2)",
+    ).collect()[0]
+    assert r.t1 == [-3.0, -1.0, 1.0, 3.0]
+    assert r.b1 == [0.0, 2.0, 4.0, 6.0]
+    assert r.r1 == [0.0, 0.0, 0.0, 0.0]
+    assert r.t2 == [0.0, 0.0, 0.0, 0.0]
+    assert r.b2 == [1.0, 5.0, 1.0, 5.0]
+    assert list(r.e) == []
+
+
 def test_evaluate_basket_triples(spark):
     df = spark.createDataFrame(
         [("a", "x", "p")] * 5 + [("a", "x", "q")] * 2
