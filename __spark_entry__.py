@@ -1593,6 +1593,27 @@ def q_kql_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_suite4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal/encoding/compare scalar round-out: endofday/endofmonth
+    (last-microsecond convention), monthofyear/week_of_year (ISO),
+    make_datetime, unixtime_seconds_todatetime, base64 encode/decode
+    round-trip, strcmp, datetime_part."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | project event_id,"
+        " eod = endofday(ts), eom = endofmonth(ts),"
+        " moy = monthofyear(ts), woy = week_of_year(ts),"
+        " qp = datetime_part(\"quarter\", ts),"
+        " ux = unixtime_seconds_todatetime(event_id),"
+        " b64 = base64_encode_tostring(event_type),"
+        " bd = base64_decode_tostring(base64_encode_tostring(event_type)),"
+        " sc = strcmp(event_type, \"login\")",
+    )
+
+
 def q_kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate narrow()` — per-row transpose to (Row, Column, Value)
     string triples over a serialized prefix (sort + take bound the
@@ -2480,7 +2501,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_series_fir", "kql_series_iir", "kql_series_fit2",
     "dedup_substring_spans", "kql_basket3", "kql_array_ops",
     "kql_series_periods", "otlp_reconstruct_logs", "kql_series_fill",
-    "kql_series_seasonal", "kql_narrow",
+    "kql_series_seasonal", "kql_narrow", "kql_scalar_suite4",
 )
 
 
@@ -2580,6 +2601,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_fill": q_kql_series_fill,
         "kql_series_seasonal": q_kql_series_seasonal,
         "kql_narrow": q_kql_narrow,
+        "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -3489,6 +3511,23 @@ GROUP BY 1, 2, 3, 4, 5
             "CAST(SUM(COALESCE(ffv, 0)) AS DOUBLE) AS s_ff, "
             "CAST(SUM(COALESCE(fbv, 0)) AS DOUBLE) AS s_fb "
             "FROM x GROUP BY event_type"
+        ),
+        "kql_scalar_suite4": (
+            "SELECT event_id, "
+            "date_trunc('day', ts) + INTERVAL 1 DAY"
+            " - INTERVAL 1 MICROSECOND AS eod, "
+            "date_trunc('month', ts) + INTERVAL 1 MONTH"
+            " - INTERVAL 1 MICROSECOND AS eom, "
+            "CAST(month(ts) AS BIGINT) AS moy, "
+            "CAST(weekofyear(ts) AS BIGINT) AS woy, "
+            "CAST(quarter(ts) AS BIGINT) AS qp, "
+            "CAST(to_timestamp(event_id) AS TIMESTAMP) AS ux, "
+            "base64(encode(event_type)) AS b64, "
+            "decode(from_base64(base64(encode(event_type)))) AS bd, "
+            "CAST(CASE WHEN event_type = 'login' THEN 0 "
+            "WHEN event_type < 'login' THEN -1 ELSE 1 END AS BIGINT)"
+            " AS sc "
+            "FROM events"
         ),
         "kql_narrow": (
             "WITH t AS (SELECT event_id, event_type, user_id FROM events"

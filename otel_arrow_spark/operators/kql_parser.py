@@ -883,6 +883,33 @@ _FUNC_MAP_SIMPLE = {
         F.timestamp_add("DAY", F.lit(7), F.date_trunc("week", a[0])),
     ),
     "startofmonth": lambda a: F.date_trunc("month", a[0]),
+    # end-of-period twins (same convention as endofweek: last
+    # microsecond before the next period starts)
+    "endofday": lambda a: F.timestamp_add(
+        "MICROSECOND", F.lit(-1),
+        F.timestamp_add("DAY", F.lit(1), F.date_trunc("day", a[0])),
+    ),
+    "endofmonth": lambda a: F.timestamp_add(
+        "MICROSECOND", F.lit(-1),
+        F.timestamp_add("MONTH", F.lit(1), F.date_trunc("month", a[0])),
+    ),
+    "monthofyear": lambda a: F.month(a[0]).cast("bigint"),
+    "week_of_year": lambda a: F.weekofyear(a[0]).cast("bigint"),
+    "make_datetime": lambda a: F.make_timestamp_ntz(
+        a[0].cast("int"), a[1].cast("int"), a[2].cast("int"),
+        (a[3] if len(a) > 3 else F.lit(0)).cast("int"),
+        (a[4] if len(a) > 4 else F.lit(0)).cast("int"),
+        (a[5] if len(a) > 5 else F.lit(0)).cast("double"),
+    ),
+    "unixtime_seconds_todatetime": lambda a: F.timestamp_seconds(
+        a[0]
+    ).cast("timestamp_ntz"),
+    "base64_encode_tostring": lambda a: F.base64(a[0].cast("binary")),
+    "base64_decode_tostring": lambda a: F.unbase64(a[0]).cast("string"),
+    "strcmp": lambda a: F.when(a[0] == a[1], F.lit(0))
+    .when(a[0] < a[1], F.lit(-1))
+    .when(a[0] > a[1], F.lit(1))
+    .cast("bigint"),
     # engine-defined 64-bit hash (xxhash64 here; Kusto's own hash() is
     # likewise engine-specific) — pytest-only, no cross-engine oracle
     "hash": lambda a: (
@@ -1570,6 +1597,20 @@ class ExprParser:
                 F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(secs)),
                 src,
             )
+        if lname == "datetime_part":
+            # datetime_part('part', d) — extract a named date part
+            if len(args) != 2:
+                raise KqlError("datetime_part needs (part, d)")
+            part = _lit_str(args[0]).lower()
+            extractors = {
+                "year": F.year, "month": F.month, "day": F.dayofmonth,
+                "hour": F.hour, "minute": F.minute, "second": F.second,
+                "weekofyear": F.weekofyear, "dayofyear": F.dayofyear,
+                "quarter": F.quarter,
+            }
+            if part not in extractors:
+                raise KqlError(f"datetime_part: unknown part {part!r}")
+            return KE(extractors[part](args[1].col).cast("bigint"))
         if lname == "datetime_diff":
             # datetime_diff('part', d1, d2) = d1 - d2 in whole parts;
             # timestamp_diff(unit, start, end) = end - start

@@ -1889,6 +1889,34 @@ def test_series_seasonal(spark):
     assert list(r.e) == []
 
 
+def test_scalar_suite4_functions(spark):
+    df = spark.createDataFrame([("2024-03-05 10:20:30",)], "ts string")
+    r = kql(
+        df,
+        "T | extend d = todatetime(ts) | project"
+        " eod = endofday(d), eom = endofmonth(d),"
+        " moy = monthofyear(d), woy = week_of_year(d),"
+        " mk = make_datetime(2024, 3, 5, 6, 7, 8.0),"
+        " mk3 = make_datetime(2024, 3, 5),"
+        " ux = unixtime_seconds_todatetime(86400),"
+        ' b64 = base64_encode_tostring("ab"),'
+        ' bd = base64_decode_tostring("YWI="),'
+        ' sc1 = strcmp("a", "b"), sc2 = strcmp("b", "a"),'
+        ' sc0 = strcmp("a", "a"),'
+        ' qp = datetime_part("quarter", d),'
+        ' dp = datetime_part("dayofyear", d)',
+    ).collect()[0]
+    assert str(r.eod) == "2024-03-05 23:59:59.999999"
+    assert str(r.eom) == "2024-03-31 23:59:59.999999"
+    assert r.moy == 3 and r.woy == 10
+    assert str(r.mk) == "2024-03-05 06:07:08"
+    assert str(r.mk3) == "2024-03-05 00:00:00"
+    assert str(r.ux).startswith("1970-01-02 00:00:00")
+    assert r.b64 == "YWI=" and r.bd == "ab"
+    assert (r.sc1, r.sc2, r.sc0) == (-1, 1, 0)
+    assert r.qp == 1 and r.dp == 65
+
+
 def test_evaluate_narrow(spark):
     df = spark.createDataFrame([(2, "b"), (1, None)], "k int, s string")
     rows = kql(df, "T | sort by k asc | evaluate narrow()").collect()
