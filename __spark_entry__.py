@@ -1593,6 +1593,22 @@ def q_kql_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`reduce by` — log-pattern clustering (hex/digit runs → `*`,
+    MIN representative): one map-side-combinable aggregation, the
+    100 TB template-mining shape."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend msg = strcat(event_type,"
+        ' " user=", tostring(user_id),'
+        ' " id=", tostring(event_id))'
+        " | reduce by msg",
+    )
+
+
 def q_kql_scalar_suite4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal/encoding/compare scalar round-out: endofday/endofmonth
     (last-microsecond convention), monthofyear/week_of_year (ISO),
@@ -2502,6 +2518,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "dedup_substring_spans", "kql_basket3", "kql_array_ops",
     "kql_series_periods", "otlp_reconstruct_logs", "kql_series_fill",
     "kql_series_seasonal", "kql_narrow", "kql_scalar_suite4",
+    "kql_reduce",
 )
 
 
@@ -2602,6 +2619,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_seasonal": q_kql_series_seasonal,
         "kql_narrow": q_kql_narrow,
         "kql_scalar_suite4": q_kql_scalar_suite4,
+        "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
         "kql_text_datatable_lookup": q_kql_text_datatable_lookup,
         "kql_text_join": q_kql_text_join,
@@ -3511,6 +3529,17 @@ GROUP BY 1, 2, 3, 4, 5
             "CAST(SUM(COALESCE(ffv, 0)) AS DOUBLE) AS s_ff, "
             "CAST(SUM(COALESCE(fbv, 0)) AS DOUBLE) AS s_fb "
             "FROM x GROUP BY event_type"
+        ),
+        "kql_reduce": (
+            "WITH m AS (SELECT event_type || ' user=' || "
+            "CAST(user_id AS VARCHAR) || ' id=' || "
+            "CAST(event_id AS VARCHAR) AS msg FROM events) "
+            "SELECT regexp_replace(regexp_replace(msg,"
+            " '[0-9a-f]{4,}', '*', 'g'), '[0-9]+', '*', 'g')"
+            " AS \"Pattern\", "
+            "CAST(COUNT(*) AS BIGINT) AS \"Count\", "
+            "MIN(msg) AS \"Representative\" "
+            "FROM m GROUP BY 1"
         ),
         "kql_scalar_suite4": (
             "SELECT event_id, "

@@ -2574,7 +2574,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
     _ORDER_DESTROYING = {
         "summarize", "join", "lookup", "union", "distinct", "count",
         "sample", "sample-distinct", "mv-expand", "mv-apply",
-        "make-series", "evaluate", "top-nested", "search",
+        "make-series", "evaluate", "top-nested", "search", "reduce",
     }
 
     def pe(s: str) -> Column:
@@ -3949,6 +3949,32 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             df = _apply_stages(mv, substages, bindings, tables)
             if "_mvid" in df.columns:
                 df = df.drop("_mvid")
+        elif op == "reduce":
+            # `reduce by expr` — Kusto's log-pattern clustering: rows
+            # whose string collapses to the same wildcard pattern group
+            # together, output (Pattern, Count, Representative). The
+            # pattern rule is a documented deterministic subset of
+            # Kusto's similarity heuristic: hex runs (>= 4 chars) then
+            # digit runs become `*`. Representative is the MIN source
+            # string (Kusto picks an arbitrary member; min keeps the
+            # result engine-portable). One map-side-combinable
+            # aggregation — the 100 TB shape for template mining.
+            m2 = re.match(r"^by\s+(.+)$", rest, re.S)
+            if not m2:
+                raise KqlError("reduce needs `by <expr>`")
+            src_col = pe(m2.group(1).strip())
+            pat = F.regexp_replace(
+                F.regexp_replace(src_col, F.lit("[0-9a-f]{4,}"), F.lit("*")),
+                F.lit("[0-9]+"), F.lit("*"),
+            )
+            df = (
+                df.select(pat.alias("Pattern"), src_col.alias("_src"))
+                .groupBy("Pattern")
+                .agg(
+                    F.count(F.lit(1)).alias("Count"),
+                    F.min("_src").alias("Representative"),
+                )
+            )
         elif op == "sample":
             # `sample N` — KQL's row sample. Engine choice: order by a
             # 64-bit hash of the row content and keep N, which Catalyst

@@ -1889,6 +1889,25 @@ def test_series_seasonal(spark):
     assert list(r.e) == []
 
 
+def test_reduce_by(spark):
+    df = spark.createDataFrame(
+        [
+            ("GET /api/user/1234 took 56ms",),
+            ("GET /api/user/99 took 7ms",),
+            ("POST /login from deadbeef01",),
+            ("POST /login from cafe0042",),
+            ("heartbeat ok",),
+        ],
+        "msg string",
+    )
+    rows = {r.Pattern: r for r in kql(df, "T | reduce by msg").collect()}
+    g = rows["GET /api/user/* took *ms"]
+    assert g.Count == 2
+    assert g.Representative == "GET /api/user/1234 took 56ms"  # min()
+    assert rows["POST /login from *"].Count == 2
+    assert rows["heartbeat ok"].Count == 1
+
+
 def test_scalar_suite4_functions(spark):
     df = spark.createDataFrame([("2024-03-05 10:20:30",)], "ts string")
     r = kql(
