@@ -1646,6 +1646,56 @@ def q_kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hll()/hll_merge()/dcount_hll() — the explicit-sketch distinct
+    pipeline (Kusto aggregates; Spark Datasketches HllSketch). Per
+    (event_type, hour) sketches merge up to per-type totals: the
+    two-level rollup that at 100 TB shuffles fixed-size sketches
+    instead of re-scanning rows. The DuckDB oracle uses exact
+    COUNT(DISTINCT): at gate scale every sketch is in sparse mode,
+    where the estimate is exact by construction (pytest covers the
+    large-cardinality approximation bound separately)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend h = hourofday(ts)"
+        " | summarize s = hll(user_id) by event_type, h"
+        " | summarize du = dcount_hll(hll_merge(s)),"
+        " legs = count() by event_type"
+        " | order by event_type asc",
+    )
+
+
+def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_bag / make_set_if / make_list_if collection aggregates.
+    The bag packs per-hour counts under unique keys (deterministic
+    content); projection canonicalizes to sorted keys + value sum so
+    the cross-engine hash is stable. Conditional collects are
+    array_sort-ed into multisets for the same reason."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend h = hourofday(ts)"
+        " | where h < 4"
+        " | summarize n = count() by event_type, h"
+        " | summarize b = make_bag(bag_pack(strcat(\"h\","
+        " tostring(h)), n)),"
+        " hs = array_sort_asc(make_set_if(h, n > 10)),"
+        " ls = array_sort_asc(make_list_if(n, h < 2))"
+        " by event_type"
+        " | project event_type,"
+        " bag_ks = strcat_array(array_sort_asc(bag_keys(b)), \",\"),"
+        " n_keys = array_length(bag_keys(b)),"
+        " hs_csv = strcat_array(hs, \",\"),"
+        " ls_sum = array_sum(ls)"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_series_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``series_seasonal`` with an explicit 24-hour period over a
     two-day hourly count grid: each element takes its phase's median
@@ -2618,6 +2668,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_fill": q_kql_series_fill,
         "kql_series_seasonal": q_kql_series_seasonal,
         "kql_narrow": q_kql_narrow,
+        "kql_sketch_aggs": q_kql_sketch_aggs,
+        "kql_bag_collect": q_kql_bag_collect,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -3568,6 +3620,25 @@ GROUP BY 1, 2, 3, 4, 5
             "UNION ALL SELECT \"Row\", 'event_type', event_type FROM r "
             "UNION ALL SELECT \"Row\", 'user_id', "
             "CAST(user_id AS VARCHAR) FROM r"
+        ),
+        "kql_sketch_aggs": (
+            "SELECT event_type, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS du, "
+            "CAST(COUNT(DISTINCT hour(ts)) AS BIGINT) AS legs "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "kql_bag_collect": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(hour(ts) AS BIGINT) AS h, COUNT(*) AS n "
+            "FROM events WHERE hour(ts) < 4 GROUP BY 1, 2) "
+            "SELECT event_type, "
+            "COALESCE(string_agg('h' || CAST(h AS VARCHAR), ','"
+            " ORDER BY 'h' || CAST(h AS VARCHAR)), '') AS bag_ks, "
+            "CAST(COUNT(*) AS INT) AS n_keys, "
+            "COALESCE(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)"
+            " FILTER (WHERE n > 10), '') AS hs_csv, "
+            "CAST(SUM(CASE WHEN h < 2 THEN n END) AS BIGINT) AS ls_sum "
+            "FROM c GROUP BY event_type ORDER BY event_type"
         ),
         "kql_series_seasonal": (
             "WITH r AS (SELECT event_type, ts FROM events "

@@ -1097,6 +1097,10 @@ _FUNC_MAP_SIMPLE = {
     # misc
     "strlen_bytes": lambda a: F.octet_length(a[0]),
     "hash_sha256": lambda a: F.sha2(a[0], 256),
+    # dcount_hll(sketch) — read the cardinality estimate out of an
+    # hll()/hll_merge() sketch (Datasketches HLL; exact in sparse mode,
+    # i.e. for small per-group cardinalities)
+    "dcount_hll": lambda a: F.hll_sketch_estimate(a[0]),
     # OTTL converter aliases (public OTTL LANGUAGE.md; the shared scalar
     # core the ottl module's value/where expressions parse through)
     "len": lambda a: F.length(a[0]),
@@ -1156,7 +1160,42 @@ _AGG_MAP = {
     # the sketch: HyperLogLog++, bounded state per group at any scale,
     # mergeable map-side.
     "dcount_approx": lambda a: F.approx_count_distinct(a[0]),
+    # hll()/hll_merge() — Kusto's explicit-sketch pair (aggregates.md):
+    # hll(x) folds values into a binary HLL sketch, hll_merge(s) unions
+    # sketches, dcount_hll(s) (scalar) reads the estimate. Spark's
+    # Datasketches HllSketch: fixed-size state per group, map-side
+    # partial merge — the shape that makes per-hour→per-day distinct
+    # rollups one shuffle of sketches instead of a re-scan at 100 TB.
+    "hll": lambda a: F.hll_sketch_agg(a[0]),
+    "hll_merge": lambda a: F.hll_union_agg(a[0]),
+    # make_list_if/make_set_if — collect_list/set skip NULLs, so the
+    # failed-predicate rows vanish, matching KQL *if() semantics
+    "make_list_if": lambda a: F.collect_list(F.when(a[1], a[0])),
+    "make_set_if": lambda a: F.array_sort(F.collect_set(F.when(a[1], a[0]))),
+    # make_bag(m) — union of property bags across the group. Entry
+    # order follows collect_list (arbitrary across partitions, like
+    # KQL); first occurrence of a key wins, enforced by the indexed
+    # filter so conflicting keys can't crash map_from_entries.
+    "make_bag": lambda a: _make_bag(a[0]),
 }
+
+
+def _make_bag(m: Column) -> Column:
+    # bags flow through the parser as VARIANT (bag_pack's json detour);
+    # normalize either VARIANT or MAP input to map<string,string> —
+    # one to_json/from_json round-trip, stays whole-stage codegen
+    m = F.from_json(F.to_json(m), "map<string,string>")
+    entries = F.flatten(F.collect_list(F.map_entries(m)))
+    dedup = F.filter(
+        entries,
+        lambda e, i: F.array_position(
+            F.transform(entries, lambda x: x["key"]), e["key"]
+        ) == i + F.lit(1),
+    )
+    # back to VARIANT so the result composes with bag_keys/accessors in
+    # later stages (the stage compiler re-derives variant cols from the
+    # schema each stage)
+    return F.parse_json(F.to_json(F.map_from_entries(dedup)))
 
 
 def _percentiles_array(args: list[KE]) -> KE:

@@ -2036,3 +2036,55 @@ def test_array_manipulation_fns(spark):
     assert r.rp == [7, 7, 7]
     assert r.ai == [1, 9]
     assert r.sj == "a|b|c"
+
+
+def test_hll_sketch_aggs(spark):
+    """hll()/hll_merge()/dcount_hll(): exact in sparse mode, within the
+    Datasketches error bound (~1.6%/sqrt(2^lgK), lgK=12 default) at
+    large cardinality (Kusto aggregates.md hll/dcount_hll contract)."""
+    # sparse (coupon) mode is exact through ~384 distinct at the
+    # default lgK=12; measured empirically (400 -> 398). The oracle
+    # query's gate-scale cardinality (<=150) sits well inside this.
+    small = spark.range(0, 300).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    r = kql(
+        small,
+        "t | summarize s = hll(v) by g"
+        " | summarize du = dcount_hll(hll_merge(s)), n = count()",
+    ).collect()[0]
+    assert r.du == 300 and r.n == 5
+    big = spark.range(0, 200_000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    r2 = kql(
+        big,
+        "t | summarize s = hll(v) by g"
+        " | summarize du = dcount_hll(hll_merge(s))",
+    ).collect()[0]
+    assert abs(r2.du - 200_000) / 200_000 < 0.05
+
+
+def test_make_bag_and_conditional_collects(spark):
+    """make_bag unions bags (one value per key survives); make_set_if /
+    make_list_if drop failed-predicate rows entirely (not NULLs)."""
+    rows = spark.createDataFrame(
+        [("a", "k1", 1), ("a", "k2", 2), ("a", "k1", 9), ("b", "k3", 3)],
+        "g string, k string, v int",
+    )
+    r = {
+        x.g: x
+        for x in kql(
+            rows,
+            "t | summarize b = make_bag(bag_pack(k, v)),"
+            " se = array_sort_asc(make_set_if(v, v > 1)),"
+            " li = array_sort_asc(make_list_if(v, v < 3)) by g"
+            " | project g, ks = array_sort_asc(bag_keys(b)), se, li",
+        ).collect()
+    }
+    assert r["a"].ks == ["k1", "k2"]
+    assert r["a"].se == [2, 9]
+    assert r["a"].li == [1, 2]
+    assert r["b"].ks == ["k3"]
+    assert list(r["b"].se) == [3]
+    assert list(r["b"].li) == []
