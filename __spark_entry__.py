@@ -1668,6 +1668,62 @@ def q_kql_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make-graph / graph-match over a bipartite user→item graph:
+    high-value purchase edges (user --w--> props.k), 2-hop co-purchase
+    pattern ``(u1)-[e1]->(kk)<-[e2]-(u2)`` with an orientation
+    constraint so each pair appears once. The pattern compiles to ONE
+    equi-join of the filtered edge relation with itself on the shared
+    item node (kql_parser graph-match; Kusto graph-operators.md) —
+    the value filter is pushed into both edge copies at the scan, so
+    at 100 TB the join input is the rare-edge subset, never the raw
+    event log."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | where event_type == 'purchase' and value > 150.0"
+        " | project u = user_id, k = tolong(parse_json(props)['k']),"
+        " w = value"
+        " | make-graph u --> k with_node_id=id"
+        " | graph-match (u1)-[e1]->(kk)<-[e2]-(u2)"
+        " where u1.id < u2.id"
+        " project u1 = u1.id, u2 = u2.id, k = kk.id,"
+        " wsum = round(e1.w + e2.w, 2)"
+        " | order by u1 asc, u2 asc, k asc",
+    )
+
+
+def q_graph_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make-graph with a node-property table + 2-hop chain match. The
+    edge relation is the per-user event-type transition graph (prev →
+    current, weight = transition count, built by the serialized
+    per-user window — one parallel Window, no global pass); nodes carry
+    per-type totals and join in by id (`with types on id`). The chain
+    ``(a)-[e1]->(b)-[e2]->(c)`` is a self-equi-join of the ~|types|²
+    aggregated edge relation — graph-match runs over the AGGREGATE, so
+    scale lives in the upstream groupBy, not the match."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    types = kql(events, "events | summarize n = count() by id = event_type")
+    return kql(
+        events,
+        "events | sort by user_id asc, ts asc, event_id asc"
+        " | serialize by user_id p = prev(event_type)"
+        " | where isnotnull(p)"
+        " | summarize w = count() by s = p, t = event_type"
+        " | make-graph s --> t with types on id"
+        " | graph-match (a)-[e1]->(b)-[e2]->(c)"
+        " where e1.w >= 50 and e2.w >= 50 and a.id != c.id"
+        " project a = a.id, b = b.id, c = c.id,"
+        " n2 = e1.w + e2.w, bn = b.n"
+        " | order by a asc, b asc, c asc",
+        tables={"types": types},
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2670,6 +2726,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_narrow": q_kql_narrow,
         "kql_sketch_aggs": q_kql_sketch_aggs,
         "kql_bag_collect": q_kql_bag_collect,
+        "graph_copurchase_pairs": q_graph_copurchase_pairs,
+        "graph_type_transitions": q_graph_type_transitions,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -3639,6 +3697,31 @@ GROUP BY 1, 2, 3, 4, 5
             " FILTER (WHERE n > 10), '') AS hs_csv, "
             "CAST(SUM(CASE WHEN h < 2 THEN n END) AS BIGINT) AS ls_sum "
             "FROM c GROUP BY event_type ORDER BY event_type"
+        ),
+        "graph_copurchase_pairs": (
+            "WITH e AS (SELECT user_id AS u, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+            "value AS w FROM events "
+            "WHERE event_type = 'purchase' AND value > 150.0) "
+            "SELECT a.u AS u1, b.u AS u2, a.k AS k, "
+            "round(a.w + b.w, 2) AS wsum "
+            "FROM e a JOIN e b ON a.k = b.k AND a.u < b.u "
+            "ORDER BY u1, u2, k"
+        ),
+        "graph_type_transitions": (
+            "WITH seq AS (SELECT user_id, event_type AS t, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS p FROM events), "
+            "e AS (SELECT p AS s, t, CAST(COUNT(*) AS BIGINT) AS w "
+            "FROM seq WHERE p IS NOT NULL GROUP BY 1, 2), "
+            "n AS (SELECT event_type AS id, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1) "
+            "SELECT e1.s AS a, e1.t AS b, e2.t AS c, "
+            "e1.w + e2.w AS n2, n.n AS bn "
+            "FROM e e1 JOIN e e2 ON e1.t = e2.s "
+            "JOIN n ON n.id = e1.t "
+            "WHERE e1.w >= 50 AND e2.w >= 50 AND e1.s <> e2.t "
+            "ORDER BY a, b, c"
         ),
         "kql_series_seasonal": (
             "WITH r AS (SELECT event_type, ts FROM events "

@@ -60,6 +60,7 @@ object identity (which could both leak and misclassify reused ids).
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass
 
@@ -2411,6 +2412,112 @@ def _parse_source(src: str, tables: dict[str, DataFrame] | None,
     return _apply_stages(tables[name], stages[1:], bindings, tables)
 
 
+# ---------------------------------------------------------------------------
+# graph operators: make-graph / graph-match / graph-to-table
+# ---------------------------------------------------------------------------
+# Kusto's graph semantics (graph-operators.md) re-expressed as joins:
+# a graph is (edges relation, src col, dst col, optional nodes relation
+# keyed by a node-id col); a fixed-length `graph-match` pattern compiles
+# to a left-deep chain of EQUI-joins over prefixed copies of the edge
+# relation (one per edge variable), node properties join in by id, and
+# the `cycles=` constraint becomes pairwise filters. Catalyst then
+# plans each hop like any other join (broadcast under threshold, AQE
+# skew-split otherwise) — no bespoke graph runtime, which is exactly
+# how a 100 TB edge relation wants to be traversed for bounded-depth
+# patterns. (Unbounded/variable-length paths belong to the iterative
+# connected-components machinery in `dataops/dedup.py`, not here.)
+
+_GRAPH_NODE_RE = re.compile(r"\s*\(\s*([A-Za-z_]\w*)?\s*\)")
+# (pattern, forward?) — named `-[e]->` / `<-[e]-` and bare `-->` / `<--`
+_GRAPH_EDGE_RES = (
+    (re.compile(r"\s*-\[\s*([A-Za-z_]\w*)?\s*\]->"), True),
+    (re.compile(r"\s*<-\[\s*([A-Za-z_]\w*)?\s*\]-"), False),
+    (re.compile(r"\s*-->"), True),
+    (re.compile(r"\s*<--"), False),
+)
+
+_STR_SEG_RE = re.compile(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")")
+
+
+def _parse_graph_pattern(
+    src: str, pos: int,
+) -> tuple[list[str | None], list[tuple[str | None, bool]], int]:
+    """Parse ``(a)-[e]->(b)<-[f]-(c)…`` at ``src[pos:]``; returns
+    (node vars, [(edge var, forward?)], end position). Anonymous
+    nodes/edges are None."""
+    m = _GRAPH_NODE_RE.match(src, pos)
+    if not m:
+        raise KqlError(f"graph-match pattern must start with a node "
+                       f"`(var)`, got {src[pos:pos + 20]!r}")
+    nodes: list[str | None] = [m.group(1)]
+    edges: list[tuple[str | None, bool]] = []
+    pos = m.end()
+    while True:
+        hit = None
+        for rx, fwd in _GRAPH_EDGE_RES:
+            me = rx.match(src, pos)
+            if me:
+                hit = (me.group(1) if me.groups() else None, fwd,
+                       me.end())
+                break
+        if hit is None:
+            break
+        mn = _GRAPH_NODE_RE.match(src, hit[2])
+        if not mn:
+            raise KqlError("graph-match: edge must be followed by a "
+                           "node `(var)`")
+        edges.append((hit[0], hit[1]))
+        nodes.append(mn.group(1))
+        pos = mn.end()
+    if not edges:
+        raise KqlError("graph-match pattern needs at least one edge")
+    return nodes, edges, pos
+
+
+def _find_kw_top(src: str, kw: str) -> int | None:
+    """First index of word ``kw`` outside strings/brackets, or None."""
+    depth, i, in_str = 0, 0, None
+    n, k = len(src), len(kw)
+    while i < n:
+        ch = src[i]
+        if in_str:
+            if ch == "\\":
+                i += 1
+            elif ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0 and src.startswith(kw, i):
+            before_ok = i == 0 or not (src[i - 1].isalnum()
+                                       or src[i - 1] == "_")
+            after = i + k
+            after_ok = after >= n or not (src[after].isalnum()
+                                          or src[after] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return None
+
+
+def _rewrite_graph_refs(src: str, gvars: set[str]) -> str:
+    """Rewrite ``var.prop`` → ``var__prop`` for pattern variables,
+    outside string literals (variant paths on other names untouched)."""
+    def rw(m: re.Match) -> str:
+        return (f"{m.group(1)}__{m.group(2)}"
+                if m.group(1) in gvars else m.group(0))
+
+    parts = _STR_SEG_RE.split(src)
+    return "".join(
+        p if i % 2 else
+        re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", rw, p)
+        for i, p in enumerate(parts)
+    )
+
+
 def kql(df: DataFrame, query: str,
         tables: dict[str, DataFrame] | None = None) -> DataFrame:
     """Run a KQL pipeline string against a DataFrame.
@@ -2614,6 +2721,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         "summarize", "join", "lookup", "union", "distinct", "count",
         "sample", "sample-distinct", "mv-expand", "mv-apply",
         "make-series", "evaluate", "top-nested", "search", "reduce",
+        "make-graph", "graph-match", "graph-to-table",
     }
 
     def pe(s: str) -> Column:
@@ -4142,6 +4250,188 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             df = kept.select(*out_cols)
             for oth in others_parts:
                 df = df.unionByName(oth, allowMissingColumns=True)
+        elif op == "make-graph":
+            # `make-graph src --> dst [with <nodes> on <id>]`
+            # `make-graph src --> dst [with_node_id=<name>]`
+            # Builds the graph value graph-match / graph-to-table
+            # consume (Kusto make-graph-operator.md). Nodes absent →
+            # implicit node set (edge endpoints), id column named by
+            # with_node_id (default `node_id`).
+            m2 = re.match(
+                r"^([A-Za-z_]\w*)\s*-->\s*([A-Za-z_]\w*)\s*"
+                r"(?:with\s+(.+?)\s+on\s+([A-Za-z_]\w*)"
+                r"|with_node_id\s*=\s*([A-Za-z_]\w*))?\s*$",
+                rest, re.S,
+            )
+            if not m2:
+                raise KqlError(
+                    "make-graph needs `srcCol --> dstCol "
+                    "[with nodesSource on idCol | with_node_id=name]`"
+                )
+            srcc, dstc, nsrc, nid, anon_id = m2.groups()
+            for c in (srcc, dstc):
+                if c not in df.columns:
+                    raise KqlError(f"make-graph: no column {c!r}")
+            ndf = (_parse_source(nsrc, tables, bindings)
+                   if nsrc is not None else None)
+            sctx["graph"] = {
+                "edges": df, "src": srcc, "dst": dstc,
+                "nodes": ndf, "nid": nid or anon_id or "node_id",
+            }
+        elif op == "graph-to-table":
+            g = sctx.get("graph")
+            if g is None:
+                raise KqlError(
+                    "graph-to-table requires a preceding make-graph")
+            which = rest.strip() or "edges"
+            if which == "edges":
+                df = g["edges"]
+            elif which == "nodes":
+                if g["nodes"] is not None:
+                    df = g["nodes"]
+                else:
+                    # implicit node set: distinct edge endpoints
+                    df = (
+                        g["edges"].select(
+                            F.col(g["src"]).alias(g["nid"]))
+                        .unionByName(g["edges"].select(
+                            F.col(g["dst"]).alias(g["nid"])))
+                        .distinct()
+                    )
+            else:
+                raise KqlError(
+                    "graph-to-table takes `nodes` or `edges`")
+            sctx["graph"] = None
+        elif op == "graph-match":
+            # `graph-match [cycles=all|none|unique_edges] (a)-[e]->(b)…
+            #  [where <expr>] project [name =] expr, …`
+            # Fixed-length patterns only — each edge variable is one
+            # prefixed copy of the edge relation, chained by equi-joins
+            # on shared node variables; named node variables LEFT-join
+            # node properties by id (nodes missing from the node table
+            # still match, their non-id properties NULL — Kusto keeps
+            # edge-endpoint nodes that carry no node row). `cycles=`:
+            # `unique_edges` (the Kusto default) filters pairwise
+            # identical edge ROWS (whole-row null-safe compare — a
+            # multigraph with fully duplicate edge rows cannot be
+            # distinguished without an id column, same as Kusto without
+            # one); `none` makes all node variables pairwise distinct;
+            # `all` adds nothing.
+            g = sctx.get("graph")
+            if g is None:
+                raise KqlError(
+                    "graph-match requires a preceding make-graph")
+            mm = re.match(
+                r"^(?:cycles\s*=\s*(all|none|unique_edges)\s+)?", rest)
+            cycles = mm.group(1) or "unique_edges"
+            npat, epat, pos = _parse_graph_pattern(rest, mm.end())
+            tail = rest[pos:].strip()
+            pidx = _find_kw_top(tail, "project")
+            if pidx is None:
+                raise KqlError("graph-match needs a `project` clause")
+            head = tail[:pidx].strip()
+            proj_src = tail[pidx + len("project"):].strip()
+            where_src = None
+            if head:
+                if not re.match(r"^where\b", head):
+                    raise KqlError(
+                        f"graph-match: unexpected {head[:30]!r} between "
+                        "pattern and project (only `where` is allowed)")
+                where_src = head[5:].strip()
+            nvars = [v or f"_n{j}" for j, v in enumerate(npat)]
+            ebase, ecols = g["edges"], g["edges"].columns
+            bound: dict[str, str] = {}
+            evars: list[str] = []
+            rel = None
+            for i, (ev0, fwd) in enumerate(epat):
+                ev = ev0 or f"_e{i}"
+                if ev in evars or ev in nvars:
+                    raise KqlError(
+                        f"graph-match: duplicate edge variable {ev!r}")
+                evars.append(ev)
+                edf = ebase.select(
+                    *[F.col(c).alias(f"{ev}__{c}") for c in ecols])
+                s, d = f"{ev}__{g['src']}", f"{ev}__{g['dst']}"
+                lcol, rcol = (s, d) if fwd else (d, s)
+                pairs = [(nvars[i], lcol), (nvars[i + 1], rcol)]
+                conds: list[Column] = []
+                if rel is None:
+                    rel = edf
+                    for var, cn in pairs:
+                        if var in bound:
+                            conds.append(
+                                F.col(bound[var]) == F.col(cn))
+                        else:
+                            bound[var] = cn
+                    for c in conds:
+                        rel = rel.filter(c)
+                else:
+                    defer = []
+                    for var, cn in pairs:
+                        if var in bound:
+                            conds.append(
+                                F.col(bound[var]) == F.col(cn))
+                        else:
+                            defer.append((var, cn))
+                    if not conds:
+                        raise KqlError(
+                            "graph-match pattern must be connected")
+                    cond = conds[0]
+                    for c in conds[1:]:
+                        cond = cond & c
+                    rel = rel.join(edf, cond, "inner")
+                    for var, cn in defer:
+                        bound[var] = cn
+            if cycles == "none":
+                for a, b in itertools.combinations(
+                        dict.fromkeys(nvars), 2):
+                    rel = rel.filter(
+                        F.col(bound[a]) != F.col(bound[b]))
+            elif cycles == "unique_edges":
+                for e1, e2 in itertools.combinations(evars, 2):
+                    neq = None
+                    for c in ecols:
+                        p = ~F.col(f"{e1}__{c}").eqNullSafe(
+                            F.col(f"{e2}__{c}"))
+                        neq = p if neq is None else (neq | p)
+                    rel = rel.filter(neq)
+            nid = g["nid"]
+            for v in dict.fromkeys(n for n in npat if n):
+                if g["nodes"] is not None:
+                    ndf = g["nodes"].select(
+                        *[F.col(c).alias(f"{v}__{c}")
+                          for c in g["nodes"].columns])
+                    rel = rel.join(
+                        ndf,
+                        F.col(bound[v]) == F.col(f"{v}__{nid}"),
+                        "left",
+                    )
+                # the id is always known from the edge endpoint, even
+                # when the node row is absent (left-join miss)
+                rel = rel.withColumn(f"{v}__{nid}", F.col(bound[v]))
+            gvars = set(evars) | set(nvars)
+
+            def gpe(s: str) -> Column:
+                s2 = _rewrite_graph_refs(s, gvars)
+                vcols = {
+                    f.name for f in rel.schema.fields
+                    if f.dataType.typeName() == "variant"
+                }
+                return parse_expr(s2, bindings, variant_cols=vcols)
+
+            if where_src:
+                rel = rel.filter(gpe(where_src))
+            sel = []
+            for name, expr in _parse_assignments(proj_src):
+                if name is None:
+                    m3 = re.fullmatch(
+                        r"\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*", expr)
+                    name = (f"{m3.group(1)}_{m3.group(2)}"
+                            if m3 else None)
+                c = gpe(expr)
+                sel.append(c.alias(name) if name else c)
+            df = rel.select(*sel)
+            sctx["graph"] = None
         else:
             raise KqlError(f"unknown operator {op!r}")
     flush_sort()  # KQL sorted-output guarantee, on the final relation

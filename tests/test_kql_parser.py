@@ -2088,3 +2088,102 @@ def test_make_bag_and_conditional_collects(spark):
     assert r["b"].ks == ["k3"]
     assert list(r["b"].se) == [3]
     assert list(r["b"].li) == []
+
+
+@pytest.fixture(scope="module")
+def toy_graph(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0),
+         ("c", "a", 3.0), ("c", "d", 4.0)],
+        "s string, t string, w double",
+    )
+    nodes = spark.createDataFrame(
+        [("a", "svc"), ("b", "svc"), ("c", "db"), ("d", "cache")],
+        "id string, kind string",
+    )
+    return edges, nodes
+
+
+def test_graph_match_chain_with_node_props(toy_graph):
+    edges, nodes = toy_graph
+    r = kql(
+        edges,
+        "e | make-graph s --> t with n on id"
+        " | graph-match (x)-[e1]->(y)-[e2]->(z)"
+        " where e1.w < 3 and z.kind == 'db'"
+        " project x_id = x.id, y_id = y.id, z_id = z.id,"
+        " total = e1.w + e2.w, yk = y.kind",
+        tables={"n": nodes},
+    ).collect()
+    assert [tuple(x) for x in r] == [("a", "b", "c", 3.0, "svc")]
+
+
+def test_graph_match_directions_and_cycles(toy_graph):
+    edges, _ = toy_graph
+    # reverse edge + cycles=none: shared-target pairs, all nodes distinct
+    got = sorted(
+        tuple(x)
+        for x in kql(
+            edges,
+            "e | make-graph s --> t"
+            " | graph-match cycles=none (p)-[u]->(q)<-[v]-(p2)"
+            " project p = p.node_id, q = q.node_id, p2 = p2.node_id",
+        ).collect()
+    )
+    assert got == [("a", "c", "b"), ("b", "c", "a")]
+    # cycle pattern: same node var at both ends closes the loop
+    got2 = sorted(
+        tuple(x)
+        for x in kql(
+            edges,
+            "e | make-graph s --> t"
+            " | graph-match (a)-[e1]->(b)-[e2]->(a)"
+            " project a = a.node_id, b = b.node_id",
+        ).collect()
+    )
+    assert got2 == [("a", "c"), ("c", "a")]
+    # default cycles=unique_edges: a self-2-cycle over ONE edge row is
+    # not a match (e1 == e2 whole-row) — needs a true self-loop edge
+    loop = kql(
+        edges,
+        "e | make-graph s --> t"
+        " | graph-match (a)-[e1]->(a)-[e2]->(a)"
+        " project a = a.node_id",
+    )
+    assert loop.count() == 0
+
+
+def test_graph_to_table_and_missing_node_rows(spark):
+    edges = spark.createDataFrame(
+        [("a", "x", 1), ("x", "b", 2)], "s string, t string, w int"
+    )
+    nodes = spark.createDataFrame([("a", 10)], "id string, deg int")
+    got = kql(
+        edges,
+        "e | make-graph s --> t with_node_id=nid | graph-to-table nodes",
+    )
+    assert sorted(x.nid for x in got.collect()) == ["a", "b", "x"]
+    # node rows absent from the node table still match; props are NULL
+    r = kql(
+        edges,
+        "e | make-graph s --> t with n on id"
+        " | graph-match (p)-[e1]->(q)"
+        " project p = p.id, q = q.id, pd = p.deg, qd = q.deg",
+        tables={"n": nodes},
+    ).collect()
+    rows = {(x.p, x.q): (x.pd, x.qd) for x in r}
+    assert rows == {("a", "x"): (10, None), ("x", "b"): (None, None)}
+
+
+def test_graph_match_errors(toy_graph):
+    edges, _ = toy_graph
+    with pytest.raises(KqlError, match="make-graph"):
+        kql(edges, "e | graph-match (a)-[e1]->(b) project a = a.node_id")
+    with pytest.raises(KqlError, match="project"):
+        kql(edges, "e | make-graph s --> t | graph-match (a)-[e1]->(b)")
+    with pytest.raises(KqlError, match="duplicate edge"):
+        kql(
+            edges,
+            "e | make-graph s --> t"
+            " | graph-match (a)-[e1]->(b)-[e1]->(c) project a = a.node_id",
+        )
