@@ -1724,6 +1724,32 @@ def q_graph_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_varlen_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length ``graph-match``: ``(a)-[e*1..2]->(c)`` over the
+    event-type transition graph, with the Kusto var-edge surface —
+    ``all(e, pred)`` filters every hop, ``map(e, expr)`` exposes hop
+    properties as an array. Compiles to a UNION of fixed-length
+    equi-join expansions (1-hop ∪ 2-hop), each a declarative join
+    chain; the default ``cycles=unique_edges`` excludes re-using one
+    edge row twice (mirrored in the oracle's pair inequality)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | sort by user_id asc, ts asc, event_id asc"
+        " | serialize by user_id p = prev(event_type)"
+        " | where isnotnull(p)"
+        " | summarize w = count() by s = p, t = event_type"
+        " | make-graph s --> t"
+        " | graph-match (a)-[e*1..2]->(c)"
+        " where a.node_id == 'signup' and all(e, e.w >= 50)"
+        " project c = c.node_id, n_hops = array_length(map(e, e.w)),"
+        " tot = array_sum(map(e, e.w))"
+        " | order by c asc, n_hops asc, tot asc",
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2728,6 +2754,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_bag_collect": q_kql_bag_collect,
         "graph_copurchase_pairs": q_graph_copurchase_pairs,
         "graph_type_transitions": q_graph_type_transitions,
+        "graph_varlen_paths": q_graph_varlen_paths,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -3722,6 +3749,23 @@ GROUP BY 1, 2, 3, 4, 5
             "JOIN n ON n.id = e1.t "
             "WHERE e1.w >= 50 AND e2.w >= 50 AND e1.s <> e2.t "
             "ORDER BY a, b, c"
+        ),
+        "graph_varlen_paths": (
+            "WITH seq AS (SELECT user_id, event_type AS t, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS p FROM events), "
+            "e AS (SELECT p AS s, t, CAST(COUNT(*) AS BIGINT) AS w "
+            "FROM seq WHERE p IS NOT NULL GROUP BY 1, 2), "
+            "one AS (SELECT t AS c, 1 AS n_hops, "
+            "CAST(w AS DOUBLE) AS tot FROM e "
+            "WHERE s = 'signup' AND w >= 50), "
+            "two AS (SELECT e2.t AS c, 2 AS n_hops, "
+            "CAST(e1.w + e2.w AS DOUBLE) AS tot "
+            "FROM e e1 JOIN e e2 ON e1.t = e2.s "
+            "WHERE e1.s = 'signup' AND e1.w >= 50 AND e2.w >= 50 "
+            "AND NOT (e1.s = e2.s AND e1.t = e2.t)) "
+            "SELECT * FROM one UNION ALL SELECT * FROM two "
+            "ORDER BY c, n_hops, tot"
         ),
         "kql_series_seasonal": (
             "WITH r AS (SELECT event_type, ts FROM events "

@@ -2428,45 +2428,61 @@ def _parse_source(src: str, tables: dict[str, DataFrame] | None,
 # connected-components machinery in `dataops/dedup.py`, not here.)
 
 _GRAPH_NODE_RE = re.compile(r"\s*\(\s*([A-Za-z_]\w*)?\s*\)")
-# (pattern, forward?) — named `-[e]->` / `<-[e]-` and bare `-->` / `<--`
+# (pattern, forward?) — named `-[e]->` / `<-[e]-` (optionally
+# variable-length `-[e*lo..hi]->`) and bare `-->` / `<--`
 _GRAPH_EDGE_RES = (
-    (re.compile(r"\s*-\[\s*([A-Za-z_]\w*)?\s*\]->"), True),
-    (re.compile(r"\s*<-\[\s*([A-Za-z_]\w*)?\s*\]-"), False),
+    (re.compile(r"\s*-\[\s*([A-Za-z_]\w*)?\s*"
+                r"(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]->"), True),
+    (re.compile(r"\s*<-\[\s*([A-Za-z_]\w*)?\s*"
+                r"(?:\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]-"), False),
     (re.compile(r"\s*-->"), True),
     (re.compile(r"\s*<--"), False),
 )
+
+# the variable-length expansion multiplies JOIN DEPTH, not data: cap it
+# so a typo can't compile a 50-way self-join
+_GRAPH_MAX_HOPS = 8
 
 _STR_SEG_RE = re.compile(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")")
 
 
 def _parse_graph_pattern(
     src: str, pos: int,
-) -> tuple[list[str | None], list[tuple[str | None, bool]], int]:
-    """Parse ``(a)-[e]->(b)<-[f]-(c)…`` at ``src[pos:]``; returns
-    (node vars, [(edge var, forward?)], end position). Anonymous
-    nodes/edges are None."""
+) -> tuple[list[str | None],
+           list[tuple[str | None, bool, int, int]], int]:
+    """Parse ``(a)-[e]->(b)<-[f*1..3]-(c)…`` at ``src[pos:]``; returns
+    (node vars, [(edge var, forward?, lo, hi)], end position). Fixed
+    edges have lo == hi == 1; anonymous nodes/edges are None."""
     m = _GRAPH_NODE_RE.match(src, pos)
     if not m:
         raise KqlError(f"graph-match pattern must start with a node "
                        f"`(var)`, got {src[pos:pos + 20]!r}")
     nodes: list[str | None] = [m.group(1)]
-    edges: list[tuple[str | None, bool]] = []
+    edges: list[tuple[str | None, bool, int, int]] = []
     pos = m.end()
     while True:
         hit = None
         for rx, fwd in _GRAPH_EDGE_RES:
             me = rx.match(src, pos)
             if me:
-                hit = (me.group(1) if me.groups() else None, fwd,
-                       me.end())
+                gs = me.groups()
+                var = gs[0] if gs else None
+                lo = int(gs[1]) if len(gs) > 1 and gs[1] else 1
+                hi = int(gs[2]) if len(gs) > 2 and gs[2] else lo
+                hit = (var, fwd, lo, hi, me.end())
                 break
         if hit is None:
             break
-        mn = _GRAPH_NODE_RE.match(src, hit[2])
+        var, fwd, lo, hi, end = hit
+        if hi < lo or hi > _GRAPH_MAX_HOPS:
+            raise KqlError(
+                f"graph-match: edge repetition must satisfy "
+                f"0 <= lo <= hi <= {_GRAPH_MAX_HOPS}, got {lo}..{hi}")
+        mn = _GRAPH_NODE_RE.match(src, end)
         if not mn:
             raise KqlError("graph-match: edge must be followed by a "
                            "node `(var)`")
-        edges.append((hit[0], hit[1]))
+        edges.append((var, fwd, lo, hi))
         nodes.append(mn.group(1))
         pos = mn.end()
     if not edges:
@@ -2516,6 +2532,316 @@ def _rewrite_graph_refs(src: str, gvars: set[str]) -> str:
         re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", rw, p)
         for i, p in enumerate(parts)
     )
+
+
+def _sub_outside_strings(src: str, pat: str, repl) -> str:
+    parts = _STR_SEG_RE.split(src)
+    return "".join(
+        p if i % 2 else re.sub(pat, repl, p)
+        for i, p in enumerate(parts)
+    )
+
+
+def _find_call_top(src: str, fn: str, start: int = 0) -> int | None:
+    """Index of ``fn(`` (word-boundary, outside strings) at/after
+    ``start`` — unlike `_find_kw_top` this does NOT require top-level
+    bracket depth, so nested calls like ``not(all(e, …))`` are found."""
+    i, n, in_str = start, len(src), None
+    while i < n:
+        ch = src[i]
+        if in_str:
+            if ch == "\\":
+                i += 1
+            elif ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+        elif src.startswith(fn, i):
+            before_ok = i == 0 or not (src[i - 1].isalnum()
+                                       or src[i - 1] == "_")
+            m = re.match(rf"{fn}\s*\(", src[i:])
+            if before_ok and m:
+                return i
+        i += 1
+    return None
+
+
+def _matching_paren(src: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``src[open_idx] == '('`` (string
+    aware)."""
+    depth, i, in_str = 0, open_idx, None
+    while i < len(src):
+        ch = src[i]
+        if in_str:
+            if ch == "\\":
+                i += 1
+            elif ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise KqlError(f"unbalanced parentheses at {src[open_idx:]!r}")
+
+
+def _expand_varlen_refs(src: str, ev: str,
+                        hop_names: list[str]) -> str:
+    """Expand references to a variable-length edge var ``ev`` for one
+    concrete hop expansion: ``all(ev, P)`` → per-hop conjunction,
+    ``any(ev, P)`` → disjunction, ``map(ev, X)`` → ``pack_array(X per
+    hop)``, bare ``ev.prop`` → ``pack_array(hop.prop …)`` (Kusto:
+    variable-length edge properties surface as dynamic arrays)."""
+    def per_hop(body: str, hop: str) -> str:
+        return _sub_outside_strings(
+            body, rf"\b{re.escape(ev)}\.([A-Za-z_]\w*)\b",
+            lambda m: f"{hop}.{m.group(1)}")
+
+    for fn, joiner, empty in (("all", " and ", "true"),
+                              ("any", " or ", "false")):
+        pos = 0
+        while True:
+            i = _find_call_top(src, fn, pos)
+            if i is None:
+                break
+            op_idx = src.index("(", i)
+            cl_idx = _matching_paren(src, op_idx)
+            args = _split_top_level(src[op_idx + 1:cl_idx], ",")
+            if len(args) == 2 and args[0].strip() == ev:
+                body = args[1]
+                rep = (empty if not hop_names else "(" + joiner.join(
+                    "(" + per_hop(body, h) + ")" for h in hop_names
+                ) + ")")
+                src = src[:i] + rep + src[cl_idx + 1:]
+                pos = i + len(rep)
+            else:
+                pos = op_idx + 1
+    pos = 0
+    while True:
+        i = _find_call_top(src, "map", pos)
+        if i is None:
+            break
+        op_idx = src.index("(", i)
+        cl_idx = _matching_paren(src, op_idx)
+        args = _split_top_level(src[op_idx + 1:cl_idx], ",")
+        if len(args) == 2 and args[0].strip() == ev:
+            rep = ("pack_array(" + ", ".join(
+                per_hop(args[1], h) for h in hop_names) + ")"
+                if hop_names else "dynamic([])")
+            src = src[:i] + rep + src[cl_idx + 1:]
+            pos = i + len(rep)
+        else:
+            pos = op_idx + 1
+    # bare ev.prop — array of the per-hop values
+    if hop_names:
+        src = _sub_outside_strings(
+            src, rf"\b{re.escape(ev)}\.([A-Za-z_]\w*)\b",
+            lambda m: "pack_array(" + ", ".join(
+                f"{h}.{m.group(1)}" for h in hop_names) + ")")
+    else:
+        src = _sub_outside_strings(
+            src, rf"\b{re.escape(ev)}\.([A-Za-z_]\w*)\b",
+            lambda m: "dynamic([])")
+    return src
+
+
+def _graph_match_one(
+    g: dict, nvars: list[str], npat: list[str | None],
+    epat: list[tuple[str | None, bool, int, int]],
+    hop_n: dict[int, int], cycles: str,
+    where_src: str | None, proj_src: str, bindings: dict,
+) -> DataFrame:
+    """One fixed-length expansion of a graph-match pattern → relation.
+    ``hop_n`` maps variable-length edge positions to this expansion's
+    concrete hop count."""
+    ebase, ecols = g["edges"], g["edges"].columns
+    # expand into concrete hops (edge copy name, fwd, left, right)
+    hops: list[tuple[str, bool]] = []
+    seq: list[tuple[str, str, str] | tuple[str, str]] = []
+    varlen_names: dict[str, list[str]] = {}
+    for i, (ev0, fwd, lo, hi) in enumerate(epat):
+        ev = ev0 or f"_e{i}"
+        ln, rn = nvars[i], nvars[i + 1]
+        if (lo, hi) == (1, 1) and i not in hop_n:
+            seq.append((ev, ln, rn))
+            hops.append((ev, fwd))
+        else:
+            h = hop_n[i]
+            names = [f"{ev}__h{j}" for j in range(h)]
+            varlen_names[ev] = names
+            if h == 0:
+                seq.append((ln, rn))       # zero-hop: nodes coincide
+            else:
+                cur = ln
+                for j, nm in enumerate(names):
+                    nxt = rn if j == h - 1 else f"_vn{i}_{j}"
+                    seq.append((nm, cur, nxt))
+                    hops.append((nm, fwd))
+                    cur = nxt
+    fwd_of = dict(hops)
+    bound: dict[str, str] = {}
+    rel: DataFrame | None = None
+    pending_zero: list[tuple[str, str]] = []
+    for el in seq:
+        if len(el) == 2:                   # zero-hop alias
+            ln, rn = el
+            if ln in bound:
+                bound.setdefault(rn, bound[ln])
+                if bound[rn] != bound[ln]:
+                    rel = rel.filter(
+                        F.col(bound[rn]) == F.col(bound[ln]))
+            elif rn in bound:
+                bound[ln] = bound[rn]
+            else:
+                pending_zero.append((ln, rn))
+            continue
+        ev, ln, rn = el
+        edf = ebase.select(
+            *[F.col(c).alias(f"{ev}__{c}") for c in ecols])
+        s, d = f"{ev}__{g['src']}", f"{ev}__{g['dst']}"
+        lcol, rcol = (s, d) if fwd_of[ev] else (d, s)
+        pairs = [(ln, lcol), (rn, rcol)]
+        conds: list[Column] = []
+        if rel is None:
+            rel = edf
+            for var, cn in pairs:
+                if var in bound:
+                    conds.append(F.col(bound[var]) == F.col(cn))
+                else:
+                    bound[var] = cn
+            for c in conds:
+                rel = rel.filter(c)
+        else:
+            defer = []
+            for var, cn in pairs:
+                if var in bound:
+                    conds.append(F.col(bound[var]) == F.col(cn))
+                else:
+                    defer.append((var, cn))
+            if not conds:
+                raise KqlError("graph-match pattern must be connected")
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond & c
+            rel = rel.join(edf, cond, "inner")
+            for var, cn in defer:
+                bound[var] = cn
+        # resolve zero-hop aliases whose anchor just got bound
+        for ln0, rn0 in list(pending_zero):
+            if ln0 in bound or rn0 in bound:
+                a = ln0 if ln0 in bound else rn0
+                b = rn0 if a == ln0 else ln0
+                bound.setdefault(b, bound[a])
+                pending_zero.remove((ln0, rn0))
+    if rel is None:
+        # every edge vanished (all-zero expansion): the pattern is a
+        # single node matched against the (implicit) node set
+        nid = g["nid"]
+        if g["nodes"] is not None:
+            rel = g["nodes"].select(
+                F.col(nid).alias("_gm__id"))
+        else:
+            rel = (
+                ebase.select(F.col(g["src"]).alias("_gm__id"))
+                .unionByName(
+                    ebase.select(F.col(g["dst"]).alias("_gm__id")))
+                .distinct()
+            )
+        for v in nvars:
+            bound[v] = "_gm__id"
+        pending_zero.clear()
+    if pending_zero:
+        raise KqlError("graph-match pattern must be connected")
+    evars_all = [nm for nm, _ in hops]
+    if cycles == "none":
+        # pairwise-distinct over distinct BOUND columns of every node
+        # on the path (pattern vars + variable-length inner nodes);
+        # zero-hop aliases share a column and are correctly exempt
+        path_vars = nvars + [v for v in bound if v.startswith("_vn")]
+        node_cols = list(dict.fromkeys(bound[v] for v in path_vars))
+        for a, b in itertools.combinations(node_cols, 2):
+            rel = rel.filter(F.col(a) != F.col(b))
+    elif cycles == "unique_edges":
+        for e1, e2 in itertools.combinations(evars_all, 2):
+            neq = None
+            for c in ecols:
+                p = ~F.col(f"{e1}__{c}").eqNullSafe(
+                    F.col(f"{e2}__{c}"))
+                neq = p if neq is None else (neq | p)
+            rel = rel.filter(neq)
+    nid = g["nid"]
+    for v in dict.fromkeys(n for n in npat if n):
+        if g["nodes"] is not None:
+            ndf = g["nodes"].select(
+                *[F.col(c).alias(f"{v}__{c}")
+                  for c in g["nodes"].columns])
+            rel = rel.join(
+                ndf, F.col(bound[v]) == F.col(f"{v}__{nid}"), "left")
+        rel = rel.withColumn(f"{v}__{nid}", F.col(bound[v]))
+    gvars = set(evars_all) | set(nvars)
+
+    def gpe(s: str) -> Column:
+        for ev, names in varlen_names.items():
+            s = _expand_varlen_refs(s, ev, names)
+        s2 = _rewrite_graph_refs(s, gvars)
+        vcols = {
+            f.name for f in rel.schema.fields
+            if f.dataType.typeName() == "variant"
+        }
+        return parse_expr(s2, bindings, variant_cols=vcols)
+
+    if where_src:
+        rel = rel.filter(gpe(where_src))
+    sel = []
+    for name, expr in _parse_assignments(proj_src):
+        if name is None:
+            m3 = re.fullmatch(
+                r"\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*", expr)
+            name = f"{m3.group(1)}_{m3.group(2)}" if m3 else None
+        c = gpe(expr)
+        sel.append(c.alias(name) if name else c)
+    return rel.select(*sel)
+
+
+def _graph_match(
+    g: dict, npat: list[str | None],
+    epat: list[tuple[str | None, bool, int, int]], cycles: str,
+    where_src: str | None, proj_src: str, bindings: dict,
+) -> DataFrame:
+    """Compile a graph-match pattern. Variable-length edges expand
+    into a UNION over concrete hop counts — each expansion is the
+    fixed-length equi-join chain, so the whole match stays declarative
+    joins Catalyst can plan (and the hop cap bounds plan size)."""
+    nvars: list[str] = []
+    for j, v in enumerate(npat):
+        nv = v or f"_n{j}"
+        nvars.append(nv)
+    seen_e: set[str] = set()
+    varlen_pos: list[int] = []
+    for i, (ev0, fwd, lo, hi) in enumerate(epat):
+        ev = ev0 or f"_e{i}"
+        if ev in seen_e or ev in nvars:
+            raise KqlError(
+                f"graph-match: duplicate edge variable {ev!r}")
+        seen_e.add(ev)
+        if (lo, hi) != (1, 1):
+            varlen_pos.append(i)
+    combos = itertools.product(
+        *[range(epat[i][2], epat[i][3] + 1) for i in varlen_pos])
+    outs = [
+        _graph_match_one(
+            g, nvars, npat, epat, dict(zip(varlen_pos, combo)),
+            cycles, where_src, proj_src, bindings)
+        for combo in combos
+    ]
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
 
 
 def kql(df: DataFrame, query: str,
@@ -4305,7 +4631,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         elif op == "graph-match":
             # `graph-match [cycles=all|none|unique_edges] (a)-[e]->(b)…
             #  [where <expr>] project [name =] expr, …`
-            # Fixed-length patterns only — each edge variable is one
+            # Bounded-length patterns — each edge variable is one
             # prefixed copy of the edge relation, chained by equi-joins
             # on shared node variables; named node variables LEFT-join
             # node properties by id (nodes missing from the node table
@@ -4338,99 +4664,8 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         f"graph-match: unexpected {head[:30]!r} between "
                         "pattern and project (only `where` is allowed)")
                 where_src = head[5:].strip()
-            nvars = [v or f"_n{j}" for j, v in enumerate(npat)]
-            ebase, ecols = g["edges"], g["edges"].columns
-            bound: dict[str, str] = {}
-            evars: list[str] = []
-            rel = None
-            for i, (ev0, fwd) in enumerate(epat):
-                ev = ev0 or f"_e{i}"
-                if ev in evars or ev in nvars:
-                    raise KqlError(
-                        f"graph-match: duplicate edge variable {ev!r}")
-                evars.append(ev)
-                edf = ebase.select(
-                    *[F.col(c).alias(f"{ev}__{c}") for c in ecols])
-                s, d = f"{ev}__{g['src']}", f"{ev}__{g['dst']}"
-                lcol, rcol = (s, d) if fwd else (d, s)
-                pairs = [(nvars[i], lcol), (nvars[i + 1], rcol)]
-                conds: list[Column] = []
-                if rel is None:
-                    rel = edf
-                    for var, cn in pairs:
-                        if var in bound:
-                            conds.append(
-                                F.col(bound[var]) == F.col(cn))
-                        else:
-                            bound[var] = cn
-                    for c in conds:
-                        rel = rel.filter(c)
-                else:
-                    defer = []
-                    for var, cn in pairs:
-                        if var in bound:
-                            conds.append(
-                                F.col(bound[var]) == F.col(cn))
-                        else:
-                            defer.append((var, cn))
-                    if not conds:
-                        raise KqlError(
-                            "graph-match pattern must be connected")
-                    cond = conds[0]
-                    for c in conds[1:]:
-                        cond = cond & c
-                    rel = rel.join(edf, cond, "inner")
-                    for var, cn in defer:
-                        bound[var] = cn
-            if cycles == "none":
-                for a, b in itertools.combinations(
-                        dict.fromkeys(nvars), 2):
-                    rel = rel.filter(
-                        F.col(bound[a]) != F.col(bound[b]))
-            elif cycles == "unique_edges":
-                for e1, e2 in itertools.combinations(evars, 2):
-                    neq = None
-                    for c in ecols:
-                        p = ~F.col(f"{e1}__{c}").eqNullSafe(
-                            F.col(f"{e2}__{c}"))
-                        neq = p if neq is None else (neq | p)
-                    rel = rel.filter(neq)
-            nid = g["nid"]
-            for v in dict.fromkeys(n for n in npat if n):
-                if g["nodes"] is not None:
-                    ndf = g["nodes"].select(
-                        *[F.col(c).alias(f"{v}__{c}")
-                          for c in g["nodes"].columns])
-                    rel = rel.join(
-                        ndf,
-                        F.col(bound[v]) == F.col(f"{v}__{nid}"),
-                        "left",
-                    )
-                # the id is always known from the edge endpoint, even
-                # when the node row is absent (left-join miss)
-                rel = rel.withColumn(f"{v}__{nid}", F.col(bound[v]))
-            gvars = set(evars) | set(nvars)
-
-            def gpe(s: str) -> Column:
-                s2 = _rewrite_graph_refs(s, gvars)
-                vcols = {
-                    f.name for f in rel.schema.fields
-                    if f.dataType.typeName() == "variant"
-                }
-                return parse_expr(s2, bindings, variant_cols=vcols)
-
-            if where_src:
-                rel = rel.filter(gpe(where_src))
-            sel = []
-            for name, expr in _parse_assignments(proj_src):
-                if name is None:
-                    m3 = re.fullmatch(
-                        r"\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*", expr)
-                    name = (f"{m3.group(1)}_{m3.group(2)}"
-                            if m3 else None)
-                c = gpe(expr)
-                sel.append(c.alias(name) if name else c)
-            df = rel.select(*sel)
+            df = _graph_match(g, npat, epat, cycles, where_src,
+                              proj_src, bindings)
             sctx["graph"] = None
         else:
             raise KqlError(f"unknown operator {op!r}")

@@ -2187,3 +2187,42 @@ def test_graph_match_errors(toy_graph):
             "e | make-graph s --> t"
             " | graph-match (a)-[e1]->(b)-[e1]->(c) project a = a.node_id",
         )
+
+
+def test_graph_match_variable_length(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0),
+         ("c", "d", 4.0), ("d", "e", 1.5)],
+        "s string, t string, w double",
+    )
+    r = kql(
+        edges,
+        "e | make-graph s --> t"
+        " | graph-match (p)-[e*1..3]->(q)"
+        " where p.node_id == 'a' and all(e, e.w < 4.5)"
+        " project q = q.node_id, n = array_length(map(e, e.w)),"
+        " tot = array_sum(map(e, e.w))",
+    ).collect()
+    assert sorted((x.q, x.n, x.tot) for x in r) == [
+        ("b", 1, 1.0), ("c", 2, 3.0), ("d", 3, 7.0)]
+    # zero-length hop: nodes coincide, map(e, …) is empty
+    r2 = kql(
+        edges,
+        "e | make-graph s --> t"
+        " | graph-match (p)-[e*0..1]->(q)"
+        " where p.node_id == 'c'"
+        " project q = q.node_id, h = array_length(map(e, e.w))",
+    ).collect()
+    assert sorted((x.q, x.h) for x in r2) == [("c", 0), ("d", 1)]
+    # any() + var-length followed by a fixed edge
+    r3 = kql(
+        edges,
+        "e | make-graph s --> t"
+        " | graph-match (p)-[e*1..2]->(m)-[f]->(q)"
+        " where p.node_id == 'a' and any(e, e.w > 4.0) and f.w >= 2.0"
+        " project m = m.node_id, q = q.node_id",
+    ).collect()
+    assert sorted((x.m, x.q) for x in r3) == [("c", "d")]
+    with pytest.raises(KqlError, match="repetition"):
+        kql(edges, "e | make-graph s --> t"
+            " | graph-match (p)-[e*1..99]->(q) project q = q.node_id")
