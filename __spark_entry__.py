@@ -1750,6 +1750,37 @@ def q_graph_varlen_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_suite5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth scalar round-out: parse_version (comparable decimal),
+    url_encode / url_decode / url_encode_component, indexof_regex,
+    format_timespan, and the exact weighted percentile aggregate
+    percentilew(x, w, p). The oracle hand-builds each: version digits
+    via lpad-concat, URL encoding via replace chains on the controlled
+    charset, indexof_regex via strip-from-first-match length, and
+    percentilew via the window-cumsum crossing row (integer weights, so
+    both engines' running sums are exact)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | project event_type, value, user_id,"
+        " enc = url_encode(strcat(event_type, ' a+/')),"
+        " dec = url_decode(url_encode_component("
+        "strcat(event_type, ' a+/'))),"
+        " ir = indexof_regex(event_type, 'r+'),"
+        " pv = tostring(parse_version("
+        "strcat('1.', tostring(user_id % 20), '.3'))),"
+        " ft = format_timespan(totimespan('90m'), 'd.hh:mm:ss'),"
+        " ft2 = format_timespan(value, 'hh:mm:ss.ff')"
+        " | summarize pw = percentilew(value, 1 + (user_id % 3), 50),"
+        " n = count()"
+        " by event_type, enc, dec, ir, pv, ft, ft2"
+        " | order by event_type asc, pv asc, ft2 asc",
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2755,6 +2786,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_copurchase_pairs": q_graph_copurchase_pairs,
         "graph_type_transitions": q_graph_type_transitions,
         "graph_varlen_paths": q_graph_varlen_paths,
+        "kql_scalar_suite5": q_kql_scalar_suite5,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -3749,6 +3781,35 @@ GROUP BY 1, 2, 3, 4, 5
             "JOIN n ON n.id = e1.t "
             "WHERE e1.w >= 50 AND e2.w >= 50 AND e1.s <> e2.t "
             "ORDER BY a, b, c"
+        ),
+        "kql_scalar_suite5": (
+            "WITH base AS (SELECT event_type, value, user_id, "
+            "event_type || '+a%2B%2F' AS enc, "
+            "event_type || ' a+/' AS dec, "
+            "CAST(CASE WHEN regexp_matches(event_type, 'r+') "
+            "THEN length(regexp_replace(event_type, 'r+.*$', '')) "
+            "ELSE -1 END AS BIGINT) AS ir, "
+            "'1' || lpad(CAST(user_id % 20 AS VARCHAR), 8, '0') "
+            "|| '0000000300000000' AS pv, "
+            "'0.01:30:00' AS ft, "
+            "printf('%02d:%02d:%02d.%02d', "
+            "CAST(floor(t/3600) AS BIGINT) % 24, "
+            "CAST(floor(t/60) AS BIGINT) % 60, "
+            "CAST(floor(t) AS BIGINT) % 60, "
+            "CAST(floor((t - floor(t)) * 100) AS BIGINT)) AS ft2, "
+            "1 + (user_id % 3) AS w "
+            "FROM (SELECT *, CAST(value AS DECIMAL(18,6)) AS t "
+            "FROM events)), "
+            "s AS (SELECT *, SUM(w) OVER (PARTITION BY event_type, pv,"
+            " ft2 ORDER BY value, w ROWS UNBOUNDED PRECEDING) AS cum, "
+            "SUM(w) OVER (PARTITION BY event_type, pv, ft2) AS tot "
+            "FROM base) "
+            "SELECT event_type, enc, dec, ir, pv, ft, ft2, "
+            "MIN(value) FILTER (WHERE CAST(cum AS DOUBLE) >= "
+            "CAST(tot AS DOUBLE) * 50 / 100.0) AS pw, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM s GROUP BY event_type, enc, dec, ir, pv, ft, ft2 "
+            "ORDER BY event_type, pv, ft2"
         ),
         "graph_varlen_paths": (
             "WITH seq AS (SELECT user_id, event_type AS t, "

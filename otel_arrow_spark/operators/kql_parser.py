@@ -1098,6 +1098,18 @@ _FUNC_MAP_SIMPLE = {
     # misc
     "strlen_bytes": lambda a: F.octet_length(a[0]),
     "hash_sha256": lambda a: F.sha2(a[0], 256),
+    # URL codecs (Kusto url-encode/decode-function): url_encode is
+    # form-encoding (space → '+', Java URLEncoder == Kusto), the
+    # _component variant is RFC-3986 (space → %20; '+' in the input is
+    # already %2B before the swap, so the replace is safe)
+    "url_encode": lambda a: F.url_encode(a[0]),
+    "url_decode": lambda a: F.url_decode(a[0]),
+    "url_encode_component": lambda a: F.replace(
+        F.url_encode(a[0]), F.lit("+"), F.lit("%20")),
+    # indexof_regex — zero-based like indexof, -1 when no match
+    # (regexp_instr is 1-based with 0 = miss, so -1 shifts both)
+    "indexof_regex": lambda a: (
+        F.regexp_instr(a[0], a[1]) - F.lit(1)).cast("bigint"),
     # dcount_hll(sketch) — read the cardinality estimate out of an
     # hll()/hll_merge() sketch (Datasketches HLL; exact in sparse mode,
     # i.e. for small per-group cardinalities)
@@ -1178,7 +1190,47 @@ _AGG_MAP = {
     # KQL); first occurrence of a key wins, enforced by the indexed
     # filter so conflicting keys can't crash map_from_entries.
     "make_bag": lambda a: _make_bag(a[0]),
+    "make_bag_if": lambda a: _make_bag(F.when(a[1], a[0])),
+    # percentilew(x, weight, p) — exact weighted percentile: smallest x
+    # whose cumulative weight reaches p% of the group's total weight
+    "percentilew": lambda a: _percentilew(a[0], a[1], a[2]),
 }
+
+
+def _percentilew(v: Column, w: Column, p: Column) -> Column:
+    """Weighted percentile over a group: sort (v, w) pairs by value and
+    take the first v whose running weight ≥ p/100 · Σw. One
+    array_sort + one linear fold per group — the per-group array makes
+    this a bounded-group-cardinality aggregate (same contract as the
+    exact `percentiles_array` family; unbounded groups belong to
+    `percentile()`'s sketch). The p·Σw threshold is zipped in via
+    array_repeat so the fold lambda never recomputes the total
+    (HOF-captured expressions re-evaluate per element)."""
+    pairs = F.filter(
+        F.collect_list(F.struct(v.cast("double").alias("v"),
+                                w.cast("double").alias("w"))),
+        lambda x: x["v"].isNotNull() & x["w"].isNotNull(),
+    )
+    arr = F.array_sort(pairs)
+    tot = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["w"])
+    tgt = F.array_repeat(
+        F.struct((tot * p / 100.0).alias("tgt")), F.size(arr))
+    zipped = F.zip_with(
+        arr, tgt,
+        lambda x, t: F.struct(x["v"].alias("v"), x["w"].alias("w"),
+                              t["tgt"].alias("tgt")))
+    return F.aggregate(
+        zipped,
+        F.struct(F.lit(0.0).alias("cum"),
+                 F.lit(None).cast("double").alias("res")),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["w"]).alias("cum"),
+            F.coalesce(
+                acc["res"],
+                F.when(acc["cum"] + x["w"] >= x["tgt"], x["v"]),
+            ).alias("res")),
+        lambda acc: acc["res"],
+    )
 
 
 def _make_bag(m: Column) -> Column:
@@ -1702,6 +1754,55 @@ class ExprParser:
             if len(args) != 2:
                 raise KqlError("format_datetime needs (dt, 'format')")
             return KE(F.date_format(args[0].col, _lit_str(args[1])))
+        if lname == "parse_version":
+            # version string → one comparable decimal: up to 4 parts of
+            # up to 8 digits each; value = p1·10²⁴ + p2·10¹⁶ + p3·10⁸ +
+            # p4, built as a digit-string concat (no decimal pow chain),
+            # NULL on anything that isn't 1-4 dot-separated runs
+            if len(args) != 1:
+                raise KqlError("parse_version needs (s)")
+            s = args[0].col
+            parts = F.split(s, r"\.")
+            valid = s.rlike(r"^\d{1,8}(\.\d{1,8}){0,3}$")
+
+            def _vpart(i: int) -> Column:
+                return F.coalesce(
+                    F.try_element_at(parts, F.lit(i)), F.lit("0"))
+
+            num = F.concat(
+                _vpart(1), F.lpad(_vpart(2), 8, "0"),
+                F.lpad(_vpart(3), 8, "0"), F.lpad(_vpart(4), 8, "0"))
+            return KE(F.when(valid, num.cast("decimal(38,0)")))
+        if lname == "format_timespan":
+            # format_timespan(t, 'd.hh:mm:ss.fff') — t is a timespan
+            # (day-time interval) or plain seconds; token runs d/h/m/s/f
+            # render zero-padded to the run length (format_string, so
+            # wide values never truncate), everything else is literal
+            if len(args) != 2:
+                raise KqlError("format_timespan needs (t, 'format')")
+            fmt = _lit_str(args[1])
+            total = args[0].col.cast("decimal(18,6)")
+            comp = {
+                "d": F.floor(total / 86400).cast("long"),
+                "h": F.floor(total / 3600).cast("long") % 24,
+                "m": F.floor(total / 60).cast("long") % 60,
+                "s": F.floor(total).cast("long") % 60,
+            }
+            pieces: list[Column] = []
+            for run in re.finditer(r"(d+|h+|H+|m+|s+|f+|.)", fmt):
+                tok = run.group(1)
+                ch, n = tok[0].lower(), len(tok)
+                if tok[0] in "dhHms" and n <= 8:
+                    pieces.append(
+                        F.format_string(f"%0{n}d", comp[ch]))
+                elif tok[0] == "f":
+                    frac = F.floor(
+                        (total - F.floor(total)) * (10 ** n)
+                    ).cast("long")
+                    pieces.append(F.format_string(f"%0{n}d", frac))
+                else:
+                    pieces.append(F.lit(tok))
+            return KE(F.concat(*pieces))
         if lname in ("trim_start", "trim_end"):
             # trim_start(regex, s) — strip a leading (trailing) match
             if len(args) != 2:

@@ -2226,3 +2226,49 @@ def test_graph_match_variable_length(spark):
     with pytest.raises(KqlError, match="repetition"):
         kql(edges, "e | make-graph s --> t"
             " | graph-match (p)-[e*1..99]->(q) project q = q.node_id")
+
+
+def test_scalar_suite5_functions(spark):
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("10.0",), ("123456789.1",)], "s string")
+    got = {x.s: x.v for x in kql(
+        df, "t | project s, v = tostring(parse_version(s))").collect()}
+    assert got["1.2.3.4"] == "1000000020000000300000004"
+    assert got["10.0"] == "10000000000000000000000000"
+    assert got["123456789.1"] is None      # 9-digit part → invalid
+    r = kql(
+        spark.range(1).selectExpr("93784.512 as t"),
+        "t | project a = format_timespan(t, 'd.hh:mm:ss.fff'),"
+        " b = format_timespan(t, 'h:m:s'),"
+        " ts = format_timespan(totimespan('90m'), 'hh:mm:ss'),"
+        " e = url_encode('a b+c'), d = url_decode('a%20b%2Bc'),"
+        " ec = url_encode_component('a b+c'),"
+        " ir = indexof_regex('hello world', 'o w'),"
+        " miss = indexof_regex('xy', 'zz')",
+    ).collect()[0]
+    assert (r.a, r.b, r.ts) == ("1.02:03:04.512", "2:3:4", "01:30:00")
+    assert (r.e, r.d, r.ec) == ("a+b%2Bc", "a b+c", "a%20b%2Bc")
+    assert (r.ir, r.miss) == (4, -1)
+
+
+def test_percentilew_and_make_bag_if(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 8.0),
+         ("a", None, 5.0), ("b", 5.0, 1.0)],
+        "g string, v double, w double",
+    )
+    r = {x.g: x for x in kql(
+        df,
+        "t | summarize p50 = percentilew(v, w, 50),"
+        " p10 = percentilew(v, w, 10) by g",
+    ).collect()}
+    assert (r["a"].p50, r["a"].p10) == (3.0, 1.0)   # NULL v ignored
+    assert (r["b"].p50, r["b"].p10) == (5.0, 5.0)
+    df2 = spark.createDataFrame(
+        [("a", "k1", 1), ("a", "k2", 5)], "g string, k string, v int")
+    r2 = kql(
+        df2,
+        "t | summarize b = make_bag_if(bag_pack(k, v), v > 2) by g"
+        " | project g, ks = bag_keys(b)",
+    ).collect()[0]
+    assert list(r2.ks) == ["k2"]
