@@ -1781,6 +1781,28 @@ def q_kql_scalar_suite5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate sequence_detect(ts, 24h, 72h, click, view,
+    purchase, user_id)`` — anchored-earliest sequence detection (Kusto plugin
+    subset, operators/sequence.py). Chained window set-minima over ONE
+    user_id partitioning: one Exchange for all three steps + the final
+    per-key aggregate; the step-window and total-duration constraints
+    are integer microsecond comparisons in both engines."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend is_click = event_type == 'click',"
+        " is_view = event_type == 'view',"
+        " is_buy = event_type == 'purchase'"
+        " | evaluate sequence_detect(ts, 24h, 72h,"
+        " is_click, is_view, is_buy, user_id)"
+        " | order by user_id asc",
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2787,6 +2809,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_type_transitions": q_graph_type_transitions,
         "graph_varlen_paths": q_graph_varlen_paths,
         "kql_scalar_suite5": q_kql_scalar_suite5,
+        "kql_sequence_detect": q_kql_sequence_detect,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -3412,6 +3435,12 @@ GROUP BY 1, 2, 3, 4, 5
             "CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k, "
             "CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k "
             "FROM events GROUP BY event_type"
+        ),
+        "kql_sequence_detect": _seq.sequence_detect_oracle_sql(
+            ["user_id"], "ts", 86400.0, 259200.0,
+            [("is_click", "event_type = 'click'"),
+             ("is_view", "event_type = 'view'"),
+             ("is_buy", "event_type = 'purchase'")],
         ),
         "funnel_conversion": _seq.funnel_oracle_sql(
             ["user_id"], "ts",

@@ -4311,6 +4311,74 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     *cols,
                 )
                 continue
+            msq = re.match(r"^sequence_detect\s*\((.+)\)\s*$", rest, re.S)
+            if msq:
+                # `evaluate sequence_detect(timeline, stepWindow,
+                # maxDuration, step1, step2, …, key1, …)` — steps are
+                # boolean columns/expressions (or `name = pred`
+                # extensions), trailing bare names of non-boolean
+                # input columns are the partition keys (the Kusto
+                # argument order makes this split unambiguous).
+                # Compiles to chained window set-minima
+                # (operators/sequence.py sequence_detect; anchored-
+                # earliest subset documented there).
+                from otel_arrow_spark.operators.sequence import (
+                    sequence_detect,
+                )
+                sparts = _split_commas(msq.group(1))
+                if len(sparts) < 5:
+                    raise KqlError(
+                        "sequence_detect needs (timeline, stepWindow, "
+                        "maxDuration, step1, step2, …, key…)")
+                timeline = sparts[0].strip()
+                if timeline not in df.columns:
+                    raise KqlError(
+                        f"sequence_detect: no timeline column "
+                        f"{timeline!r}")
+
+                def _ts_secs(src: str) -> float:
+                    m3 = re.fullmatch(r"([\d.]+)(d|h|m|s|ms)",
+                                      src.strip())
+                    if not m3:
+                        raise KqlError(
+                            "sequence_detect windows need a timespan "
+                            f"literal '<n><d|h|m|s|ms>', got {src!r}")
+                    return float(m3.group(1)) * {
+                        "d": 86400, "h": 3600, "m": 60, "s": 1,
+                        "ms": 0.001}[m3.group(2)]
+
+                win_s, dur_s = _ts_secs(sparts[1]), _ts_secs(sparts[2])
+                bool_cols = {
+                    f.name for f in df.schema.fields
+                    if f.dataType.typeName() == "boolean"
+                }
+                rest_parts = [p.strip() for p in sparts[3:]]
+                keys: list[str] = []
+                while rest_parts and re.fullmatch(
+                        r"[A-Za-z_]\w*", rest_parts[-1]) and \
+                        rest_parts[-1] in df.columns and \
+                        rest_parts[-1] not in bool_cols:
+                    keys.insert(0, rest_parts.pop())
+                if not keys:
+                    raise KqlError(
+                        "sequence_detect needs at least one trailing "
+                        "key column (non-boolean input column)")
+                if len(rest_parts) < 2:
+                    raise KqlError(
+                        "sequence_detect needs at least two steps")
+                steps = []
+                for i, p in enumerate(rest_parts):
+                    nm, ex = None, p
+                    for an, ae in _parse_assignments(p):
+                        nm, ex = an, ae
+                    name = nm or (
+                        ex if re.fullmatch(r"[A-Za-z_]\w*", ex.strip())
+                        else f"expr{i + 1}")
+                    steps.append(
+                        (name.strip(), pe(ex).cast("boolean")))
+                df = sequence_detect(
+                    df, keys, timeline, win_s, dur_s, steps)
+                continue
             mdp = re.match(r"^diffpatterns\s*\((.+)\)\s*$", rest, re.S)
             if mdp:
                 # `evaluate diffpatterns(split_pred [, max_size])` —

@@ -213,3 +213,104 @@ SELECT {ks}, CAST(COUNT(*) AS BIGINT) AS n_sessions,
        ROUND(MAX(span_s), 6) AS max_span_s
 FROM per_session GROUP BY {ks}
 """
+
+
+def sequence_detect(
+    df: DataFrame,
+    keys: list[str],
+    timeline_col: str,
+    max_step_window_sec: float,
+    max_duration_sec: float,
+    steps: list[tuple[str, Column]],
+) -> DataFrame:
+    """Earliest-anchored sequence detection per key (the Kusto
+    ``sequence_detect`` plugin's shape, restricted to the earliest
+    chain).
+
+    Step 1 anchors at its earliest occurrence; each later step i takes
+    ``min(timeline WHERE pred_i AND t_{i-1} < timeline <= t_{i-1} +
+    max_step_window)``; rows where the full chain closed within
+    ``max_duration`` survive. Like :func:`funnel_steps` this is pure
+    set-minima over ONE key partitioning — one Exchange, no ordering
+    sensitivity, no Python. Documented subset: Kusto's plugin can also
+    find sequences whose step 1 is NOT the key's earliest (a later
+    anchor can succeed where the earliest one times out) and can emit
+    several sequences per key; anchored-earliest detection is the
+    deterministic, shuffle-minimal core (the oracle mirrors it
+    exactly), and multi-instance matching remains the province of the
+    ``scan`` operator's state machine.
+
+    Output: keys, ``<step>_<timeline>`` per step, ``duration_sec``.
+    """
+    if len(steps) < 2:
+        raise ValueError("sequence_detect needs at least two steps")
+    w = Window.partitionBy(*keys)
+    step_us = int(max_step_window_sec * 1_000_000)
+    dur_us = int(max_duration_sec * 1_000_000)
+    out = df
+    prev: Column | None = None
+    names = []
+    for name, pred in steps:
+        col = f"{name}_{timeline_col}"
+        t = F.col(timeline_col)
+        if prev is None:
+            cond = pred
+        else:
+            cond = pred & (t > prev) & (
+                F.timestamp_diff("MICROSECOND", prev, t) <= step_us
+            )
+        out = out.withColumn(col, F.min(F.when(cond, t)).over(w))
+        prev = F.col(col)
+        names.append(col)
+    res = out.groupBy(*keys).agg(*[F.min(c).alias(c) for c in names])
+    first, last = F.col(names[0]), F.col(names[-1])
+    dur = F.timestamp_diff("MICROSECOND", first, last)
+    return (
+        res.filter(last.isNotNull() & (dur <= dur_us))
+        .withColumn("duration_sec",
+                    (dur / F.lit(1_000_000)).cast("double"))
+    )
+
+
+def sequence_detect_oracle_sql(
+    keys: list[str],
+    timeline_col: str,
+    max_step_window_sec: float,
+    max_duration_sec: float,
+    steps: list[tuple[str, str]],
+    table: str = "events",
+) -> str:
+    """ANSI-SQL twin of :func:`sequence_detect` (chained window CTEs,
+    microsecond arithmetic so both engines compare integers)."""
+    ks = ", ".join(keys)
+    part = f"PARTITION BY {ks}"
+    step_us = int(max_step_window_sec * 1_000_000)
+    dur_us = int(max_duration_sec * 1_000_000)
+    ctes, prev_cte, prev_t = [], table, None
+    names = []
+    for i, (name, pred) in enumerate(steps):
+        t = f"{name}_{timeline_col}"
+        if prev_t is None:
+            cond = pred
+        else:
+            cond = (
+                f"({pred}) AND {timeline_col} > {prev_t} AND "
+                f"date_diff('microsecond', {prev_t}, {timeline_col})"
+                f" <= {step_us}"
+            )
+        ctes.append(
+            f"w{i} AS (SELECT *, MIN(CASE WHEN {cond} THEN "
+            f"{timeline_col} END) OVER ({part}) AS {t} FROM {prev_cte})"
+        )
+        prev_cte, prev_t = f"w{i}", t
+        names.append(t)
+    mins = ", ".join(f"MIN({c}) AS {c}" for c in names)
+    first, last = f"MIN({names[0]})", f"MIN({names[-1]})"
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT {ks}, {mins}, CAST(date_diff('microsecond',"
+        f" {first}, {last}) AS DOUBLE) / 1000000 AS duration_sec"
+        f" FROM {prev_cte} GROUP BY {ks}"
+        f" HAVING {last} IS NOT NULL AND"
+        f" date_diff('microsecond', {first}, {last}) <= {dur_us}"
+    )

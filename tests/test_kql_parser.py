@@ -2272,3 +2272,37 @@ def test_percentilew_and_make_bag_if(spark):
         " | project g, ks = bag_keys(b)",
     ).collect()[0]
     assert list(r2.ks) == ["k2"]
+
+
+def test_evaluate_sequence_detect(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 1, 1)
+
+    def t(m):
+        return T + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, t(0), "a"), (1, t(5), "b"), (1, t(8), "c"),
+        (2, t(0), "a"), (2, t(40), "b"),                    # window break
+        (3, t(0), "a"), (3, t(10), "b"), (3, t(100), "c"),  # step 3 late
+        (4, t(0), "b"), (4, t(1), "a"), (4, t(2), "b"), (4, t(3), "c"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, e string")
+    r = {x.uid: x for x in kql(
+        df,
+        "t | extend s1 = e == 'a', s2 = e == 'b', s3 = e == 'c'"
+        " | evaluate sequence_detect(ts, 30m, 1h, s1, s2, s3, uid)",
+    ).collect()}
+    assert set(r) == {1, 4}
+    assert r[1].duration_sec == 480.0
+    assert (r[4].s1_ts, r[4].duration_sec) == (t(1), 120.0)
+    # inline predicates + name= extension also accepted
+    r2 = kql(
+        df,
+        "t | evaluate sequence_detect(ts, 30m, 1h,"
+        " first = e == 'a', second = e == 'c', uid)",
+    ).collect()
+    assert {x.uid for x in r2} == {1, 4}
+    with pytest.raises(KqlError, match="key"):
+        kql(df, "t | extend s1 = e == 'a', s2 = e == 'b'"
+            " | evaluate sequence_detect(ts, 30m, 1h, s1, s2)")
