@@ -1803,6 +1803,31 @@ def q_kql_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_geo_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance_2points / geo_point_in_circle over deterministic
+    event-derived coordinates. Per-row haversine (narrow, codegen);
+    results rounded to 0.1 m before any cross-engine compare so the
+    few-ULP libm differences between the JVM and DuckDB trig cannot
+    flip a hash; aggregates are min/max/count (order-free), never a
+    float sum."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend lon = (user_id % 360) - 180 + value / 1000.0,"
+        " lat = (user_id % 170) - 85 + value / 2000.0"
+        " | extend d = round(geo_distance_2points(lon, lat,"
+        " 10.0, 20.0), 1)"
+        " | extend inside = geo_point_in_circle(lon, lat,"
+        " 10.0, 20.0, 5000000.0)"
+        " | summarize n_in = countif(inside), dmin = min(d),"
+        " dmax = max(d), n = count() by event_type"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2810,6 +2835,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_varlen_paths": q_graph_varlen_paths,
         "kql_scalar_suite5": q_kql_scalar_suite5,
         "kql_sequence_detect": q_kql_sequence_detect,
+        "kql_geo_functions": q_kql_geo_functions,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -3810,6 +3836,31 @@ GROUP BY 1, 2, 3, 4, 5
             "JOIN n ON n.id = e1.t "
             "WHERE e1.w >= 50 AND e2.w >= 50 AND e1.s <> e2.t "
             "ORDER BY a, b, c"
+        ),
+        "kql_geo_functions": (
+            "WITH c AS (SELECT event_type, "
+            "(user_id % 360) - 180 + value / 1000.0 AS lon, "
+            "(user_id % 170) - 85 + value / 2000.0 AS lat "
+            "FROM events), "
+            "d AS (SELECT event_type, lon, lat, "
+            "round(2 * 6371010.0 * asin(sqrt("
+            "pow(sin((20.0 - lat) * 0.017453292519943295 / 2), 2) + "
+            "cos(lat * 0.017453292519943295) * "
+            "cos(20.0 * 0.017453292519943295) * "
+            "pow(sin((10.0 - lon) * 0.017453292519943295 / 2), 2)"
+            ")), 1) AS dist, "
+            "2 * 6371010.0 * asin(sqrt("
+            "pow(sin((20.0 - lat) * 0.017453292519943295 / 2), 2) + "
+            "cos(lat * 0.017453292519943295) * "
+            "cos(20.0 * 0.017453292519943295) * "
+            "pow(sin((10.0 - lon) * 0.017453292519943295 / 2), 2)"
+            ")) AS rawd FROM c) "
+            "SELECT event_type, "
+            "CAST(SUM(CASE WHEN rawd <= 5000000.0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_in, "
+            "MIN(dist) AS dmin, MAX(dist) AS dmax, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM d GROUP BY event_type ORDER BY event_type"
         ),
         "kql_scalar_suite5": (
             "WITH base AS (SELECT event_type, value, user_id, "

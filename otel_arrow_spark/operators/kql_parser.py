@@ -1110,6 +1110,12 @@ _FUNC_MAP_SIMPLE = {
     # (regexp_instr is 1-based with 0 = miss, so -1 shifts both)
     "indexof_regex": lambda a: (
         F.regexp_instr(a[0], a[1]) - F.lit(1)).cast("bigint"),
+    # geo — spherical-Earth great-circle (haversine, S2's mean radius
+    # 6371.01 km, the geometry library Kusto's geo_* functions use).
+    # args are (lon1, lat1, lon2, lat2 [, radius]) like Kusto.
+    "geo_distance_2points": lambda a: _geo_distance(*a[:4]),
+    "geo_point_in_circle": lambda a: (
+        _geo_distance(a[0], a[1], a[2], a[3]) <= a[4]),
     # dcount_hll(sketch) — read the cardinality estimate out of an
     # hll()/hll_merge() sketch (Datasketches HLL; exact in sparse mode,
     # i.e. for small per-group cardinalities)
@@ -1231,6 +1237,21 @@ def _percentilew(v: Column, w: Column, p: Column) -> Column:
             ).alias("res")),
         lambda acc: acc["res"],
     )
+
+
+def _geo_distance(lon1: Column, lat1: Column,
+                  lon2: Column, lat2: Column) -> Column:
+    """Haversine great-circle distance in meters (sphere of radius
+    6371.01 km). Formula term order is fixed so an ANSI oracle built
+    from the same text matches to the last few ULPs — round results
+    before hashing them across engines."""
+    rad = F.lit(0.017453292519943295)  # pi/180
+    dlat = (lat2 - lat1) * rad / 2
+    dlon = (lon2 - lon1) * rad / 2
+    a = (F.pow(F.sin(dlat), 2)
+         + F.cos(lat1 * rad) * F.cos(lat2 * rad)
+         * F.pow(F.sin(dlon), 2))
+    return F.lit(2.0 * 6371010.0) * F.asin(F.sqrt(a))
 
 
 def _make_bag(m: Column) -> Column:

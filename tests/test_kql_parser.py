@@ -2306,3 +2306,18 @@ def test_evaluate_sequence_detect(spark):
     with pytest.raises(KqlError, match="key"):
         kql(df, "t | extend s1 = e == 'a', s2 = e == 'b'"
             " | evaluate sequence_detect(ts, 30m, 1h, s1, s2)")
+
+
+def test_geo_functions(spark):
+    r = kql(
+        spark.range(1),
+        "t | project"
+        " d1 = round(geo_distance_2points(-122.407, 37.783,"
+        " -0.1278, 51.5074) / 1000, 0),"
+        " d2 = round(geo_distance_2points(0.0, 0.0, 1.0, 0.0), 1),"
+        " inc = geo_point_in_circle(0.01, 0.0, 0.0, 0.0, 2000.0),"
+        " outc = geo_point_in_circle(0.02, 0.0, 0.0, 0.0, 2000.0)",
+    ).collect()[0]
+    assert r.d1 == 8615.0          # SF → London, spherical ~8615 km
+    assert r.d2 == 111195.1        # 1° on the equator
+    assert (r.inc, r.outc) == (True, False)
