@@ -2659,6 +2659,15 @@ def q_text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document (corpus-trained idf; rounded
+    scores rank so the cross-engine top-k is ULP-proof — see
+    textstats.tfidf_keywords for the shuffle shape)."""
+    from otel_arrow_spark.dataops.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=3)
+
+
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle: reproducible pseudo-random global
     training position per document, computed as a two-phase hash-range
@@ -2883,6 +2892,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": q_pack_stats,
         "training_order": q_training_order,
         "text_lm_scores": q_text_lm_scores,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
         "text_repetition": q_text_repetition,
         "pii_redaction": q_pii_redaction,
         "doc_chunks": q_doc_chunks,
@@ -4385,6 +4395,7 @@ def _dataops_oracles() -> dict[str, str]:
         "pack_stats": _packing_oracle("pack"),
         "training_order": packing.training_order_oracle_sql(),
         "text_lm_scores": textstats.bigram_lm_scores_oracle_sql(),
+        "text_tfidf_keywords": textstats.tfidf_keywords_oracle_sql(k=3),
         "text_repetition": textstats.repetition_stats_oracle_sql(),
         "pii_redaction": (
             "WITH synth AS (SELECT doc_id, text || ' contact u' || doc_id"

@@ -14,7 +14,7 @@ composition into curation signals is the 100 TB-pipeline extension.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from otel_arrow_spark.dataops.hashing import (
@@ -547,4 +547,75 @@ LEFT JOIN bi USING (w1, w2)
 LEFT JOIN uc USING (w1)
 CROSS JOIN v
 GROUP BY bg.doc_id
+"""
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3,
+                   text_col: str = "text") -> DataFrame:
+    """Top-k tf-idf keywords per document (self-contained: idf is
+    trained on the corpus itself, like :func:`bigram_lm_scores`).
+
+    ``score = tf · (ln((N+1)/(df+1)) + 1)`` — the smoothed-idf form
+    that never divides by zero. Scores are rounded to 6 dp BEFORE
+    ranking so the cross-engine rank never depends on the last ULPs of
+    ``ln``; ties then break on the term ascending, making the top-k
+    fully deterministic.
+
+    Scale shape: term frequencies are a per-(doc, term) aggregation
+    (map-side combinable), document frequency derives from that SAME
+    relation (persisted — no second corpus scan), and the df join is a
+    plain shuffle equi-join on the term key (never broadcast: the
+    vocabulary is corpus-sized; stop-word fan-in is per-DISTINCT-doc,
+    already collapsed by the tf pre-aggregation, and AQE's skew-join
+    splits anything residual). The top-k is one Window rank inside
+    each doc partition. N is the one bounded driver scalar (same
+    contract as bigram_lm's vocab count).
+    """
+    from otel_arrow_spark.dataops.dedup import persist_registered
+
+    toks = docs.select(
+        "doc_id", F.explode(words_of(F.lower(F.col(text_col)))).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = persist_registered(
+        toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = docs.count()  # bounded 1-row scalar
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfq"))
+    scored = tf.join(dfreq, "w").select(
+        "doc_id",
+        F.col("w").alias("keyword"),
+        F.round(
+            F.col("tf")
+            * (F.log(F.lit(float(n_docs + 1)) / (F.col("dfq") + 1))
+               + 1),
+            6,
+        ).alias("score"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("keyword").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def tfidf_keywords_oracle_sql(table: str = "documents",
+                              k: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM {table}
+), t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+dfq AS (SELECT w, COUNT(*) AS dfq FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n FROM {table}),
+sc AS (
+  SELECT tf.doc_id, tf.w AS keyword,
+         round(tf.tf * (ln(CAST(nd.n + 1 AS DOUBLE) / (dfq.dfq + 1))
+               + 1), 6) AS score
+  FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN nd
+)
+SELECT doc_id, keyword, score, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, keyword) AS rnk
+  FROM sc) WHERE rnk <= {k}
 """

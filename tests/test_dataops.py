@@ -797,3 +797,30 @@ def test_duplicate_ngram_spans(spark):
     # doc 2 windows at pos 0..4 all repeat somewhere; union covers all 8
     assert out2[2].covered_tokens == 8
     assert out2[2].total_tokens == 8
+
+
+def test_tfidf_keywords(spark):
+    from otel_arrow_spark.dataops.textstats import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple cherry"),
+         (2, "banana banana dog"),
+         (3, "apple dog dog elephant")],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rnk, r.keyword, r.score))
+    for d in by_doc:
+        by_doc[d].sort()
+    # doc 1: 'apple' tf=2 df=2, 'banana' tf=1 df=2, 'cherry' tf=1 df=1
+    # idf(df=1) = ln(4/2)+1 > idf(df=2) = ln(4/3)+1; 2*idf2 > 1*idf1
+    assert [k for _, k, _ in by_doc[1]] == ["apple", "cherry"]
+    # doc 2: banana tf=2 beats dog tf=1
+    assert [k for _, k, _ in by_doc[2]] == ["banana", "dog"]
+    # doc 3: dog tf=2·idf2 vs elephant 1·idf1: 2·(ln(4/3)+1)≈2.575 >
+    # ln(2)+1≈1.693 — dog first, elephant second (beats apple by idf)
+    assert [k for _, k, _ in by_doc[3]] == ["dog", "elephant"]
+    # every rank list is 1..k with no gaps
+    assert all([r for r, _, _ in v] == [1, 2] for v in by_doc.values())
