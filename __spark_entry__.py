@@ -1828,6 +1828,22 @@ def q_kql_geo_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_activity_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate activity_engagement(user_id, ts, 4h, 1d)`` — the
+    DAU/MAU-style engagement ratio per 4-hour slot against the trailing
+    day. Distinct (id, slot) collapse first, then a bounded k=6 slot
+    explode for trailing-window membership (never a range self-join);
+    both dcounts are exact."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate activity_engagement(user_id, ts, 4h, 1d)"
+        " | order by ts asc",
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2845,6 +2861,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite5": q_kql_scalar_suite5,
         "kql_sequence_detect": q_kql_sequence_detect,
         "kql_geo_functions": q_kql_geo_functions,
+        "kql_activity_engagement": q_kql_activity_engagement,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -3846,6 +3863,21 @@ GROUP BY 1, 2, 3, 4, 5
             "JOIN n ON n.id = e1.t "
             "WHERE e1.w >= 50 AND e2.w >= 50 AND e1.s <> e2.t "
             "ORDER BY a, b, c"
+        ),
+        "kql_activity_engagement": (
+            "WITH act AS (SELECT DISTINCT user_id AS id, "
+            "CAST(floor(epoch(ts) / 14400.0) AS BIGINT) AS slot "
+            "FROM events), "
+            "i AS (SELECT slot, COUNT(DISTINCT id) AS di "
+            "FROM act GROUP BY 1), "
+            "o AS (SELECT slot, COUNT(DISTINCT id) AS do_ FROM "
+            "(SELECT DISTINCT id, slot + g AS slot FROM act "
+            "CROSS JOIN range(0, 6) t(g)) GROUP BY 1) "
+            "SELECT epoch_ms(i.slot * 14400 * 1000) AS ts, "
+            "i.di AS dcount_activities_inner, "
+            "o.do_ AS dcount_activities_outer, "
+            "round(CAST(i.di AS DOUBLE) / o.do_, 6) AS activity_ratio "
+            "FROM i JOIN o ON i.slot = o.slot ORDER BY ts"
         ),
         "kql_geo_functions": (
             "WITH c AS (SELECT event_type, "

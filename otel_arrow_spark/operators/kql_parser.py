@@ -1239,6 +1239,17 @@ def _percentilew(v: Column, w: Column, p: Column) -> Column:
     )
 
 
+def _timespan_secs(src: str) -> float:
+    """Seconds of a timespan literal ``<n><d|h|m|s|ms>``."""
+    m = re.fullmatch(r"([\d.]+)(d|h|m|s|ms)", src.strip())
+    if not m:
+        raise KqlError(
+            f"expected a timespan literal '<n><d|h|m|s|ms>', got {src!r}")
+    return float(m.group(1)) * {
+        "d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 0.001
+    }[m.group(2)]
+
+
 def _geo_distance(lon1: Column, lat1: Column,
                   lon2: Column, lat2: Column) -> Column:
     """Haversine great-circle distance in meters (sphere of radius
@@ -4332,6 +4343,73 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     *cols,
                 )
                 continue
+            mae = re.match(
+                r"^activity_engagement\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*([\w.]+)\s*,\s*([\w.]+)"
+                r"\s*\)\s*$", rest)
+            if mae:
+                # `evaluate activity_engagement(id, timeline, inner,
+                # outer)` — the Kusto DAU/MAU plugin: per inner-window
+                # slot, the ratio of distinct ids active in that slot
+                # to distinct ids active in the TRAILING outer window
+                # ending at it. Shape for scale: activity first
+                # collapses to DISTINCT (id, slot) — the only relation
+                # the rest touches — then the trailing membership is a
+                # bounded explode of k = outer/inner slot ids per
+                # activity row (k is a query constant, e.g. 7 or 28),
+                # never a range self-join. Slots with no inner activity
+                # are not emitted (documented subset; Kusto emits them
+                # only when given explicit Start/End bounds, which this
+                # engine doesn't take).
+                idc, tc, inner_src, outer_src = mae.groups()
+                for c in (idc, tc):
+                    if c not in df.columns:
+                        raise KqlError(
+                            f"activity_engagement: no column {c!r}")
+                inner_s = _timespan_secs(inner_src)
+                outer_s = _timespan_secs(outer_src)
+                k = outer_s / inner_s
+                if k < 1 or abs(k - round(k)) > 1e-9:
+                    raise KqlError(
+                        "activity_engagement: OuterActivityWindow must "
+                        "be a positive integer multiple of "
+                        "InnerActivityWindow")
+                k = int(round(k))
+                slot = F.floor(
+                    F.col(tc).cast("timestamp").cast("double")
+                    / F.lit(float(inner_s))).cast("long")
+                act = df.select(
+                    F.col(idc).alias("_id"), slot.alias("_slot")
+                ).distinct()
+                inner_d = act.groupBy("_slot").agg(
+                    F.count_distinct("_id").alias(
+                        "dcount_activities_inner"))
+                outer_d = (
+                    act.select(
+                        "_id",
+                        F.explode(
+                            F.sequence(
+                                F.col("_slot"),
+                                F.col("_slot") + F.lit(k - 1))
+                        ).alias("_slot"))
+                    .distinct()
+                    .groupBy("_slot")
+                    .agg(F.count_distinct("_id").alias(
+                        "dcount_activities_outer"))
+                )
+                joined = inner_d.join(outer_d, "_slot", "inner")
+                df = joined.select(
+                    F.timestamp_seconds(
+                        F.col("_slot") * F.lit(float(inner_s))
+                    ).cast("timestamp_ntz").alias(tc),
+                    "dcount_activities_inner",
+                    "dcount_activities_outer",
+                    F.round(
+                        F.col("dcount_activities_inner")
+                        / F.col("dcount_activities_outer"), 6
+                    ).alias("activity_ratio"),
+                )
+                continue
             msq = re.match(r"^sequence_detect\s*\((.+)\)\s*$", rest, re.S)
             if msq:
                 # `evaluate sequence_detect(timeline, stepWindow,
@@ -4357,18 +4435,8 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         f"sequence_detect: no timeline column "
                         f"{timeline!r}")
 
-                def _ts_secs(src: str) -> float:
-                    m3 = re.fullmatch(r"([\d.]+)(d|h|m|s|ms)",
-                                      src.strip())
-                    if not m3:
-                        raise KqlError(
-                            "sequence_detect windows need a timespan "
-                            f"literal '<n><d|h|m|s|ms>', got {src!r}")
-                    return float(m3.group(1)) * {
-                        "d": 86400, "h": 3600, "m": 60, "s": 1,
-                        "ms": 0.001}[m3.group(2)]
-
-                win_s, dur_s = _ts_secs(sparts[1]), _ts_secs(sparts[2])
+                win_s = _timespan_secs(sparts[1])
+                dur_s = _timespan_secs(sparts[2])
                 bool_cols = {
                     f.name for f in df.schema.fields
                     if f.dataType.typeName() == "boolean"

@@ -2321,3 +2321,23 @@ def test_geo_functions(spark):
     assert r.d1 == 8615.0          # SF → London, spherical ~8615 km
     assert r.d2 == 111195.1        # 1° on the equator
     assert (r.inc, r.outc) == (True, False)
+
+
+def test_evaluate_activity_engagement(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 1, 1)
+    rows = []
+    for d, us in [(0, [1, 2]), (1, [1]), (2, [2, 3])]:
+        for u in us:
+            rows.append((u, T + dt.timedelta(days=d, hours=3)))
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    r = kql(
+        df,
+        "t | evaluate activity_engagement(uid, ts, 1d, 3d)"
+        " | order by ts asc",
+    ).collect()
+    got = [(x.dcount_activities_inner, x.dcount_activities_outer,
+            x.activity_ratio) for x in r]
+    assert got == [(2, 2, 1.0), (1, 2, 0.5), (2, 3, 0.666667)]
+    with pytest.raises(KqlError, match="multiple"):
+        kql(df, "t | evaluate activity_engagement(uid, ts, 7h, 1d)")
