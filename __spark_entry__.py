@@ -1844,6 +1844,22 @@ def q_kql_activity_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_activity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate activity_metrics(user_id, ts, 4h)`` — per-slot
+    distinct actives, first-seen (new) actives, retention vs the
+    previous slot and churn. One distinct (id, slot) relation feeds
+    every metric: min-slot aggregate for new, (id, slot+1) self
+    equi-join for retained — no per-id windows, no range joins."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate activity_metrics(user_id, ts, 4h)"
+        " | order by ts asc",
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2862,6 +2878,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_sequence_detect": q_kql_sequence_detect,
         "kql_geo_functions": q_kql_geo_functions,
         "kql_activity_engagement": q_kql_activity_engagement,
+        "kql_activity_metrics": q_kql_activity_metrics,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -3863,6 +3880,32 @@ GROUP BY 1, 2, 3, 4, 5
             "JOIN n ON n.id = e1.t "
             "WHERE e1.w >= 50 AND e2.w >= 50 AND e1.s <> e2.t "
             "ORDER BY a, b, c"
+        ),
+        "kql_activity_metrics": (
+            "WITH act AS (SELECT DISTINCT user_id AS id, "
+            "CAST(floor(epoch(ts) / 14400.0) AS BIGINT) AS slot "
+            "FROM events), "
+            "d AS (SELECT slot, COUNT(*) AS dcount_values "
+            "FROM act GROUP BY 1), "
+            "f AS (SELECT id, MIN(slot) AS slot FROM act GROUP BY 1), "
+            "n AS (SELECT slot, COUNT(*) AS nn FROM f GROUP BY 1), "
+            "r AS (SELECT a2.slot AS slot, COUNT(*) AS ret FROM act a1 "
+            "JOIN act a2 ON a1.id = a2.id AND a2.slot = a1.slot + 1 "
+            "GROUP BY 1), "
+            "p AS (SELECT slot + 1 AS slot, dcount_values AS prev "
+            "FROM d) "
+            "SELECT epoch_ms(d.slot * 14400 * 1000) AS ts, "
+            "d.dcount_values, "
+            "COALESCE(n.nn, 0) AS dcount_newvalues, "
+            "CASE WHEN p.prev IS NOT NULL THEN "
+            "round(CAST(COALESCE(r.ret, 0) AS DOUBLE) / p.prev, 6) "
+            "END AS retention_rate, "
+            "CASE WHEN p.prev IS NOT NULL THEN round(1 - "
+            "round(CAST(COALESCE(r.ret, 0) AS DOUBLE) / p.prev, 6), 6) "
+            "END AS churn_rate "
+            "FROM d LEFT JOIN n ON d.slot = n.slot "
+            "LEFT JOIN r ON d.slot = r.slot "
+            "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
         ),
         "kql_activity_engagement": (
             "WITH act AS (SELECT DISTINCT user_id AS id, "

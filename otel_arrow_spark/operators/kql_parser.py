@@ -4410,6 +4410,68 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     ).alias("activity_ratio"),
                 )
                 continue
+            mam = re.match(
+                r"^activity_metrics\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*([\w.]+)\s*\)\s*$", rest)
+            if mam:
+                # `evaluate activity_metrics(id, timeline, window)` —
+                # per window slot: distinct actives, first-ever-seen
+                # actives (new), retention rate (slot t-1 actives still
+                # active in t / slot t-1 actives) and churn (1 −
+                # retention). All from ONE distinct (id, slot) relation:
+                # new = min-slot-per-id aggregate, retained = self
+                # equi-join on (id, slot-1) — no window over ids, no
+                # range join. Slots with no activity are not emitted
+                # (same Start/End-less subset as activity_engagement).
+                idc, tc, win_src = mam.groups()
+                for c in (idc, tc):
+                    if c not in df.columns:
+                        raise KqlError(
+                            f"activity_metrics: no column {c!r}")
+                win_s = _timespan_secs(win_src)
+                slot = F.floor(
+                    F.col(tc).cast("timestamp").cast("double")
+                    / F.lit(float(win_s))).cast("long")
+                act = df.select(
+                    F.col(idc).alias("_id"), slot.alias("_slot")
+                ).distinct()
+                dcounts = act.groupBy("_slot").agg(
+                    F.count(F.lit(1)).alias("dcount_values"))
+                firsts = act.groupBy("_id").agg(
+                    F.min("_slot").alias("_slot"))
+                news = firsts.groupBy("_slot").agg(
+                    F.count(F.lit(1)).alias("dcount_newvalues"))
+                nxt = act.select(
+                    "_id", (F.col("_slot") + 1).alias("_slot"))
+                retained = act.join(nxt, ["_id", "_slot"]).groupBy(
+                    "_slot").agg(F.count(F.lit(1)).alias("_ret"))
+                prev_d = dcounts.select(
+                    (F.col("_slot") + 1).alias("_slot"),
+                    F.col("dcount_values").alias("_prev"))
+                out = (
+                    dcounts
+                    .join(news, "_slot", "left")
+                    .join(retained, "_slot", "left")
+                    .join(prev_d, "_slot", "left")
+                )
+                rr = F.when(
+                    F.col("_prev").isNotNull(),
+                    F.round(
+                        F.coalesce(F.col("_ret"), F.lit(0))
+                        / F.col("_prev"), 6))
+                df = out.select(
+                    F.timestamp_seconds(
+                        F.col("_slot") * F.lit(float(win_s))
+                    ).cast("timestamp_ntz").alias(tc),
+                    "dcount_values",
+                    F.coalesce(
+                        F.col("dcount_newvalues"), F.lit(0)
+                    ).alias("dcount_newvalues"),
+                    rr.alias("retention_rate"),
+                    F.when(rr.isNotNull(),
+                           F.round(1 - rr, 6)).alias("churn_rate"),
+                )
+                continue
             msq = re.match(r"^sequence_detect\s*\((.+)\)\s*$", rest, re.S)
             if msq:
                 # `evaluate sequence_detect(timeline, stepWindow,

@@ -2341,3 +2341,20 @@ def test_evaluate_activity_engagement(spark):
     assert got == [(2, 2, 1.0), (1, 2, 0.5), (2, 3, 0.666667)]
     with pytest.raises(KqlError, match="multiple"):
         kql(df, "t | evaluate activity_engagement(uid, ts, 7h, 1d)")
+
+
+def test_evaluate_activity_metrics(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 1, 1)
+    rows = [(u, T + dt.timedelta(days=d, hours=3))
+            for d, us in [(0, [1, 2]), (1, [1]), (2, [2, 3])]
+            for u in us]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    r = kql(
+        df,
+        "t | evaluate activity_metrics(uid, ts, 1d) | order by ts asc",
+    ).collect()
+    got = [(x.dcount_values, x.dcount_newvalues, x.retention_rate,
+            x.churn_rate) for x in r]
+    assert got == [(2, 2, None, None), (1, 0, 0.5, 0.5),
+                   (2, 1, 0.0, 1.0)]
