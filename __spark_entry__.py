@@ -1860,6 +1860,31 @@ def q_kql_activity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_find_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``find in (ev, dc) where name startswith 'e' project id, name,
+    n`` — cross-table search: the predicate compiles per table, tables
+    lacking a referenced column are skipped (Kusto's rule), results
+    union with NULLs for absent projected columns plus the `source_`
+    provenance column. Each leg keeps its own pushed-down filtered
+    scan; the union is plan-level."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    docs = _docs(spark, sf_dir)
+    ev = events.select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("name"), F.col("value").alias("n"))
+    dc = docs.select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("name"))
+    return kql(
+        events,
+        "find in (ev, dc) where name startswith 'e'"
+        " project id, name, n"
+        " | order by source_ asc, id asc",
+        tables={"ev": ev, "dc": dc},
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2879,6 +2904,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_geo_functions": q_kql_geo_functions,
         "kql_activity_engagement": q_kql_activity_engagement,
         "kql_activity_metrics": q_kql_activity_metrics,
+        "kql_find_operator": q_kql_find_operator,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -3880,6 +3906,15 @@ GROUP BY 1, 2, 3, 4, 5
             "JOIN n ON n.id = e1.t "
             "WHERE e1.w >= 50 AND e2.w >= 50 AND e1.s <> e2.t "
             "ORDER BY a, b, c"
+        ),
+        "kql_find_operator": (
+            "SELECT 'ev' AS source_, event_id AS id, "
+            "event_type AS name, value AS n FROM events "
+            "WHERE lower(event_type) LIKE 'e%' "
+            "UNION ALL "
+            "SELECT 'dc', doc_id, lang, CAST(NULL AS DOUBLE) "
+            "FROM documents WHERE lower(lang) LIKE 'e%' "
+            "ORDER BY source_, id"
         ),
         "kql_activity_metrics": (
             "WITH act AS (SELECT DISTINCT user_id AS id, "

@@ -3180,7 +3180,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         "summarize", "join", "lookup", "union", "distinct", "count",
         "sample", "sample-distinct", "mv-expand", "mv-apply",
         "make-series", "evaluate", "top-nested", "search", "reduce",
-        "make-graph", "graph-match", "graph-to-table",
+        "make-graph", "graph-match", "graph-to-table", "find",
     }
 
     def pe(s: str) -> Column:
@@ -4896,6 +4896,69 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             df = kept.select(*out_cols)
             for oth in others_parts:
                 df = df.unionByName(oth, allowMissingColumns=True)
+        elif op == "find":
+            # `find in (T1, T2, …) where <pred> [project col, …]` —
+            # cross-table search (Kusto findoperator): the predicate
+            # runs against every listed table; tables where it cannot
+            # compile (references a column the table lacks) are skipped,
+            # Kusto's own rule. Output: `source_` + the projected
+            # columns (absent ones NULL via unionByName), or the union
+            # of all matching tables' columns without `project`. Each
+            # leg is an independent filtered scan — predicate pushdown
+            # per table, the union is plan-level (no shuffle).
+            m2 = re.match(r"^in\s*\(([^)]+)\)\s*where\s+(.+)$",
+                          rest, re.S)
+            if not m2:
+                raise KqlError(
+                    "find needs `in (T1, T2, …) where pred "
+                    "[project col, …]`")
+            src_names = [n.strip() for n in
+                         _split_commas(m2.group(1))]
+            tail2 = m2.group(2)
+            pidx = _find_kw_top(tail2, "project")
+            pred_src = tail2[:pidx].strip() if pidx is not None \
+                else tail2.strip()
+            proj_names = (
+                [c.strip() for c in
+                 _split_commas(tail2[pidx + len("project"):])]
+                if pidx is not None else None)
+            parts: list[DataFrame] = []
+            for name in src_names:
+                if not tables or name not in tables:
+                    raise KqlError(
+                        f"find: unknown table {name!r} — pass it via "
+                        "kql(..., tables={...})")
+                tdf = tables[name]
+                vcols = {
+                    f.name for f in tdf.schema.fields
+                    if f.dataType.typeName() == "variant"
+                }
+                try:
+                    cond = parse_expr(pred_src, bindings,
+                                      variant_cols=vcols)
+                    part = tdf.filter(cond)
+                    part.schema  # force analysis: missing col → skip
+                except KqlError:
+                    raise
+                except Exception:
+                    continue
+                if proj_names is not None:
+                    keep = [c for c in proj_names if c in tdf.columns]
+                    part = part.select(*keep)
+                part = part.select(
+                    F.lit(name).alias("source_"), "*")
+                parts.append(part)
+            if not parts:
+                raise KqlError(
+                    "find: the predicate compiles against none of the "
+                    "listed tables")
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            if proj_names is not None:
+                df = df.select(
+                    "source_",
+                    *[c for c in proj_names if c in df.columns])
         elif op == "make-graph":
             # `make-graph src --> dst [with <nodes> on <id>]`
             # `make-graph src --> dst [with_node_id=<name>]`

@@ -2358,3 +2358,26 @@ def test_evaluate_activity_metrics(spark):
             x.churn_rate) for x in r]
     assert got == [(2, 2, None, None), (1, 0, 0.5, 0.5),
                    (2, 1, 0.0, 1.0)]
+
+
+def test_find_operator(spark):
+    t1 = spark.createDataFrame(
+        [(1, "error", 9.0), (2, "click", 1.0)],
+        "id long, name string, value double")
+    t2 = spark.createDataFrame([(10, "engine"), (11, "zzz")],
+                               "id long, name string")
+    t3 = spark.createDataFrame([(99,)], "other long")
+    r = kql(
+        t1,
+        "find in (t1, t2, t3) where name startswith 'e'"
+        " project id, name, value",
+        tables={"t1": t1, "t2": t2, "t3": t3},
+    ).collect()
+    got = sorted((x.source_, x.id, x.name, x.value) for x in r)
+    assert got == [("t1", 1, "error", 9.0), ("t2", 10, "engine", None)]
+    # without project: union of all matching tables' columns
+    r2 = kql(t1, "find in (t1, t2) where name == 'error'",
+             tables={"t1": t1, "t2": t2}).collect()
+    assert [tuple(x) for x in r2] == [("t1", 1, "error", 9.0)]
+    with pytest.raises(KqlError, match="none of the listed"):
+        kql(t1, "find in (t3) where name == 'x'", tables={"t3": t3})
