@@ -1885,6 +1885,22 @@ def q_kql_find_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate active_users_count(user_id, ts, 4h, 1d, 3)`` — per
+    4-hour slot, users active in ≥3 distinct periods of the trailing
+    day (the sticky-users metric). Distinct (id, slot) + bounded k=6
+    explode; the distinct-period count is a plain count because the
+    input relation is already distinct."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate active_users_count(user_id, ts, 4h, 1d, 3)"
+        " | order by ts asc",
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2905,6 +2921,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_activity_engagement": q_kql_activity_engagement,
         "kql_activity_metrics": q_kql_activity_metrics,
         "kql_find_operator": q_kql_find_operator,
+        "kql_active_users": q_kql_active_users,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -3906,6 +3923,17 @@ GROUP BY 1, 2, 3, 4, 5
             "JOIN n ON n.id = e1.t "
             "WHERE e1.w >= 50 AND e2.w >= 50 AND e1.s <> e2.t "
             "ORDER BY a, b, c"
+        ),
+        "kql_active_users": (
+            "WITH act AS (SELECT DISTINCT user_id AS id, "
+            "CAST(floor(epoch(ts) / 14400.0) AS BIGINT) AS slot "
+            "FROM events), "
+            "sp AS (SELECT id, slot + g AS t FROM act "
+            "CROSS JOIN range(0, 6) r(g)), "
+            "pi AS (SELECT t, id, COUNT(*) AS np FROM sp GROUP BY 1, 2) "
+            "SELECT epoch_ms(t * 14400 * 1000) AS ts, "
+            "CAST(COUNT(*) AS BIGINT) AS dcount_values "
+            "FROM pi WHERE np >= 3 GROUP BY t ORDER BY ts"
         ),
         "kql_find_operator": (
             "SELECT 'ev' AS source_, event_id AS id, "

@@ -4410,6 +4410,66 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     ).alias("activity_ratio"),
                 )
                 continue
+            mau = re.match(
+                r"^active_users_count\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*([\w.]+)\s*,\s*([\w.]+)\s*,"
+                r"\s*(\d+)\s*\)\s*$", rest)
+            if mau:
+                # `evaluate active_users_count(id, timeline, period,
+                # lookback, min_active_periods)` — per period slot, the
+                # count of ids active in ≥ m DISTINCT periods of the
+                # trailing lookback window (Kusto's plugin with its
+                # ActivePeriodsCount threshold). Same scale shape as
+                # activity_engagement: distinct (id, slot) first, then
+                # a bounded k=lookback/period explode carrying the
+                # SOURCE slot, so the per-(target, id) aggregate counts
+                # distinct active periods; ids crossing the threshold
+                # aggregate once more to the per-slot count.
+                idc, tc, per_src, look_src, min_p = mau.groups()
+                for c in (idc, tc):
+                    if c not in df.columns:
+                        raise KqlError(
+                            f"active_users_count: no column {c!r}")
+                per_s = _timespan_secs(per_src)
+                look_s = _timespan_secs(look_src)
+                k = look_s / per_s
+                if k < 1 or abs(k - round(k)) > 1e-9:
+                    raise KqlError(
+                        "active_users_count: LookbackWindow must be a "
+                        "positive integer multiple of Period")
+                k, m = int(round(k)), int(min_p)
+                if m < 1 or m > k:
+                    raise KqlError(
+                        "active_users_count: MinActivePeriods must be "
+                        "in [1, lookback/period]")
+                slot = F.floor(
+                    F.col(tc).cast("timestamp").cast("double")
+                    / F.lit(float(per_s))).cast("long")
+                act = df.select(
+                    F.col(idc).alias("_id"), slot.alias("_slot")
+                ).distinct()
+                # act is DISTINCT (id, slot), so after the explode each
+                # (target slot, id) row stands for one distinct active
+                # source period — a plain count IS the distinct-period
+                # count, no second distinct needed
+                spread = act.select(
+                    "_id",
+                    F.explode(F.sequence(
+                        F.col("_slot"),
+                        F.col("_slot") + F.lit(k - 1))).alias("_slot"))
+                per_id = spread.groupBy("_slot", "_id").agg(
+                    F.count(F.lit(1)).alias("_np"))
+                df = (
+                    per_id.filter(F.col("_np") >= m)
+                    .groupBy("_slot")
+                    .agg(F.count(F.lit(1)).alias("dcount_values"))
+                    .select(
+                        F.timestamp_seconds(
+                            F.col("_slot") * F.lit(float(per_s))
+                        ).cast("timestamp_ntz").alias(tc),
+                        "dcount_values")
+                )
+                continue
             mam = re.match(
                 r"^activity_metrics\s*\(\s*([A-Za-z_]\w*)\s*,"
                 r"\s*([A-Za-z_]\w*)\s*,\s*([\w.]+)\s*\)\s*$", rest)

@@ -2381,3 +2381,21 @@ def test_find_operator(spark):
     assert [tuple(x) for x in r2] == [("t1", 1, "error", 9.0)]
     with pytest.raises(KqlError, match="none of the listed"):
         kql(t1, "find in (t3) where name == 'x'", tables={"t3": t3})
+
+
+def test_evaluate_active_users_count(spark):
+    import datetime as dt
+    T = dt.datetime(2024, 1, 1)
+    rows = [(u, T + dt.timedelta(days=d, hours=3))
+            for d, us in [(0, [1, 2]), (1, [1, 3]), (2, [1, 2])]
+            for u in us]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    r = kql(
+        df,
+        "t | evaluate active_users_count(uid, ts, 1d, 3d, 2)"
+        " | order by ts asc",
+    ).collect()
+    assert [(x.ts.day, x.dcount_values) for x in r] == [
+        (2, 1), (3, 2), (4, 1)]
+    with pytest.raises(KqlError, match="MinActivePeriods"):
+        kql(df, "t | evaluate active_users_count(uid, ts, 1d, 3d, 9)")
