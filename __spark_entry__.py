@@ -1901,6 +1901,28 @@ def q_kql_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation scalars (binary_and/or/xor/not, shifts,
+    bitset_count_ones) — 64-bit per-row codegen; exact long sums per
+    type make the whole surface one hash-compare."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | project event_type,"
+        " ba = binary_and(user_id, 12), bo = binary_or(user_id, 5),"
+        " bx = binary_xor(user_id, 9), bn = binary_not(user_id),"
+        " sl = binary_shift_left(user_id, 3),"
+        " sr = binary_shift_right(user_id, 1),"
+        " bc = bitset_count_ones(user_id)"
+        " | summarize sba = sum(ba), sbo = sum(bo), sbx = sum(bx),"
+        " sbn = sum(bn), ssl = sum(sl), ssr = sum(sr), sbc = sum(bc),"
+        " n = count() by event_type"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2922,6 +2944,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_activity_metrics": q_kql_activity_metrics,
         "kql_find_operator": q_kql_find_operator,
         "kql_active_users": q_kql_active_users,
+        "kql_bit_functions": q_kql_bit_functions,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -3923,6 +3946,18 @@ GROUP BY 1, 2, 3, 4, 5
             "JOIN n ON n.id = e1.t "
             "WHERE e1.w >= 50 AND e2.w >= 50 AND e1.s <> e2.t "
             "ORDER BY a, b, c"
+        ),
+        "kql_bit_functions": (
+            "WITH b AS (SELECT event_type, "
+            "user_id & 12 AS ba, user_id | 5 AS bo, "
+            "xor(user_id, 9) AS bx, ~user_id AS bn, "
+            "user_id << 3 AS sl, user_id >> 1 AS sr, "
+            "CAST(bit_count(user_id) AS BIGINT) AS bc FROM events) "
+            "SELECT event_type, SUM(ba) AS sba, SUM(bo) AS sbo, "
+            "SUM(bx) AS sbx, SUM(bn) AS sbn, SUM(sl) AS ssl, "
+            "SUM(sr) AS ssr, SUM(bc) AS sbc, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM b GROUP BY event_type ORDER BY event_type"
         ),
         "kql_active_users": (
             "WITH act AS (SELECT DISTINCT user_id AS id, "

@@ -1110,6 +1110,20 @@ _FUNC_MAP_SIMPLE = {
     # (regexp_instr is 1-based with 0 = miss, so -1 shifts both)
     "indexof_regex": lambda a: (
         F.regexp_instr(a[0], a[1]) - F.lit(1)).cast("bigint"),
+    # bit manipulation (Kusto binary-functions) — 64-bit semantics
+    "binary_and": lambda a: a[0].cast("long").bitwiseAND(
+        a[1].cast("long")),
+    "binary_or": lambda a: a[0].cast("long").bitwiseOR(
+        a[1].cast("long")),
+    "binary_xor": lambda a: a[0].cast("long").bitwiseXOR(
+        a[1].cast("long")),
+    "binary_not": lambda a: F.bitwise_not(a[0].cast("long")),
+    "binary_shift_left": lambda a: F.call_function(
+        "shiftleft", a[0].cast("long"), a[1].cast("int")),
+    "binary_shift_right": lambda a: F.call_function(
+        "shiftright", a[0].cast("long"), a[1].cast("int")),
+    "bitset_count_ones": lambda a: F.bit_count(
+        a[0].cast("long")).cast("bigint"),
     # geo — spherical-Earth great-circle (haversine, S2's mean radius
     # 6371.01 km, the geometry library Kusto's geo_* functions use).
     # args are (lon1, lat1, lon2, lat2 [, radius]) like Kusto.
@@ -2963,6 +2977,14 @@ def _graph_match(
         seen_e.add(ev)
         if (lo, hi) != (1, 1):
             varlen_pos.append(i)
+    # a pattern with >1 concrete hop (or several expansions) scans the
+    # edge relation once per hop — persist it so an expensive upstream
+    # (windows, aggregations) materializes once
+    total_hops = sum(hi for _, _, _, hi in epat)
+    if total_hops > 1:
+        from otel_arrow_spark.dataops.dedup import persist_registered
+
+        g = dict(g, edges=persist_registered(g["edges"]))
     combos = itertools.product(
         *[range(epat[i][2], epat[i][3] + 1) for i in varlen_pos])
     outs = [
@@ -4375,12 +4397,17 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         "be a positive integer multiple of "
                         "InnerActivityWindow")
                 k = int(round(k))
+                from otel_arrow_spark.dataops.dedup import (
+                    persist_registered,
+                )
                 slot = F.floor(
                     F.col(tc).cast("timestamp").cast("double")
                     / F.lit(float(inner_s))).cast("long")
-                act = df.select(
+                # act feeds both dcounts — persist so the distinct
+                # shuffle runs once, not per consumer
+                act = persist_registered(df.select(
                     F.col(idc).alias("_id"), slot.alias("_slot")
-                ).distinct()
+                ).distinct())
                 inner_d = act.groupBy("_slot").agg(
                     F.count_distinct("_id").alias(
                         "dcount_activities_inner"))
@@ -4489,12 +4516,18 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         raise KqlError(
                             f"activity_metrics: no column {c!r}")
                 win_s = _timespan_secs(win_src)
+                from otel_arrow_spark.dataops.dedup import (
+                    persist_registered,
+                )
                 slot = F.floor(
                     F.col(tc).cast("timestamp").cast("double")
                     / F.lit(float(win_s))).cast("long")
-                act = df.select(
+                # act feeds four consumers (dcounts, firsts, both
+                # sides of the retained self-join) — persist so the
+                # distinct shuffle runs once
+                act = persist_registered(df.select(
                     F.col(idc).alias("_id"), slot.alias("_slot")
-                ).distinct()
+                ).distinct())
                 dcounts = act.groupBy("_slot").agg(
                     F.count(F.lit(1)).alias("dcount_values"))
                 firsts = act.groupBy("_id").agg(

@@ -2399,3 +2399,14 @@ def test_evaluate_active_users_count(spark):
         (2, 1), (3, 2), (4, 1)]
     with pytest.raises(KqlError, match="MinActivePeriods"):
         kql(df, "t | evaluate active_users_count(uid, ts, 1d, 3d, 9)")
+
+
+def test_bit_functions(spark):
+    r = kql(
+        spark.range(1).selectExpr("13 as v"),
+        "t | project a = binary_and(v, 12), o = binary_or(v, 2),"
+        " x = binary_xor(v, 9), n = binary_not(v),"
+        " sl = binary_shift_left(v, 3), sr = binary_shift_right(v, 1),"
+        " bc = bitset_count_ones(v)",
+    ).collect()[0]
+    assert tuple(r) == (12, 15, 4, -14, 104, 6, 3)
