@@ -1923,6 +1923,31 @@ def q_kql_bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``graph-shortest-paths (a)-[e*1..3]->(c)`` from 'signup' over
+    the transition graph: per reachable node, the minimal hop count
+    (simple paths — repeated nodes excluded) with output=any ties
+    broken by the projected columns, here minimal total weight. The
+    oracle unions 1/2/3-hop join chains with pairwise-distinct node
+    conditions and picks min(tot) within min hops per target."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | sort by user_id asc, ts asc, event_id asc"
+        " | serialize by user_id p = prev(event_type)"
+        " | where isnotnull(p)"
+        " | summarize w = count() by s = p, t = event_type"
+        " | make-graph s --> t"
+        " | graph-shortest-paths (a)-[e*1..3]->(c)"
+        " where a.node_id == 'signup' and all(e, e.w >= 50)"
+        " project c = c.node_id, hops = array_length(map(e, e.w)),"
+        " tot = array_sum(map(e, e.w))"
+        " | order by c asc",
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2945,6 +2970,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_find_operator": q_kql_find_operator,
         "kql_active_users": q_kql_active_users,
         "kql_bit_functions": q_kql_bit_functions,
+        "graph_shortest_paths": q_graph_shortest_paths,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -4073,6 +4099,36 @@ GROUP BY 1, 2, 3, 4, 5
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM s GROUP BY event_type, enc, dec, ir, pv, ft, ft2 "
             "ORDER BY event_type, pv, ft2"
+        ),
+        "graph_shortest_paths": (
+            "WITH seq AS (SELECT user_id, event_type AS t, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS p FROM events), "
+            "e AS (SELECT p AS s, t, CAST(COUNT(*) AS BIGINT) AS w "
+            "FROM seq WHERE p IS NOT NULL GROUP BY 1, 2), "
+            "h1 AS (SELECT t AS c, 1 AS hops, CAST(w AS DOUBLE) AS tot "
+            "FROM e WHERE s = 'signup' AND w >= 50 AND t <> 'signup'), "
+            "h2 AS (SELECT e2.t AS c, 2 AS hops, "
+            "CAST(e1.w + e2.w AS DOUBLE) AS tot "
+            "FROM e e1 JOIN e e2 ON e1.t = e2.s "
+            "WHERE e1.s = 'signup' AND e1.w >= 50 AND e2.w >= 50 "
+            "AND e1.t <> 'signup' AND e2.t <> 'signup' "
+            "AND e2.t <> e1.t), "
+            "h3 AS (SELECT e3.t AS c, 3 AS hops, "
+            "CAST(e1.w + e2.w + e3.w AS DOUBLE) AS tot "
+            "FROM e e1 JOIN e e2 ON e1.t = e2.s "
+            "JOIN e e3 ON e2.t = e3.s "
+            "WHERE e1.s = 'signup' AND e1.w >= 50 AND e2.w >= 50 "
+            "AND e3.w >= 50 AND e1.t <> 'signup' AND e2.t <> 'signup' "
+            "AND e3.t <> 'signup' AND e2.t <> e1.t "
+            "AND e3.t <> e1.t AND e3.t <> e2.t), "
+            "u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2 "
+            "UNION ALL SELECT * FROM h3), "
+            "m AS (SELECT c, MIN(hops) AS mh FROM u GROUP BY 1) "
+            "SELECT u.c, CAST(u.hops AS INTEGER) AS hops, "
+            "MIN(u.tot) AS tot FROM u JOIN m "
+            "ON u.c = m.c AND u.hops = m.mh "
+            "GROUP BY u.c, u.hops ORDER BY u.c"
         ),
         "graph_varlen_paths": (
             "WITH seq AS (SELECT user_id, event_type AS t, "

@@ -2801,6 +2801,7 @@ def _graph_match_one(
     epat: list[tuple[str | None, bool, int, int]],
     hop_n: dict[int, int], cycles: str,
     where_src: str | None, proj_src: str, bindings: dict,
+    path_meta: bool = False,
 ) -> DataFrame:
     """One fixed-length expansion of a graph-match pattern → relation.
     ``hop_n`` maps variable-length edge positions to this expansion's
@@ -2951,6 +2952,14 @@ def _graph_match_one(
             name = f"{m3.group(1)}_{m3.group(2)}" if m3 else None
         c = gpe(expr)
         sel.append(c.alias(name) if name else c)
+    if path_meta:
+        # graph-shortest-paths bookkeeping: expansion hop count +
+        # endpoint ids ride along so the union can rank per pair
+        sel += [
+            F.lit(len(evars_all)).alias("__hops"),
+            F.col(bound[nvars[0]]).alias("__src"),
+            F.col(bound[nvars[-1]]).alias("__dst"),
+        ]
     return rel.select(*sel)
 
 
@@ -2997,6 +3006,66 @@ def _graph_match(
     for o in outs[1:]:
         df = df.unionByName(o)
     return df
+
+
+def _graph_shortest(
+    g: dict, npat: list[str | None],
+    epat: list[tuple[str | None, bool, int, int]], cycles: str,
+    where_src: str | None, proj_src: str, bindings: dict,
+    mode: str,
+) -> DataFrame:
+    """``graph-shortest-paths``: bounded-length shortest paths between
+    the pattern's endpoint nodes. Every hop-count expansion of the
+    (required) variable-length edge evaluates like graph-match with
+    hop/endpoint metadata; per (source id, target id) pair the minimal
+    hop count wins. ``output=any`` keeps ONE such path — ties broken
+    by ordering over the projected columns, so the choice is
+    deterministic (Kusto leaves it arbitrary); ``output=all`` keeps
+    every path of the minimal length."""
+    nvars = [v or f"_n{j}" for j, v in enumerate(npat)]
+    if not any((lo, hi) != (1, 1) for _, _, lo, hi in epat):
+        raise KqlError(
+            "graph-shortest-paths needs a variable-length edge "
+            "(-[e*lo..hi]->) — fixed patterns are plain graph-match")
+    seen_e: set[str] = set()
+    varlen_pos: list[int] = []
+    for i, (ev0, _, lo, hi) in enumerate(epat):
+        ev = ev0 or f"_e{i}"
+        if ev in seen_e or ev in nvars:
+            raise KqlError(
+                f"graph-shortest-paths: duplicate edge variable {ev!r}")
+        seen_e.add(ev)
+        if (lo, hi) != (1, 1):
+            varlen_pos.append(i)
+    total_hops = sum(hi for _, _, _, hi in epat)
+    if total_hops > 1:
+        from otel_arrow_spark.dataops.dedup import persist_registered
+
+        g = dict(g, edges=persist_registered(g["edges"]))
+    combos = itertools.product(
+        *[range(epat[i][2], epat[i][3] + 1) for i in varlen_pos])
+    outs = [
+        _graph_match_one(
+            g, nvars, npat, epat, dict(zip(varlen_pos, combo)),
+            cycles, where_src, proj_src, bindings, path_meta=True)
+        for combo in combos
+    ]
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    proj_cols = [c for c in df.columns
+                 if c not in ("__hops", "__src", "__dst")]
+    w = Window.partitionBy("__src", "__dst")
+    if mode == "any":
+        rnk = F.row_number().over(w.orderBy(
+            F.col("__hops").asc(),
+            *[F.col(c).asc_nulls_first() for c in proj_cols]))
+        df = df.withColumn("__rnk", rnk).filter(F.col("__rnk") == 1)
+    else:                                     # output=all
+        mh = F.min("__hops").over(w)
+        df = df.withColumn("__mh", mh).filter(
+            F.col("__hops") == F.col("__mh"))
+    return df.select(*proj_cols)
 
 
 def kql(df: DataFrame, query: str,
@@ -3203,6 +3272,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         "sample", "sample-distinct", "mv-expand", "mv-apply",
         "make-series", "evaluate", "top-nested", "search", "reduce",
         "make-graph", "graph-match", "graph-to-table", "find",
+        "graph-shortest-paths",
     }
 
     def pe(s: str) -> Column:
@@ -5142,6 +5212,36 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 where_src = head[5:].strip()
             df = _graph_match(g, npat, epat, cycles, where_src,
                               proj_src, bindings)
+            sctx["graph"] = None
+        elif op == "graph-shortest-paths":
+            # `graph-shortest-paths [output=any|all] (a)-[e*1..k]->(b)
+            #  [where <expr>] project …` — see _graph_shortest.
+            g = sctx.get("graph")
+            if g is None:
+                raise KqlError(
+                    "graph-shortest-paths requires a preceding "
+                    "make-graph")
+            mm = re.match(r"^(?:output\s*=\s*(any|all)\s+)?", rest)
+            mode = mm.group(1) or "any"
+            npat, epat, pos = _parse_graph_pattern(rest, mm.end())
+            tail = rest[pos:].strip()
+            pidx = _find_kw_top(tail, "project")
+            if pidx is None:
+                raise KqlError(
+                    "graph-shortest-paths needs a `project` clause")
+            head = tail[:pidx].strip()
+            proj_src = tail[pidx + len("project"):].strip()
+            where_src = None
+            if head:
+                if not re.match(r"^where\b", head):
+                    raise KqlError(
+                        f"graph-shortest-paths: unexpected "
+                        f"{head[:30]!r} between pattern and project")
+                where_src = head[5:].strip()
+            # shortest-path semantics walk simple paths: repeated
+            # nodes would let a longer expansion shadow a shorter one
+            df = _graph_shortest(g, npat, epat, "none", where_src,
+                                 proj_src, bindings, mode)
             sctx["graph"] = None
         else:
             raise KqlError(f"unknown operator {op!r}")

@@ -2410,3 +2410,33 @@ def test_bit_functions(spark):
         " bc = bitset_count_ones(v)",
     ).collect()[0]
     assert tuple(r) == (12, 15, 4, -14, 104, 6, 3)
+
+
+def test_graph_shortest_paths(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0),
+         ("c", "d", 4.0), ("b", "d", 9.0)],
+        "s string, t string, w double",
+    )
+    r = kql(
+        edges,
+        "e | make-graph s --> t"
+        " | graph-shortest-paths (p)-[e*1..3]->(q)"
+        " where p.node_id == 'a'"
+        " project q = q.node_id, hops = array_length(map(e, e.w)),"
+        " tot = array_sum(map(e, e.w))",
+    ).collect()
+    assert sorted((x.q, x.hops, x.tot) for x in r) == [
+        ("b", 1, 1.0), ("c", 1, 5.0), ("d", 2, 9.0)]
+    r2 = kql(
+        edges,
+        "e | make-graph s --> t"
+        " | graph-shortest-paths output=all (p)-[e*1..3]->(q)"
+        " where p.node_id == 'a'"
+        " project q = q.node_id, tot = array_sum(map(e, e.w))",
+    ).collect()
+    assert sorted((x.q, x.tot) for x in r2) == [
+        ("b", 1.0), ("c", 5.0), ("d", 9.0), ("d", 10.0)]
+    with pytest.raises(KqlError, match="variable-length"):
+        kql(edges, "e | make-graph s --> t"
+            " | graph-shortest-paths (p)-[e]->(q) project q = q.node_id")
