@@ -1948,6 +1948,34 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_ipv4_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate ipv4_lookup(cidrs, ip, network)`` — longest-prefix
+    CIDR enrichment: distinct IPs explode to one candidate per mask
+    length in the table, equi-join the broadcast dimension, rank keeps
+    the longest mask, and the result joins back on the IP key (the
+    distributed LPM shape; no theta join on the big side)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    src = events.select(
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 4).cast("string"),
+            F.lit("."), (F.col("user_id") % 200).cast("string"),
+            F.lit("."), (F.col("event_id") % 250).cast("string"),
+        ).alias("ip"))
+    cidrs = spark.createDataFrame(
+        [("10.0.0.0/8", "corp"), ("10.1.0.0/16", "teamA"),
+         ("10.2.128.0/17", "dmz"), ("10.3.7.0/24", "lab")],
+        "network string, zone string")
+    return kql(
+        src,
+        "t | evaluate ipv4_lookup(cidrs, ip, network)"
+        " | summarize n = count(), ips = dcount(ip) by zone, network"
+        " | order by zone asc, network asc",
+        tables={"cidrs": cidrs},
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -2971,6 +2999,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_active_users": q_kql_active_users,
         "kql_bit_functions": q_kql_bit_functions,
         "graph_shortest_paths": q_graph_shortest_paths,
+        "kql_ipv4_lookup": q_kql_ipv4_lookup,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -4099,6 +4128,41 @@ GROUP BY 1, 2, 3, 4, 5
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM s GROUP BY event_type, enc, dec, ir, pv, ft, ft2 "
             "ORDER BY event_type, pv, ft2"
+        ),
+        "kql_ipv4_lookup": (
+            "WITH src AS (SELECT '10.' || CAST(user_id % 4 AS VARCHAR)"
+            " || '.' || CAST(user_id % 200 AS VARCHAR) || '.' || "
+            "CAST(event_id % 250 AS VARCHAR) AS ip FROM events), "
+            "d AS (SELECT DISTINCT ip FROM src), "
+            "ipl AS (SELECT ip, "
+            "CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216 + "
+            "CAST(split_part(ip, '.', 2) AS BIGINT) * 65536 + "
+            "CAST(split_part(ip, '.', 3) AS BIGINT) * 256 + "
+            "CAST(split_part(ip, '.', 4) AS BIGINT) AS l FROM d), "
+            "lut AS (SELECT * FROM (VALUES "
+            "('10.0.0.0/8', 'corp'), ('10.1.0.0/16', 'teamA'), "
+            "('10.2.128.0/17', 'dmz'), ('10.3.7.0/24', 'lab')"
+            ") t(network, zone)), "
+            "lutx AS (SELECT network, zone, "
+            "CAST(split_part(network, '/', 2) AS INT) AS m, "
+            "CAST(split_part(split_part(network, '/', 1), '.', 1) "
+            "AS BIGINT) * 16777216 + "
+            "CAST(split_part(split_part(network, '/', 1), '.', 2) "
+            "AS BIGINT) * 65536 + "
+            "CAST(split_part(split_part(network, '/', 1), '.', 3) "
+            "AS BIGINT) * 256 + "
+            "CAST(split_part(split_part(network, '/', 1), '.', 4) "
+            "AS BIGINT) AS nl FROM lut), "
+            "best AS (SELECT ip, network, zone FROM ("
+            "SELECT ipl.ip, lutx.network, lutx.zone, lutx.m, "
+            "ROW_NUMBER() OVER (PARTITION BY ipl.ip "
+            "ORDER BY lutx.m DESC, lutx.network) AS rn "
+            "FROM ipl JOIN lutx ON floor(ipl.l / pow(2, 32 - lutx.m)) "
+            "= floor(lutx.nl / pow(2, 32 - lutx.m))) WHERE rn = 1) "
+            "SELECT b.zone, b.network, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(DISTINCT s.ip) AS BIGINT) AS ips "
+            "FROM src s JOIN best b ON s.ip = b.ip "
+            "GROUP BY 1, 2 ORDER BY zone, network"
         ),
         "graph_shortest_paths": (
             "WITH seq AS (SELECT user_id, event_type AS t, "

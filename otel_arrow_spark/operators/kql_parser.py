@@ -4507,6 +4507,87 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     ).alias("activity_ratio"),
                 )
                 continue
+            mip = re.match(
+                r"^ipv4_lookup\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*"
+                r"(?:,\s*(?:return_unmatched\s*=\s*)?(true|false)\s*)?"
+                r"\)\s*$", rest)
+            if mip:
+                # `evaluate ipv4_lookup(LookupTable, SourceIPColumn,
+                # IPNetworkColumn[, return_unmatched])` — longest-
+                # prefix-match CIDR enrichment, the classic distributed
+                # LPM join: the lookup table derives (mask len m,
+                # prefix = ⌊net/2^(32−m)⌋); each DISTINCT source IP
+                # explodes into one candidate (m, prefix) per mask
+                # length PRESENT in the table (≤33 by IPv4 construction
+                # — the one bounded driver collect), equi-joins the
+                # broadcast lookup (a dimension by contract), and a
+                # per-IP rank keeps the longest mask (ties broken on
+                # the network string). The enriched (ip → row) map then
+                # joins back on the IP key — never a theta/range join.
+                lutname, ipc, netc, unmatched = mip.groups()
+                if not tables or lutname not in tables:
+                    raise KqlError(
+                        f"ipv4_lookup: unknown table {lutname!r} — "
+                        "pass it via kql(..., tables={...})")
+                if ipc not in df.columns:
+                    raise KqlError(f"ipv4_lookup: no column {ipc!r}")
+                lut = tables[lutname]
+                if netc not in lut.columns:
+                    raise KqlError(
+                        f"ipv4_lookup: lookup table has no column "
+                        f"{netc!r}")
+                netp = F.split(F.col(netc), "/")
+                mlen = F.coalesce(
+                    F.try_element_at(netp, F.lit(2)).try_cast("int"),
+                    F.lit(32))
+                nint = _ip2long(F.try_element_at(netp, F.lit(1)))
+                lut2 = lut.withColumns({
+                    "__m": mlen,
+                    "__pref": F.floor(
+                        nint / F.pow(F.lit(2.0), 32 - mlen)
+                    ).cast("long"),
+                })
+                masks = sorted(
+                    r[0] for r in
+                    lut2.select("__m").distinct().collect()
+                    if r[0] is not None)
+                if not masks:
+                    raise KqlError("ipv4_lookup: empty lookup table")
+                ips = (
+                    df.select(F.col(ipc).alias("__ip")).distinct()
+                    .withColumn("__ipl", _ip2long(F.col("__ip")))
+                )
+                cand = ips.select(
+                    "__ip",
+                    F.explode(F.array(*[
+                        F.struct(
+                            F.lit(m).alias("__m"),
+                            F.floor(
+                                F.col("__ipl")
+                                / F.lit(float(2 ** (32 - m)))
+                            ).cast("long").alias("__pref"))
+                        for m in masks])).alias("__c"),
+                ).select("__ip", "__c.__m", "__c.__pref")
+                matched = cand.join(
+                    F.broadcast(lut2), ["__m", "__pref"], "inner")
+                wip = Window.partitionBy("__ip").orderBy(
+                    F.col("__m").desc(), F.col(netc).asc())
+                best = (
+                    matched.withColumn(
+                        "__r", F.row_number().over(wip))
+                    .filter(F.col("__r") == 1)
+                    .drop("__m", "__pref", "__r", "__ipl")
+                )
+                for c in best.columns:
+                    if c != "__ip" and c in df.columns:
+                        best = best.withColumnRenamed(c, c + "1")
+                how = "left" if (unmatched or "false") == "true" \
+                    else "inner"
+                df = df.join(
+                    best, df[ipc] == best["__ip"], how
+                ).drop("__ip")
+                continue
             mau = re.match(
                 r"^active_users_count\s*\(\s*([A-Za-z_]\w*)\s*,"
                 r"\s*([A-Za-z_]\w*)\s*,\s*([\w.]+)\s*,\s*([\w.]+)\s*,"

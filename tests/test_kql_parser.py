@@ -2440,3 +2440,22 @@ def test_graph_shortest_paths(spark):
     with pytest.raises(KqlError, match="variable-length"):
         kql(edges, "e | make-graph s --> t"
             " | graph-shortest-paths (p)-[e]->(q) project q = q.node_id")
+
+
+def test_evaluate_ipv4_lookup(spark):
+    src = spark.createDataFrame(
+        [("10.1.2.3",), ("10.2.200.9",), ("10.2.10.9",),
+         ("192.168.1.1",), ("8.8.8.8",)], "ip string")
+    lut = spark.createDataFrame(
+        [("10.0.0.0/8", "corp"), ("10.2.128.0/17", "dmz"),
+         ("192.168.0.0/16", "home")], "network string, zone string")
+    r = {x.ip: x.zone for x in kql(
+        src, "t | evaluate ipv4_lookup(lut, ip, network)",
+        tables={"lut": lut}).collect()}
+    assert r == {"10.1.2.3": "corp", "10.2.10.9": "corp",
+                 "10.2.200.9": "dmz", "192.168.1.1": "home"}
+    # return_unmatched=true keeps the miss with NULL enrichment
+    r2 = {x.ip: x.zone for x in kql(
+        src, "t | evaluate ipv4_lookup(lut, ip, network, true)",
+        tables={"lut": lut}).collect()}
+    assert r2["8.8.8.8"] is None and len(r2) == 5
