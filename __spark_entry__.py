@@ -2025,6 +2025,29 @@ def q_kql_series_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_series_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_decompose_forecast(n, 24, 12)`` over the two-day hourly
+    grid: seasonal + trend trained on the first 36 bins, probes in both
+    the fitted region (f0, f35) and the forecast region (f36, f47).
+    Oracle: per-phase quantile_cont medians on the train rows +
+    regr_slope/regr_intercept over the deseasonalized train (proven
+    bit-compatible with the fold-based least squares), rounded to 6dp."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series n = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 1h"
+        " by event_type"
+        " | extend f = series_decompose_forecast(n, 24, 12)"
+        " | project event_type, f0 = round(f[0], 6),"
+        " f35 = round(f[35], 6), f36 = round(f[36], 6),"
+        " f47 = round(f[47], 6)"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array shape/manipulation round-out: slice (incl. negative
     indices), concat, rotate (both directions, wraparound), shift
@@ -3000,6 +3023,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_bit_functions": q_kql_bit_functions,
         "graph_shortest_paths": q_graph_shortest_paths,
         "kql_ipv4_lookup": q_kql_ipv4_lookup,
+        "kql_series_forecast": q_kql_series_forecast,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -4210,6 +4234,41 @@ GROUP BY 1, 2, 3, 4, 5
             "AND NOT (e1.s = e2.s AND e1.t = e2.t)) "
             "SELECT * FROM one UNION ALL SELECT * FROM two "
             "ORDER BY c, n_hops, tot"
+        ),
+        "kql_series_forecast": (
+            "WITH r AS (SELECT event_type, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-03'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 3600) AS INT)"
+            " AS i, COUNT(*) AS v FROM r GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT event_type FROM r), "
+            "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+            "(SELECT unnest(range(0, 48)) AS i) gs), "
+            "f AS (SELECT g.event_type, g.i, "
+            "CAST(COALESCE(b.v, 0) AS DOUBLE) AS v "
+            "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+            "AND g.i = b.i), "
+            "m AS (SELECT event_type, i % 24 AS ph, "
+            "quantile_cont(v, 0.5) AS med FROM f "
+            "WHERE i < 36 GROUP BY 1, 2), "
+            "ds AS (SELECT f.event_type, f.i, "
+            "f.v - m.med AS y FROM f JOIN m "
+            "ON f.event_type = m.event_type AND f.i % 24 = m.ph "
+            "WHERE f.i < 36), "
+            "ft AS (SELECT event_type, regr_slope(y, i) AS sl, "
+            "regr_intercept(y, i) AS ic FROM ds GROUP BY 1), "
+            "o AS (SELECT f.event_type, f.i, "
+            "round(m.med + ft.ic + ft.sl * f.i, 6) AS fv "
+            "FROM f JOIN m ON f.event_type = m.event_type "
+            "AND f.i % 24 = m.ph "
+            "JOIN ft ON f.event_type = ft.event_type) "
+            "SELECT event_type, "
+            "MAX(CASE WHEN i = 0 THEN fv END) AS f0, "
+            "MAX(CASE WHEN i = 35 THEN fv END) AS f35, "
+            "MAX(CASE WHEN i = 36 THEN fv END) AS f36, "
+            "MAX(CASE WHEN i = 47 THEN fv END) AS f47 "
+            "FROM o GROUP BY event_type ORDER BY event_type"
         ),
         "kql_series_seasonal": (
             "WITH r AS (SELECT event_type, ts FROM events "

@@ -740,6 +740,47 @@ def _series_decompose_part(arr: Column, p: Column, part: str) -> Column:
     return F.when(n > 0, out).otherwise(F.array().cast("array<double>"))
 
 
+def _series_forecast(arr: Column, p: Column, pts: Column) -> Column:
+    """Kusto ``series_decompose_forecast(series, period, points)``:
+    train seasonal + trend on all but the last ``points`` elements,
+    return the full-length baseline — the trailing ``points`` entries
+    are the forecast. Same components as ``series_decompose_*``
+    (per-phase medians; least-squares line on the deseasonalized
+    train), with the phase-median array and (slope, intercept) riding
+    ONE array_repeat so nothing O(n) re-evaluates per element. Narrow,
+    zero shuffle."""
+    pi = p.cast("int")
+    k = pts.cast("int")
+    n = F.size(arr)
+    m = n - k
+    train = F.slice(arr, F.lit(1), F.greatest(m, F.lit(0)))
+    ph_meds = F.transform(
+        F.sequence(F.lit(0), pi - 1),
+        lambda ph: _arr_median(
+            F.filter(train, lambda x, i: i % pi == ph)),
+    )
+    reps_tr = F.array_repeat(
+        F.struct(ph_meds.alias("m")), F.greatest(m, F.lit(0)))
+    seasonal_train = F.zip_with(
+        F.sequence(F.lit(0), m - 1), reps_tr,
+        lambda i, r: F.try_element_at(r["m"], (i % pi) + 1))
+    deseason = F.zip_with(
+        train, seasonal_train, lambda x, s: x.cast("double") - s)
+    slope, icept = _series_fit(deseason)
+    reps = F.array_repeat(
+        F.struct(ph_meds.alias("m"), slope.alias("sl"),
+                 icept.alias("ic")), n)
+    out = F.zip_with(
+        F.sequence(F.lit(0), n - 1), reps,
+        lambda i, r: (
+            F.try_element_at(r["m"], (i % pi) + 1)
+            + r["ic"] + r["sl"] * i.cast("double")),
+    )
+    return F.when(
+        (pi > 0) & (m > 0) & (k >= 0), out
+    ).otherwise(F.lit(None).cast("array<double>"))
+
+
 def _series_dot(a: Column, b: Column) -> Column:
     return _series_sum(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y)
@@ -946,6 +987,8 @@ _FUNC_MAP_SIMPLE = {
     # docstrings for the documented Kusto simplifications
     "series_moving_avg": lambda a: _series_moving_avg(
         a[0], a[1] if len(a) > 1 else F.lit(2)),
+    "series_decompose_forecast": lambda a: _series_forecast(
+        a[0], a[1], a[2]),
     "series_decompose_anomalies": lambda a: _series_decompose_anomalies(
         a[0],
         a[1] if len(a) > 1 else F.lit(1.5),

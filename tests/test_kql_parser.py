@@ -2459,3 +2459,21 @@ def test_evaluate_ipv4_lookup(spark):
         src, "t | evaluate ipv4_lookup(lut, ip, network, true)",
         tables={"lut": lut}).collect()}
     assert r2["8.8.8.8"] is None and len(r2) == 5
+
+
+def test_series_decompose_forecast(spark):
+    # period 2, linear trend + alternating seasonal; train = first 6
+    vals = [float(10 * i + (5 if i % 2 == 0 else -5)) for i in range(8)]
+    df = spark.createDataFrame([(vals,)], "v array<double>")
+    r = kql(
+        df,
+        "t | extend f = series_decompose_forecast(v, 2, 2)"
+        " | project f0 = round(f[0], 6), f6 = round(f[6], 6),"
+        " f7 = round(f[7], 6), bad = series_decompose_forecast(v, 0, 2)",
+    ).collect()[0]
+    # phase medians both 25; deseason slope 160/17.5, icept -slope*2.5
+    sl = 160 / 17.5
+    assert r.f0 == round(25 - sl * 2.5, 6)
+    assert r.f6 == round(25 - sl * 2.5 + sl * 6, 6)
+    assert r.f7 == round(25 - sl * 2.5 + sl * 7, 6)
+    assert r.bad is None          # non-positive period → NULL
