@@ -1923,6 +1923,24 @@ def q_kql_bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_rows_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate rows_near(cond, 2)`` — context rows around matches in
+    per-user serialized order (the log-forensics "show me what happened
+    around the error" shape). One bounded window frame (2 PRECEDING..2
+    FOLLOWING over the condition flag) per user partition — no
+    self-join, no explode, order restated after."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | sort by ts asc, event_id asc | serialize by user_id"
+        " | evaluate rows_near(event_type == 'error' and value > 95, 2)"
+        " | order by user_id asc, ts asc, event_id asc"
+        " | project user_id, event_id, event_type",
+    )
+
+
 def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``graph-shortest-paths (a)-[e*1..3]->(c)`` from 'signup' over
     the transition graph: per reachable node, the minimal hop count
@@ -3024,6 +3042,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest_paths": q_graph_shortest_paths,
         "kql_ipv4_lookup": q_kql_ipv4_lookup,
         "kql_series_forecast": q_kql_series_forecast,
+        "kql_rows_near": q_kql_rows_near,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -4083,6 +4102,16 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_rows_near": (
+            "WITH s AS (SELECT user_id, event_id, event_type, ts, "
+            "MAX(CASE WHEN event_type = 'error' AND value > 95 "
+            "THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS near "
+            "FROM events) "
+            "SELECT user_id, event_id, event_type FROM s "
+            "WHERE near = 1 ORDER BY user_id, ts, event_id"
         ),
         "kql_activity_engagement": (
             "WITH act AS (SELECT DISTINCT user_id AS id, "

@@ -4368,6 +4368,40 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     "Row", F.explode("_es").alias("_e")
                 ).select("Row", "_e.Column", "_e.Value")
                 continue
+            mrn = re.match(
+                r"^rows_near\s*\((.*?),\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"
+                r"\s*$", rest, re.S)
+            if mrn:
+                # `evaluate rows_near(Condition, NumRows[, RowsAfter])`
+                # — keep every row within NumRows before / RowsAfter
+                # (default NumRows) after any row satisfying Condition,
+                # in the serialized order (Kusto's context-rows
+                # plugin; reference grammar has no scan/rows_near — this
+                # is the beyond-reference log-forensics shape). One
+                # Window over the serialize order: row i survives iff
+                # some condition row j exists with j−before ≤ i ≤
+                # j+after ⇔ j ∈ [i−after, i+before], i.e. max(cond)
+                # over ROWS BETWEEN after PRECEDING AND before
+                # FOLLOWING — a single bounded frame, no self-join, no
+                # explode. Like the other serialized ops it requires
+                # `sort by …` (or `serialize by …`) first; output order
+                # must be re-stated downstream (evaluate clears it).
+                if wspec_before is None:
+                    raise KqlError(
+                        "evaluate rows_near() requires a serialized "
+                        "row set: `sort by …` first")
+                cond_src, before_s, after_s = mrn.groups()
+                before = int(before_s)
+                after = int(after_s) if after_s is not None else before
+                flag = F.when(pe(cond_src), 1).otherwise(0)
+                near = F.max(flag).over(
+                    wspec_before.rowsBetween(-after, before))
+                df = (
+                    df.withColumn("_near", near)
+                    .filter(F.col("_near") == 1)
+                    .drop("_near")
+                )
+                continue
             mbsk = re.match(r"^basket\s*\(\s*([0-9.]*)\s*\)\s*$", rest)
             if mbsk:
                 # `evaluate basket(SupportFrac)` — frequent itemset

@@ -1947,6 +1947,36 @@ def test_evaluate_narrow(spark):
         kql(df, "T | evaluate narrow()")
 
 
+def test_evaluate_rows_near(spark):
+    df = spark.createDataFrame(
+        [(i, "err" if i in (3, 9) else "ok") for i in range(12)],
+        "i int, s string")
+    got = kql(
+        df,
+        "T | sort by i asc | evaluate rows_near(s == 'err', 1)"
+        " | order by i asc | project i")
+    assert [r.i for r in got.collect()] == [2, 3, 4, 8, 9, 10]
+    # asymmetric window: 0 before, 2 after the condition row
+    got2 = kql(
+        df,
+        "T | sort by i asc | evaluate rows_near(s == 'err', 0, 2)"
+        " | order by i asc | project i")
+    assert [r.i for r in got2.collect()] == [3, 4, 5, 9, 10, 11]
+    # per-group serialization: the frame never crosses group bounds
+    df2 = spark.createDataFrame(
+        [(g, i, "err" if (g, i) == (1, 0) else "ok")
+         for g in (0, 1) for i in range(3)],
+        "g int, i int, s string")
+    got3 = kql(
+        df2,
+        "T | sort by i asc | serialize by g"
+        " | evaluate rows_near(s == 'err', 2)"
+        " | order by g asc, i asc | project g, i")
+    assert [(r.g, r.i) for r in got3.collect()] == [(1, 0), (1, 1), (1, 2)]
+    with pytest.raises(KqlError):
+        kql(df, "T | evaluate rows_near(s == 'err', 1)")
+
+
 def test_series_decompose_parts(spark):
     df = spark.createDataFrame([(1,)], "id int")
     r = kql(
