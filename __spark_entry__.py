@@ -1901,6 +1901,56 @@ def q_kql_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate sliding_window_counts(user_id, ts, start, end, 1d,
+    4h)`` by event_type — per 4-hour bin, records and distinct users in
+    the trailing day, zeros for silent bins. Per-(slot, dim) aggregates
+    + bounded k=6 explode; the spine is range × distinct dims."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate sliding_window_counts(user_id, ts,"
+        " datetime(2024-01-02 00:00:00), datetime(2024-01-05 00:00:00),"
+        " 1d, 4h, event_type)"
+        " | order by ts asc, event_type asc",
+    )
+
+
+def q_kql_activity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate activity_counts_metrics(user_id, ts, start, end,
+    12h)`` — per bin: count, dcount, first-seen dcount and the running
+    distinct total. One DISTINCT (id, slot) relation; the only window
+    is the running sum over the 17-row bin spine."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate activity_counts_metrics(user_id, ts,"
+        " datetime(2024-01-02 00:00:00), datetime(2024-01-10 00:00:00),"
+        " 12h) | order by ts asc",
+    )
+
+
+def q_kql_new_activity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate new_activity_metrics(user_id, ts, start, end, 1d)``
+    — cohort retention matrix: users cohorted by first-activity day;
+    per (from, to) pair the cohort size, retained count and
+    retention/churn rates. first-activity aggregate + one (cohort,
+    slot) count; spine is the small from≤to day grid."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate new_activity_metrics(user_id, ts,"
+        " datetime(2024-01-02 00:00:00), datetime(2024-01-06 00:00:00),"
+        " 1d) | order by from_ts asc, to_ts asc",
+    )
+
+
 def q_kql_bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-manipulation scalars (binary_and/or/xor/not, shifts,
     bitset_count_ones) — 64-bit per-row codegen; exact long sums per
@@ -3043,6 +3093,9 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_ipv4_lookup": q_kql_ipv4_lookup,
         "kql_series_forecast": q_kql_series_forecast,
         "kql_rows_near": q_kql_rows_near,
+        "kql_sliding_window_counts": q_kql_sliding_window_counts,
+        "kql_activity_counts": q_kql_activity_counts,
+        "kql_new_activity_metrics": q_kql_new_activity_metrics,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -4102,6 +4155,87 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_sliding_window_counts": (
+            # bin = 4h = 14400s; slots: 2024-01-02 → 118344,
+            # 2024-01-05 → 118362; lookback k = 6 bins
+            "WITH ev AS (SELECT event_type, user_id AS id, "
+            "CAST(floor(epoch(ts) / 14400.0) AS BIGINT) AS s "
+            "FROM events WHERE epoch(ts) >= 1704153600 "
+            "AND epoch(ts) <= 1704412800), "
+            "c AS (SELECT event_type, s + g AS t, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM ev CROSS JOIN range(0, 6) r(g) "
+            "WHERE s + g <= 118362 GROUP BY 1, 2), "
+            "d AS (SELECT event_type, s + g AS t, "
+            "CAST(COUNT(DISTINCT id) AS BIGINT) AS dc "
+            "FROM (SELECT DISTINCT event_type, id, s FROM ev) e "
+            "CROSS JOIN range(0, 6) r(g) "
+            "WHERE s + g <= 118362 GROUP BY 1, 2), "
+            "sp AS (SELECT r.range AS t, dm.event_type "
+            "FROM range(118344, 118363) r "
+            "CROSS JOIN (SELECT DISTINCT event_type FROM ev) dm) "
+            "SELECT epoch_ms(sp.t * 14400 * 1000) AS ts, "
+            "sp.event_type, COALESCE(c.cnt, 0) AS count_, "
+            "COALESCE(d.dc, 0) AS dcount "
+            "FROM sp LEFT JOIN c ON sp.t = c.t "
+            "AND sp.event_type = c.event_type "
+            "LEFT JOIN d ON sp.t = d.t AND sp.event_type = d.event_type "
+            "ORDER BY ts, sp.event_type"
+        ),
+        "kql_activity_counts": (
+            # bin = 12h = 43200s; slots: 2024-01-02 → 39448,
+            # 2024-01-10 → 39464
+            "WITH base AS (SELECT user_id AS id, "
+            "CAST(floor(epoch(ts) / 43200.0) AS BIGINT) AS s "
+            "FROM events WHERE epoch(ts) >= 1704153600 "
+            "AND epoch(ts) <= 1704844800), "
+            "pb AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(COUNT(DISTINCT id) AS BIGINT) AS dc "
+            "FROM base GROUP BY 1), "
+            "f AS (SELECT id, MIN(s) AS s FROM base GROUP BY 1), "
+            "n AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nn "
+            "FROM f GROUP BY 1), "
+            "sp AS (SELECT r.range AS s FROM range(39448, 39465) r) "
+            "SELECT epoch_ms(sp.s * 43200 * 1000) AS ts, "
+            "COALESCE(pb.cnt, 0) AS count_, "
+            "COALESCE(pb.dc, 0) AS dcount, "
+            "COALESCE(n.nn, 0) AS new_dcount, "
+            "CAST(SUM(COALESCE(n.nn, 0)) OVER (ORDER BY sp.s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS aggregated_dcount "
+            "FROM sp LEFT JOIN pb ON sp.s = pb.s "
+            "LEFT JOIN n ON sp.s = n.s ORDER BY ts"
+        ),
+        "kql_new_activity_metrics": (
+            # window = 1d = 86400s; slots: 2024-01-02 → 19724,
+            # 2024-01-06 → 19728
+            "WITH act AS (SELECT DISTINCT user_id AS id, "
+            "CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS s "
+            "FROM events WHERE epoch(ts) >= 1704153600 "
+            "AND epoch(ts) <= 1704499200), "
+            "f AS (SELECT id, MIN(s) AS f_ FROM act GROUP BY 1), "
+            "cn AS (SELECT f_, CAST(COUNT(*) AS BIGINT) AS nn "
+            "FROM f GROUP BY 1), "
+            "r AS (SELECT f.f_, a.s AS t_, "
+            "CAST(COUNT(*) AS BIGINT) AS ret "
+            "FROM act a JOIN f ON a.id = f.id GROUP BY 1, 2), "
+            "sp AS (SELECT a.range AS f_, b.range AS t_ "
+            "FROM range(19724, 19729) a CROSS JOIN "
+            "range(19724, 19729) b WHERE b.range >= a.range) "
+            "SELECT epoch_ms(sp.f_ * 86400 * 1000) AS from_ts, "
+            "epoch_ms(sp.t_ * 86400 * 1000) AS to_ts, "
+            "COALESCE(cn.nn, 0) AS new_dcount, "
+            "COALESCE(r.ret, 0) AS retained_dcount, "
+            "CASE WHEN cn.nn IS NOT NULL THEN "
+            "round(CAST(COALESCE(r.ret, 0) AS DOUBLE) / cn.nn, 6) END "
+            "AS retention_rate, "
+            "CASE WHEN cn.nn IS NOT NULL THEN round(1 - "
+            "CAST(COALESCE(r.ret, 0) AS DOUBLE) / cn.nn, 6) END "
+            "AS churn_rate "
+            "FROM sp LEFT JOIN cn ON sp.f_ = cn.f_ "
+            "LEFT JOIN r ON sp.f_ = r.f_ AND sp.t_ = r.t_ "
+            "ORDER BY from_ts, to_ts"
         ),
         "kql_rows_near": (
             "WITH s AS (SELECT user_id, event_id, event_type, ts, "

@@ -1307,6 +1307,22 @@ def _timespan_secs(src: str) -> float:
     }[m.group(2)]
 
 
+def _plugin_epoch(src: str) -> float:
+    """Epoch seconds (UTC) of a ``datetime(…)`` plugin argument. The
+    engine pins the session timezone to UTC (`session.py`), so naive
+    literals are UTC — never the driver's local zone."""
+    import datetime as _dtm
+
+    s = src.strip().strip("'\"")
+    try:
+        d = _dtm.datetime.fromisoformat(s)
+    except ValueError as exc:
+        raise KqlError(f"bad datetime literal {src!r}") from exc
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dtm.timezone.utc)
+    return d.timestamp()
+
+
 def _geo_distance(lon1: Column, lat1: Column,
                   lon2: Column, lat2: Column) -> Column:
     """Haversine great-circle distance in meters (sphere of radius
@@ -4723,6 +4739,232 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                             F.col("_slot") * F.lit(float(per_s))
                         ).cast("timestamp_ntz").alias(tc),
                         "dcount_values")
+                )
+                continue
+            mswc = re.match(
+                r"^sliding_window_counts\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*datetime\(([^)]*)\)\s*,"
+                r"\s*datetime\(([^)]*)\)\s*,\s*([\w.]+)\s*,\s*([\w.]+)"
+                r"\s*((?:,\s*[A-Za-z_]\w*)*)\s*\)\s*$", rest)
+            if mswc:
+                # `evaluate sliding_window_counts(id, timeline,
+                # datetime(start), datetime(end), LookbackWindow, Bin
+                # [, dim…])` — per bin in [start, end]: record count and
+                # distinct-id count over the trailing lookback window
+                # (Kusto's plugin). Scale shape: one per-(slot, dims)
+                # aggregate for counts and one DISTINCT (id, slot, dims)
+                # relation for dcounts, each spread to its k =
+                # lookback/bin target bins by a bounded explode (k is a
+                # query constant) — never a range self-join. The bin
+                # spine (range × distinct dims — both small by plugin
+                # contract) left-joins so empty bins emit zeros. Records
+                # outside [start, end] are ignored (documented subset:
+                # Kusto also seeds the first bins from pre-start
+                # lookback data).
+                idc, tc, st_src, en_src, look_src, bin_src, dim_tail = \
+                    mswc.groups()
+                dims = [d.strip() for d in dim_tail.split(",")
+                        if d.strip()]
+                for c in (idc, tc, *dims):
+                    if c not in df.columns:
+                        raise KqlError(
+                            f"sliding_window_counts: no column {c!r}")
+                bin_s = _timespan_secs(bin_src)
+                look_s = _timespan_secs(look_src)
+                k = look_s / bin_s
+                if k < 1 or abs(k - round(k)) > 1e-9:
+                    raise KqlError(
+                        "sliding_window_counts: LookbackWindow must be "
+                        "a positive integer multiple of Bin")
+                k = int(round(k))
+                t0 = _plugin_epoch(st_src)
+                t1 = _plugin_epoch(en_src)
+                s0 = int(t0 // bin_s)
+                e0 = int(t1 // bin_s)
+                from otel_arrow_spark.dataops.dedup import (
+                    persist_registered,
+                )
+                epoch = F.col(tc).cast("timestamp").cast("double")
+                # ev feeds both the count and the distinct-id legs —
+                # persist so the filtered scan runs once
+                ev = persist_registered(
+                    df.filter((epoch >= t0) & (epoch <= t1)).select(
+                        *dims, F.col(idc).alias("_id"),
+                        F.floor(epoch / F.lit(float(bin_s)))
+                        .cast("long").alias("_s")))
+                tgt = F.explode(F.sequence(
+                    F.col("_s"),
+                    F.least(F.col("_s") + F.lit(k - 1), F.lit(e0)),
+                )).alias("_t")
+                cnts = (
+                    ev.select(*dims, tgt)
+                    .groupBy(*dims, "_t")
+                    .agg(F.count(F.lit(1)).alias("count_"))
+                )
+                dcs = (
+                    ev.distinct()
+                    .select(*dims, "_id", tgt)
+                    .groupBy(*dims, "_t")
+                    .agg(F.count_distinct("_id").alias("dcount"))
+                )
+                spine = df.sparkSession.range(s0, e0 + 1).select(
+                    F.col("id").alias("_t"))
+                if dims:
+                    spine = spine.crossJoin(
+                        ev.select(*dims).distinct())
+                df = (
+                    spine.join(cnts, ["_t", *dims], "left")
+                    .join(dcs, ["_t", *dims], "left")
+                    .select(
+                        F.timestamp_seconds(
+                            F.col("_t") * F.lit(float(bin_s))
+                        ).cast("timestamp_ntz").alias(tc),
+                        *dims,
+                        F.coalesce("count_", F.lit(0)).alias("count_"),
+                        F.coalesce("dcount", F.lit(0)).alias("dcount"),
+                    )
+                )
+                continue
+            macm = re.match(
+                r"^activity_counts_metrics\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*datetime\(([^)]*)\)\s*,"
+                r"\s*datetime\(([^)]*)\)\s*,\s*([\w.]+)\s*\)\s*$", rest)
+            if macm:
+                # `evaluate activity_counts_metrics(id, timeline,
+                # datetime(start), datetime(end), bin)` — per bin:
+                # record count, distinct ids, first-ever-seen ids
+                # (new_dcount) and the running distinct total
+                # (aggregated_dcount = ids seen so far ≡ cumulative sum
+                # of new). One DISTINCT (id, slot) relation feeds
+                # everything; the only window is the running sum over
+                # the BIN SPINE — a (end−start)/bin-row relation, the
+                # skew-free small-relation global window (same shape as
+                # training_order's bucket offsets).
+                idc, tc, st_src, en_src, bin_src = macm.groups()
+                for c in (idc, tc):
+                    if c not in df.columns:
+                        raise KqlError(
+                            f"activity_counts_metrics: no column {c!r}")
+                bin_s = _timespan_secs(bin_src)
+                t0 = _plugin_epoch(st_src)
+                t1 = _plugin_epoch(en_src)
+                s0, e0 = int(t0 // bin_s), int(t1 // bin_s)
+                from otel_arrow_spark.dataops.dedup import (
+                    persist_registered,
+                )
+                epoch = F.col(tc).cast("timestamp").cast("double")
+                base = persist_registered(
+                    df.filter((epoch >= t0) & (epoch <= t1)).select(
+                        F.col(idc).alias("_id"),
+                        F.floor(epoch / F.lit(float(bin_s)))
+                        .cast("long").alias("_s")))
+                per_bin = base.groupBy("_s").agg(
+                    F.count(F.lit(1)).alias("count_"),
+                    F.count_distinct("_id").alias("dcount"))
+                news = (
+                    base.groupBy("_id").agg(F.min("_s").alias("_s"))
+                    .groupBy("_s")
+                    .agg(F.count(F.lit(1)).alias("new_dcount"))
+                )
+                spine = df.sparkSession.range(s0, e0 + 1).select(
+                    F.col("id").alias("_s"))
+                wrun = Window.orderBy("_s").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow)
+                df = (
+                    spine.join(per_bin, "_s", "left")
+                    .join(news, "_s", "left")
+                    .select(
+                        "_s",
+                        F.coalesce("count_", F.lit(0)).alias("count_"),
+                        F.coalesce("dcount", F.lit(0)).alias("dcount"),
+                        F.coalesce("new_dcount", F.lit(0))
+                        .alias("new_dcount"))
+                    .withColumn(
+                        "aggregated_dcount",
+                        F.sum("new_dcount").over(wrun))
+                    .select(
+                        F.timestamp_seconds(
+                            F.col("_s") * F.lit(float(bin_s))
+                        ).cast("timestamp_ntz").alias(tc),
+                        "count_", "dcount", "new_dcount",
+                        "aggregated_dcount")
+                )
+                continue
+            mnam = re.match(
+                r"^new_activity_metrics\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*datetime\(([^)]*)\)\s*,"
+                r"\s*datetime\(([^)]*)\)\s*,\s*([\w.]+)\s*\)\s*$", rest)
+            if mnam:
+                # `evaluate new_activity_metrics(id, timeline,
+                # datetime(start), datetime(end), window)` — cohort
+                # retention matrix: ids are cohorted by the window of
+                # their FIRST activity; for every (from, to) pair the
+                # plugin reports the cohort size, how many of the
+                # cohort were active at `to`, and the retention/churn
+                # rates. Shape: first-activity aggregate → cohort join
+                # back on id → one (cohort, slot) count; the (from, to)
+                # spine is range×range (bins², small) left-joined so
+                # silent-cohort bins emit zeros. Kusto's *dim variant
+                # is not taken (documented subset).
+                idc, tc, st_src, en_src, win_src = mnam.groups()
+                for c in (idc, tc):
+                    if c not in df.columns:
+                        raise KqlError(
+                            f"new_activity_metrics: no column {c!r}")
+                win_s = _timespan_secs(win_src)
+                t0 = _plugin_epoch(st_src)
+                t1 = _plugin_epoch(en_src)
+                s0, e0 = int(t0 // win_s), int(t1 // win_s)
+                from otel_arrow_spark.dataops.dedup import (
+                    persist_registered,
+                )
+                epoch = F.col(tc).cast("timestamp").cast("double")
+                act = persist_registered(
+                    df.filter((epoch >= t0) & (epoch <= t1)).select(
+                        F.col(idc).alias("_id"),
+                        F.floor(epoch / F.lit(float(win_s)))
+                        .cast("long").alias("_s")).distinct())
+                firsts = act.groupBy("_id").agg(
+                    F.min("_s").alias("_from"))
+                cohort_n = firsts.groupBy("_from").agg(
+                    F.count(F.lit(1)).alias("new_dcount"))
+                ret = (
+                    act.join(firsts, "_id")
+                    .groupBy("_from", F.col("_s").alias("_to"))
+                    .agg(F.count(F.lit(1)).alias("retained_dcount"))
+                )
+                sess = df.sparkSession
+                spine = (
+                    sess.range(s0, e0 + 1).select(
+                        F.col("id").alias("_from"))
+                    .crossJoin(sess.range(s0, e0 + 1).select(
+                        F.col("id").alias("_to")))
+                    .filter(F.col("_to") >= F.col("_from"))
+                )
+                df = (
+                    spine
+                    .join(F.broadcast(cohort_n), "_from", "left")
+                    .join(ret, ["_from", "_to"], "left")
+                    .select(
+                        F.timestamp_seconds(
+                            F.col("_from") * F.lit(float(win_s))
+                        ).cast("timestamp_ntz").alias("from_" + tc),
+                        F.timestamp_seconds(
+                            F.col("_to") * F.lit(float(win_s))
+                        ).cast("timestamp_ntz").alias("to_" + tc),
+                        F.coalesce("new_dcount", F.lit(0))
+                        .alias("new_dcount"),
+                        F.coalesce("retained_dcount", F.lit(0))
+                        .alias("retained_dcount"),
+                        F.round(
+                            F.coalesce("retained_dcount", F.lit(0))
+                            / F.col("new_dcount"), 6
+                        ).alias("retention_rate"),
+                        F.round(
+                            1 - F.coalesce("retained_dcount", F.lit(0))
+                            / F.col("new_dcount"), 6
+                        ).alias("churn_rate"),
+                    )
                 )
                 continue
             mam = re.match(

@@ -1977,6 +1977,59 @@ def test_evaluate_rows_near(spark):
         kql(df, "T | evaluate rows_near(s == 'err', 1)")
 
 
+@pytest.fixture(scope="module")
+def tiny_activity(spark):
+    return spark.createDataFrame(
+        [("A", "2024-01-01 00:30:00"), ("A", "2024-01-01 01:10:00"),
+         ("B", "2024-01-01 01:20:00"), ("C", "2024-01-01 03:40:00")],
+        "uid string, t string",
+    ).select("uid", F.col("t").cast("timestamp_ntz").alias("t"))
+
+
+def test_sliding_window_counts(tiny_activity):
+    got = kql(
+        tiny_activity,
+        "T | evaluate sliding_window_counts(uid, t,"
+        " datetime(2024-01-01 00:00:00), datetime(2024-01-01 05:00:00),"
+        " 2h, 1h) | order by t asc")
+    rows = [(r.t.hour, r.count_, r.dcount) for r in got.collect()]
+    assert rows == [
+        (0, 1, 1), (1, 3, 2), (2, 2, 2), (3, 1, 1), (4, 1, 1), (5, 0, 0),
+    ]
+
+
+def test_activity_counts_metrics(tiny_activity):
+    got = kql(
+        tiny_activity,
+        "T | evaluate activity_counts_metrics(uid, t,"
+        " datetime(2024-01-01 00:00:00), datetime(2024-01-01 03:00:00),"
+        " 1h) | order by t asc")
+    rows = [(r.t.hour, r.count_, r.dcount, r.new_dcount,
+             r.aggregated_dcount) for r in got.collect()]
+    # C (03:40) is outside End = 03:00 — records past End are ignored
+    assert rows == [
+        (0, 1, 1, 1, 1), (1, 2, 2, 1, 2), (2, 0, 0, 0, 2),
+        (3, 0, 0, 0, 2),
+    ]
+
+
+def test_new_activity_metrics(tiny_activity):
+    got = kql(
+        tiny_activity,
+        "T | evaluate new_activity_metrics(uid, t,"
+        " datetime(2024-01-01 00:00:00), datetime(2024-01-01 03:00:00),"
+        " 1h) | order by from_t asc, to_t asc")
+    rows = [(r.from_t.hour, r.to_t.hour, r.new_dcount, r.retained_dcount,
+             r.retention_rate) for r in got.collect()]
+    # C (03:40) is outside End = 03:00 — cohorts are A (h0) and B (h1)
+    assert rows == [
+        (0, 0, 1, 1, 1.0), (0, 1, 1, 1, 1.0), (0, 2, 1, 0, 0.0),
+        (0, 3, 1, 0, 0.0), (1, 1, 1, 1, 1.0), (1, 2, 1, 0, 0.0),
+        (1, 3, 1, 0, 0.0), (2, 2, 0, 0, None), (2, 3, 0, 0, None),
+        (3, 3, 0, 0, None),
+    ]
+
+
 def test_series_decompose_parts(spark):
     df = spark.createDataFrame([(1,)], "id int")
     r = kql(
