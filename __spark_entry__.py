@@ -1918,6 +1918,21 @@ def q_kql_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_rolling_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate rolling_percentile(value, 50, ts, 4h, 6,
+    event_type)`` — exact median of `value` over the trailing day (6 ×
+    4h bins) per event_type. Bounded W=6 explode + one hash aggregate;
+    F.percentile matches quantile_cont bit-for-bit."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate rolling_percentile(value, 50, ts, 4h, 6,"
+        " event_type) | order by ts asc, event_type asc",
+    )
+
+
 def q_kql_activity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``evaluate activity_counts_metrics(user_id, ts, start, end,
     12h)`` — per bin: count, dcount, first-seen dcount and the running
@@ -3094,6 +3109,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_forecast": q_kql_series_forecast,
         "kql_rows_near": q_kql_rows_near,
         "kql_sliding_window_counts": q_kql_sliding_window_counts,
+        "kql_rolling_percentile": q_kql_rolling_percentile,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
         "kql_scalar_suite4": q_kql_scalar_suite4,
@@ -4155,6 +4171,19 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_rolling_percentile": (
+            "WITH ev AS (SELECT event_type, value AS v, "
+            "CAST(floor(epoch(ts) / 14400.0) AS BIGINT) AS s "
+            "FROM events), "
+            "sp AS (SELECT event_type, v, s + g AS t "
+            "FROM ev CROSS JOIN range(0, 6) r(g)), "
+            "pr AS (SELECT DISTINCT s AS t FROM ev) "
+            "SELECT epoch_ms(sp.t * 14400 * 1000) AS ts, "
+            "sp.event_type, "
+            "quantile_cont(v, 0.5) AS rolling_6_percentile_value_50 "
+            "FROM sp JOIN pr ON sp.t = pr.t "
+            "GROUP BY sp.t, sp.event_type ORDER BY ts, sp.event_type"
         ),
         "kql_sliding_window_counts": (
             # bin = 4h = 14400s; slots: 2024-01-02 → 118344,

@@ -4825,6 +4825,73 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     )
                 )
                 continue
+            mrp = re.match(
+                r"^rolling_percentile\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([\d.]+)\s*,\s*([A-Za-z_]\w*)\s*,\s*([\w.]+)\s*,"
+                r"\s*(\d+)\s*((?:,\s*[A-Za-z_]\w*)*)\s*\)\s*$", rest)
+            if mrp:
+                # `evaluate rolling_percentile(ValueColumn, Percentile,
+                # IndexColumn, BinSize, BinsPerWindow [, dim…])` — per
+                # bin of the index column, the EXACT percentile of the
+                # value over the trailing BinsPerWindow bins (Kusto's
+                # plugin; exact rather than t-digest — F.percentile is
+                # a single-pass partial aggregate and matches the
+                # DuckDB oracle's quantile_cont bit-for-bit). Scale
+                # shape: each row spreads to its W target bins by a
+                # bounded explode (W is a query constant), then ONE
+                # hash aggregate per (bin, dims) — no range self-join,
+                # no per-row window. Emitted bins are those with ≥1
+                # source row of their own (documented subset: Kusto
+                # also emits trailing bins that only inherit lookback
+                # rows).
+                vc, pct_src, ic, bin_src, w_src, dim_tail = mrp.groups()
+                dims = [d.strip() for d in dim_tail.split(",")
+                        if d.strip()]
+                for c in (vc, ic, *dims):
+                    if c not in df.columns:
+                        raise KqlError(
+                            f"rolling_percentile: no column {c!r}")
+                w = int(w_src)
+                if w < 1:
+                    raise KqlError(
+                        "rolling_percentile: BinsPerWindow must be ≥ 1")
+                pct = float(pct_src)
+                is_ts = dict(df.dtypes)[ic].startswith("timestamp")
+                if is_ts:
+                    bin_s = _timespan_secs(bin_src)
+                    idx = F.col(ic).cast("timestamp").cast("double")
+                else:
+                    bin_s = float(bin_src)
+                    idx = F.col(ic).cast("double")
+                slot = F.floor(idx / F.lit(bin_s)).cast("long")
+                from otel_arrow_spark.dataops.dedup import (
+                    persist_registered,
+                )
+                # ev feeds the spread AND the present-bins semi-join
+                ev = persist_registered(df.select(
+                    *dims, F.col(vc).alias("_v"), slot.alias("_s")))
+                spread = ev.select(
+                    *dims, "_v",
+                    F.explode(F.sequence(
+                        F.col("_s"), F.col("_s") + F.lit(w - 1)
+                    )).alias("_t"))
+                present = ev.select(F.col("_s").alias("_t")).distinct()
+                out_name = (
+                    f"rolling_{w}_percentile_{vc}_"
+                    + (f"{pct:g}".replace(".", "_")))
+                agg = (
+                    spread.join(present, "_t", "left_semi")
+                    .groupBy(*dims, "_t")
+                    .agg(F.percentile("_v", F.lit(pct / 100.0))
+                         .alias(out_name))
+                )
+                bcol = (
+                    F.timestamp_seconds(F.col("_t") * F.lit(bin_s))
+                    .cast("timestamp_ntz") if is_ts
+                    else (F.col("_t") * F.lit(bin_s))
+                ).alias(ic)
+                df = agg.select(bcol, *dims, out_name)
+                continue
             macm = re.match(
                 r"^activity_counts_metrics\s*\(\s*([A-Za-z_]\w*)\s*,"
                 r"\s*([A-Za-z_]\w*)\s*,\s*datetime\(([^)]*)\)\s*,"

@@ -2013,6 +2013,36 @@ def test_activity_counts_metrics(tiny_activity):
     ]
 
 
+def test_rolling_percentile(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:50:00", 3.0),
+         ("2024-01-01 01:30:00", 5.0), ("2024-01-01 03:20:00", 7.0)],
+        "t string, v double",
+    ).select(F.col("t").cast("timestamp_ntz").alias("t"), "v")
+    got = kql(
+        df,
+        "T | evaluate rolling_percentile(v, 50, t, 1h, 2)"
+        " | order by t asc")
+    rows = [(r.t.hour, r.rolling_2_percentile_v_50)
+            for r in got.collect()]
+    # bins without source rows of their own (h2, h4) are not emitted
+    assert rows == [(0, 2.0), (1, 3.0), (3, 7.0)]
+    # numeric index column + per-dim grouping
+    df2 = spark.createDataFrame(
+        [(0, "a", 10.0), (5, "a", 20.0), (12, "a", 30.0),
+         (12, "b", 100.0)],
+        "i long, g string, v double")
+    got2 = kql(
+        df2,
+        "T | evaluate rolling_percentile(v, 100, i, 10, 2, g)"
+        " | order by i asc, g asc")
+    rows2 = [(r.i, r.g, r.rolling_2_percentile_v_100)
+             for r in got2.collect()]
+    assert rows2 == [
+        (0.0, "a", 20.0), (10.0, "a", 30.0), (10.0, "b", 100.0),
+    ]
+
+
 def test_new_activity_metrics(tiny_activity):
     got = kql(
         tiny_activity,
