@@ -1918,6 +1918,47 @@ def q_kql_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_dcount_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate dcount_intersect(hc, hv, hp)`` — cumulative
+    set-intersection cardinalities (clicked, clicked∩viewed,
+    clicked∩viewed∩purchased user cohorts per day bucket) by
+    inclusion-exclusion over row-level hll_union: the distinct work
+    happens ONCE in the upstream hll() aggregate; the plugin is pure
+    fixed-size-sketch codegen. u = user_id % 100 keeps every sketch in
+    exact sparse mode so the DuckDB COUNT(DISTINCT) oracle matches."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend u = user_id % 100, d = dayofmonth(ts) % 3"
+        " | summarize hc = hll(iff(event_type == 'click', u, long(null))),"
+        " hv = hll(iff(event_type == 'view', u, long(null))),"
+        " hp = hll(iff(event_type == 'purchase', u, long(null))) by d"
+        " | evaluate dcount_intersect(hc, hv, hp)"
+        " | order by d asc",
+    )
+
+
+def q_kql_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate funnel_sequence(user_id, ts, …, 2d, event_type,
+    dynamic(['signup','click','purchase']))`` — for users completing
+    the funnel (anchored-earliest, adjacent steps ≤ 2d apart), the
+    distribution of the state right before and right after it. Chain =
+    set-minima windows over one per-user Exchange; prev/next are
+    max_by/min_by aggregates with state-value tie-breaks."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate funnel_sequence(user_id, ts,"
+        " datetime(2024-01-01 00:00:00), datetime(2024-01-31 00:00:00),"
+        " 2d, event_type, dynamic(['signup', 'click', 'purchase']))"
+        " | order by dcount desc",
+    )
+
+
 def q_kql_rolling_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``evaluate rolling_percentile(value, 50, ts, 4h, 6,
     event_type)`` — exact median of `value` over the trailing day (6 ×
@@ -3110,6 +3151,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_rows_near": q_kql_rows_near,
         "kql_sliding_window_counts": q_kql_sliding_window_counts,
         "kql_rolling_percentile": q_kql_rolling_percentile,
+        "kql_funnel_sequence": q_kql_funnel_sequence,
+        "kql_dcount_intersect": q_kql_dcount_intersect,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
         "kql_scalar_suite4": q_kql_scalar_suite4,
@@ -4171,6 +4214,54 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_dcount_intersect": (
+            "WITH b AS (SELECT DISTINCT "
+            "CAST(day(ts) % 3 AS INTEGER) AS d, "
+            "user_id % 100 AS u, event_type AS et FROM events "
+            "WHERE event_type IN ('click', 'view', 'purchase')), "
+            "g AS (SELECT d, u, "
+            "MAX(CASE WHEN et = 'click' THEN 1 ELSE 0 END) AS c, "
+            "MAX(CASE WHEN et = 'view' THEN 1 ELSE 0 END) AS v, "
+            "MAX(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) AS p "
+            "FROM b GROUP BY 1, 2) "
+            "SELECT d, CAST(SUM(c) AS BIGINT) AS s0, "
+            "CAST(SUM(c * v) AS BIGINT) AS s1, "
+            "CAST(SUM(c * v * p) AS BIGINT) AS s2 "
+            "FROM g GROUP BY d ORDER BY d"
+        ),
+        "kql_funnel_sequence": (
+            # [2024-01-01, 2024-01-31] = epoch [1704067200, 1706659200];
+            # step window 2d = 172800s
+            "WITH base AS (SELECT user_id AS id, epoch(ts) AS e, "
+            "event_type AS st FROM events "
+            "WHERE epoch(ts) >= 1704067200 "
+            "AND epoch(ts) <= 1706659200), "
+            "w0 AS (SELECT *, MIN(CASE WHEN st = 'signup' THEN e END) "
+            "OVER (PARTITION BY id) AS t0 FROM base), "
+            "w1 AS (SELECT *, MIN(CASE WHEN st = 'click' AND e > t0 "
+            "AND e <= t0 + 172800.0 THEN e END) "
+            "OVER (PARTITION BY id) AS t1 FROM w0), "
+            "w2 AS (SELECT *, MIN(CASE WHEN st = 'purchase' AND e > t1 "
+            "AND e <= t1 + 172800.0 THEN e END) "
+            "OVER (PARTITION BY id) AS t2 FROM w1), "
+            "a AS (SELECT id, MIN(t0) AS tf, MIN(t2) AS tl FROM w2 "
+            "GROUP BY 1 HAVING MIN(t2) IS NOT NULL), "
+            "p AS (SELECT id, st AS prev FROM ("
+            "SELECT b.id, b.st, row_number() OVER (PARTITION BY b.id "
+            "ORDER BY b.e DESC, b.st DESC) AS rn "
+            "FROM base b JOIN a ON b.id = a.id AND b.e < a.tf) "
+            "WHERE rn = 1), "
+            "n AS (SELECT id, st AS nx FROM ("
+            "SELECT b.id, b.st, row_number() OVER (PARTITION BY b.id "
+            "ORDER BY b.e ASC, b.st ASC) AS rn "
+            "FROM base b JOIN a ON b.id = a.id AND b.e > a.tl) "
+            "WHERE rn = 1) "
+            "SELECT p.prev, n.nx AS \"next\", "
+            "CAST(COUNT(DISTINCT a.id) AS BIGINT) AS dcount "
+            "FROM a LEFT JOIN p ON a.id = p.id "
+            "LEFT JOIN n ON a.id = n.id "
+            "GROUP BY 1, 2 ORDER BY dcount DESC"
         ),
         "kql_rolling_percentile": (
             "WITH ev AS (SELECT event_type, value AS v, "

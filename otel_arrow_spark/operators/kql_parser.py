@@ -855,6 +855,14 @@ _FUNC_MAP_SIMPLE = {
     "toreal": lambda a: a[0].cast("double"),
     "tostring": lambda a: a[0].cast("string"),
     "todatetime": lambda a: a[0].cast("timestamp"),
+    # Kusto typed-literal constructors — `long(null)`, `real(4)` …
+    # (a cast superset: Kusto only allows literals inside; datetime(…)
+    # stays a tokenizer literal and never reaches this map)
+    "long": lambda a: a[0].cast("bigint"),
+    "int": lambda a: a[0].cast("int"),
+    "real": lambda a: a[0].cast("double"),
+    "double": lambda a: a[0].cast("double"),
+    "bool": lambda a: a[0].cast("boolean"),
     # conditional (scalar_expressions.rs:26-38)
     "iff": lambda a: F.when(a[0], a[1]).otherwise(a[2]),
     "iif": lambda a: F.when(a[0], a[1]).otherwise(a[2]),
@@ -5100,6 +5108,135 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     rr.alias("retention_rate"),
                     F.when(rr.isNotNull(),
                            F.round(1 - rr, 6)).alias("churn_rate"),
+                )
+                continue
+            mdi = re.match(
+                r"^dcount_intersect\s*\(\s*([A-Za-z_]\w*"
+                r"(?:\s*,\s*[A-Za-z_]\w*){1,3})\s*\)\s*$", rest)
+            if mdi:
+                # `evaluate dcount_intersect(hll_1, …, hll_n)` — Kusto's
+                # set-intersection-cardinality plugin over hll() sketch
+                # columns: s_k = |A_1 ∩ … ∩ A_{k+1}| by inclusion-
+                # exclusion over row-level sketch unions (F.hll_union —
+                # sketches are fixed-size, so the whole computation is
+                # per-row JVM codegen, no re-scan of the source rows:
+                # the 100 TB shape where the heavy distinct work
+                # happened once in the upstream hll() aggregate).
+                # Sparse-mode sketches make it exact at gate scale
+                # (aggregates.md); estimates are clamped at ≥ 0.
+                hcols = [c.strip() for c in mdi.group(1).split(",")]
+                for c in hcols:
+                    if c not in df.columns:
+                        raise KqlError(
+                            f"dcount_intersect: no column {c!r}")
+                from itertools import combinations as _combos
+
+                def _union_est(sub: tuple) -> Column:
+                    c = F.col(sub[0])
+                    for x in sub[1:]:
+                        c = F.hll_union(c, x)
+                    return F.hll_sketch_estimate(c)
+
+                outs = {}
+                for k in range(1, len(hcols) + 1):
+                    e = None
+                    for r in range(1, k + 1):
+                        for sub in _combos(hcols[:k], r):
+                            t = _union_est(sub)
+                            t = t if r % 2 == 1 else -t
+                            e = t if e is None else e + t
+                    outs[f"s{k - 1}"] = F.greatest(
+                        e, F.lit(0)).cast("long")
+                keep = [c for c in df.columns if c not in hcols]
+                df = df.select(
+                    *keep,
+                    *[outs[n].alias(n) for n in sorted(outs)])
+                continue
+            mfs = re.match(
+                r"^funnel_sequence\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*datetime\(([^)]*)\)\s*,"
+                r"\s*datetime\(([^)]*)\)\s*,\s*([\w.]+)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*dynamic\(\s*\[(.*?)\]\s*\)"
+                r"\s*\)\s*$", rest, re.S)
+            if mfs:
+                # `evaluate funnel_sequence(id, timeline,
+                # datetime(start), datetime(end), MaxStepWindow, state,
+                # dynamic(['s1', 's2', …]))` — for ids that performed
+                # the state sequence (anchored-earliest chain, adjacent
+                # steps within MaxStepWindow), the distribution of the
+                # state just BEFORE the sequence and just AFTER it —
+                # Kusto's funnel context plugin. Shape: the chain is
+                # funnel_steps' set-minima (N windows over ONE per-id
+                # Exchange — no sort, no state machine); prev/next are
+                # two max_by/min_by aggregates against the completed-id
+                # anchors. Ties in the timeline break on the state
+                # value (documented; keeps both engines deterministic).
+                idc, tc, st_src, en_src, win_src, statec, seq_src = \
+                    mfs.groups()
+                for c in (idc, tc, statec):
+                    if c not in df.columns:
+                        raise KqlError(
+                            f"funnel_sequence: no column {c!r}")
+                seq = [
+                    _unquote(p.strip())
+                    for p in _split_commas(seq_src) if p.strip()
+                ]
+                if len(seq) < 2:
+                    raise KqlError(
+                        "funnel_sequence: the sequence needs ≥ 2 states")
+                win_s = _timespan_secs(win_src)
+                t0 = _plugin_epoch(st_src)
+                t1 = _plugin_epoch(en_src)
+                from otel_arrow_spark.dataops.dedup import (
+                    persist_registered,
+                )
+                epoch = F.col(tc).cast("timestamp").cast("double")
+                # base feeds the chain windows AND both context lookups
+                base = persist_registered(
+                    df.filter((epoch >= t0) & (epoch <= t1)).select(
+                        F.col(idc).alias("_id"),
+                        epoch.alias("_e"),
+                        F.col(statec).alias("_st")))
+                wid = Window.partitionBy("_id")
+                chain = base
+                prev_t = None
+                tcols = []
+                for i, s in enumerate(seq):
+                    cond = F.col("_st") == s
+                    if prev_t is not None:
+                        cond = cond & (F.col("_e") > prev_t) & (
+                            F.col("_e") <= prev_t + F.lit(float(win_s)))
+                    col = f"_t{i}"
+                    chain = chain.withColumn(
+                        col, F.min(F.when(cond, F.col("_e"))).over(wid))
+                    prev_t = F.col(col)
+                    tcols.append(col)
+                anchors = (
+                    chain.groupBy("_id")
+                    .agg(F.min(tcols[0]).alias("_first"),
+                         F.min(tcols[-1]).alias("_last"))
+                    .filter(F.col("_last").isNotNull())
+                )
+                prevs = (
+                    base.join(anchors, "_id")
+                    .filter(F.col("_e") < F.col("_first"))
+                    .groupBy("_id")
+                    .agg(F.max_by(
+                        "_st", F.struct("_e", "_st")).alias("prev"))
+                )
+                nexts = (
+                    base.join(anchors, "_id")
+                    .filter(F.col("_e") > F.col("_last"))
+                    .groupBy("_id")
+                    .agg(F.min_by(
+                        "_st", F.struct("_e", "_st")).alias("next"))
+                )
+                df = (
+                    anchors
+                    .join(prevs, "_id", "left")
+                    .join(nexts, "_id", "left")
+                    .groupBy("prev", "next")
+                    .agg(F.count_distinct("_id").alias("dcount"))
                 )
                 continue
             msq = re.match(r"^sequence_detect\s*\((.+)\)\s*$", rest, re.S)

@@ -2013,6 +2013,41 @@ def test_activity_counts_metrics(tiny_activity):
     ]
 
 
+def test_dcount_intersect(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(5, 12)]
+        + [("c", i) for i in range(8, 20)],
+        "s string, v long")
+    got = kql(
+        df,
+        "T | summarize ha = hll(iff(s == 'a', v, long(null))),"
+        " hb = hll(iff(s == 'b', v, long(null))),"
+        " hc = hll(iff(s == 'c', v, long(null)))"
+        " | evaluate dcount_intersect(ha, hb, hc)")
+    r = got.collect()[0]
+    # A = 0..9, B = 5..11, C = 8..19 → |A| = 10, |A∩B| = 5 (5..9),
+    # |A∩B∩C| = 2 (8, 9); sparse sketches are exact
+    assert (r.s0, r.s1, r.s2) == (10, 5, 2)
+    rows = []
+    for uid, pts in {
+        "u1": [(0, "a"), (1, "s1"), (2, "s2"), (3, "s3"), (4, "b")],
+        "u2": [(0, "s1"), (1, "s2"), (2, "s3")],
+        "u3": [(0, "s1"), (10, "s2"), (11, "s3")],   # s1→s2 gap > 5s
+        "u4": [(0, "x"), (1, "s1"), (2, "s2"), (9, "s3")],  # s2→s3 gap
+    }.items():
+        rows += [(uid, f"2024-01-01 00:00:{s:02d}", st) for s, st in pts]
+    df = spark.createDataFrame(rows, "uid string, t string, st string") \
+        .select("uid", F.col("t").cast("timestamp_ntz").alias("t"), "st")
+    got = kql(
+        df,
+        "T | evaluate funnel_sequence(uid, t,"
+        " datetime(2024-01-01 00:00:00), datetime(2024-01-02 00:00:00),"
+        " 5s, st, dynamic(['s1', 's2', 's3']))")
+    assert {(r.prev, r.next, r.dcount) for r in got.collect()} == {
+        ("a", "b", 1), (None, None, 1),
+    }
+
+
 def test_rolling_percentile(spark):
     df = spark.createDataFrame(
         [("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:50:00", 3.0),
