@@ -1918,6 +1918,49 @@ def q_kql_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_split — split an array before each 0-based index; element
+    probes flatten the nested result to scalars for the gate."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | where event_id % 100 < 5"
+        " | extend a = array_split("
+        "pack_array(value, value * 2, value + 5, value - 1),"
+        " pack_array(1, 3))"
+        " | project event_id, p0 = a[0][0], p1 = a[1][0],"
+        " p2 = a[1][1], p3 = a[2][0],"
+        " n0 = array_length(a[0]), n2 = array_length(a[2])"
+        " | order by event_id asc",
+    )
+
+
+def q_kql_bag_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bag_merge / bag_set_key / bag_remove_keys — property-bag surgery
+    on VARIANT bags via a map<string,variant> twin (first-bag-wins
+    merge, key replace, key removal), verified by extracting typed
+    scalars back out of the rebuilt bags. All JVM map expressions — no
+    UDFs, no shuffle beyond the final aggregate."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend b = bag_merge("
+        "bag_pack('t', event_type, 'v', value),"
+        " bag_pack('v', -1.0, 'u', user_id))"
+        " | extend b2 = bag_set_key(b, 'w', value * 2),"
+        " b3 = bag_remove_keys(b, pack_array('u', 'v'))"
+        " | project t = tostring(b.t), v = todouble(b.v),"
+        " u = tolong(b.u), w = todouble(b2.w), rv = todouble(b3.v)"
+        " | summarize n = count(), sv = round(sum(v), 4), su = sum(u),"
+        " sw = round(sum(w), 4), nrv = countif(isnotnull(rv)) by t"
+        " | order by t asc",
+    )
+
+
 def q_kql_dcount_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``evaluate dcount_intersect(hc, hv, hp)`` — cumulative
     set-intersection cardinalities (clicked, clicked∩viewed,
@@ -3153,6 +3196,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_rolling_percentile": q_kql_rolling_percentile,
         "kql_funnel_sequence": q_kql_funnel_sequence,
         "kql_dcount_intersect": q_kql_dcount_intersect,
+        "kql_bag_surgery": q_kql_bag_surgery,
+        "kql_array_split": q_kql_array_split,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
         "kql_scalar_suite4": q_kql_scalar_suite4,
@@ -4214,6 +4259,22 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_array_split": (
+            "SELECT event_id, value AS p0, value * 2 AS p1, "
+            "value + 5 AS p2, value - 1 AS p3, "
+            "CAST(1 AS INTEGER) AS n0, CAST(1 AS INTEGER) AS n2 "
+            "FROM events WHERE event_id % 100 < 5 ORDER BY event_id"
+        ),
+        "kql_bag_surgery": (
+            # merge keeps the first bag's v (= value); set adds w = 2v;
+            # remove drops v from b3 so rv is NULL on every row
+            "SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n, "
+            "round(SUM(value), 4) AS sv, "
+            "CAST(SUM(user_id) AS BIGINT) AS su, "
+            "round(SUM(value * 2), 4) AS sw, "
+            "CAST(0 AS BIGINT) AS nrv "
+            "FROM events GROUP BY event_type ORDER BY t"
         ),
         "kql_dcount_intersect": (
             "WITH b AS (SELECT DISTINCT "

@@ -811,6 +811,32 @@ def _array_slice(arr: Column, start: Column, end: Column) -> Column:
     ).otherwise(F.slice(arr, 1, 0))
 
 
+def _array_split(arr: Column, idxs: Column) -> Column:
+    """Kusto array_split: split before each (0-based) index; negative
+    indices count from the end, out-of-range clamps, unsorted index
+    pairs yield empty segments (length clamps at 0). One nested
+    transform — the bounds array is tiny (k+2 entries) so its
+    per-element re-evaluation inside the HOF lambda is immaterial."""
+    n = F.size(arr).cast("bigint")
+    bounds = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        F.transform(
+            idxs,
+            lambda i: F.when(
+                i < 0, F.greatest(n + i, F.lit(0))
+            ).otherwise(F.least(i.cast("bigint"), n))),
+        F.array(n))
+    return F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: F.slice(
+            arr,
+            (F.element_at(bounds, j.cast("int")) + 1).cast("int"),
+            F.greatest(
+                F.element_at(bounds, (j + 1).cast("int"))
+                - F.element_at(bounds, j.cast("int")),
+                F.lit(0)).cast("int")))
+
+
 def _array_rotate(arr: Column, by: Column) -> Column:
     """Rotate left by ``by`` (mod size; negative rotates right).
     pmod sits inside the size guard — ANSI pmod(n, 0) raises."""
@@ -1930,6 +1956,14 @@ class ExprParser:
             return KE(F.translate(
                 args[2].col, _lit_str(args[0]), _lit_str(args[1])
             ))
+        if lname == "array_split":
+            if len(args) != 2:
+                raise KqlError("array_split needs (arr, indices)")
+            idxs = args[1].col
+            if args[1].is_lit and isinstance(args[1].lit, int):
+                # scalar split point — Kusto's 1-index overload
+                idxs = F.array(F.lit(args[1].lit).cast("bigint"))
+            return KE(_array_split(args[0].col, idxs))
         if lname == "bag_keys":
             if len(args) != 1:
                 raise KqlError("bag_keys needs (dynamic)")
@@ -1937,6 +1971,60 @@ class ExprParser:
             if args[0].variant:
                 src = F.to_json(src)
             return KE(F.json_object_keys(src))
+        if lname in ("bag_merge", "bag_set_key", "bag_remove_keys"):
+            # Property-bag surgery. Bags travel as VARIANT; surgery
+            # happens on a map<string, variant> twin (from_json ↔
+            # to_json round-trips preserve JSON value types — measured)
+            # and the result re-enters the VARIANT world, so accessors
+            # and the other bag functions compose with it. Bags are
+            # unordered in Kusto — key order of the rebuilt JSON is not
+            # part of the contract.
+            def _bag_map(ke: "KE") -> Column:
+                src = ke.col
+                if ke.variant:
+                    src = F.to_json(src)
+                return F.coalesce(
+                    F.from_json(src, "map<string, variant>"),
+                    F.from_json(F.lit("{}"), "map<string, variant>"),
+                )
+
+            if lname == "bag_merge":
+                if len(args) < 2:
+                    raise KqlError("bag_merge needs ≥ 2 bags")
+                # Kusto: the FIRST bag's keys win. map_concat under the
+                # default EXCEPTION dedup policy must never see a
+                # duplicate, so later bags are key-filtered against the
+                # accumulated map before concatenation.
+                merged = _bag_map(args[0])
+                for a in args[1:]:
+                    seen = F.map_keys(merged)
+                    merged = F.map_concat(
+                        merged,
+                        F.map_filter(
+                            _bag_map(a),
+                            lambda k, _v: ~F.coalesce(
+                                F.array_contains(seen, k),
+                                F.lit(False))))
+                return KE(F.parse_json(F.to_json(merged)), variant=True)
+            if lname == "bag_set_key":
+                if len(args) != 3:
+                    raise KqlError(
+                        "bag_set_key needs (bag, key, value)")
+                key = args[1].col.cast("string")
+                m = F.map_concat(
+                    F.map_filter(
+                        _bag_map(args[0]), lambda k, _v: k != key),
+                    F.create_map(key, args[2].col.cast("variant")))
+                return KE(F.parse_json(F.to_json(m)), variant=True)
+            # bag_remove_keys(bag, dynamic array of key names)
+            if len(args) != 2:
+                raise KqlError("bag_remove_keys needs (bag, keys)")
+            keys = args[1].col
+            m = F.map_filter(
+                _bag_map(args[0]),
+                lambda k, _v: ~F.coalesce(
+                    F.array_contains(keys, k), F.lit(False)))
+            return KE(F.parse_json(F.to_json(m)), variant=True)
         if lname == "parse_json":  # VARIANT result (kql.pest:198-203)
             if len(args) != 1:
                 raise KqlError("parse_json needs (s)")

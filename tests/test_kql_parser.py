@@ -2013,6 +2013,44 @@ def test_activity_counts_metrics(tiny_activity):
     ]
 
 
+def test_array_split(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project a = array_split(pack_array(1, 2, 3, 4, 5), 2),"
+        " b = array_split(pack_array(1, 2, 3, 4, 5), pack_array(1, 3)),"
+        " c = array_split(pack_array(1, 2, 3, 4, 5), -2),"
+        " d = array_split(pack_array(1, 2), 7),"
+        " e = array_split(pack_array(1, 2, 3), pack_array(2, 1))",
+    ).collect()[0]
+    assert r.a == [[1, 2], [3, 4, 5]]
+    assert r.b == [[1], [2, 3], [4, 5]]
+    assert r.c == [[1, 2, 3], [4, 5]]
+    assert r.d == [[1, 2], []]          # out-of-range clamps
+    assert r.e == [[1, 2], [], [2, 3]]  # inverted pair → empty segment
+
+
+def test_bag_surgery(spark):
+    import json
+
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        " m = tostring(bag_merge(bag_pack('a', 1, 'b', 'x'),"
+        " bag_pack('a', 9, 'c', 2.5))),"
+        " s = tostring(bag_set_key(bag_pack('a', 1), 'b', 'y')),"
+        " o = tostring(bag_set_key(bag_pack('a', 1), 'a', 7)),"
+        " rm = tostring(bag_remove_keys(bag_pack('a', 1, 'b', 2),"
+        " pack_array('b', 'z')))",
+    ).collect()[0]
+    # first bag's keys win in bag_merge; set replaces; remove drops
+    assert json.loads(r.m) == {"a": 1, "b": "x", "c": 2.5}
+    assert json.loads(r.s) == {"a": 1, "b": "y"}
+    assert json.loads(r.o) == {"a": 7}
+    assert json.loads(r.rm) == {"a": 1}
+
+
 def test_dcount_intersect(spark):
     df = spark.createDataFrame(
         [("a", i) for i in range(10)] + [("b", i) for i in range(5, 12)]
