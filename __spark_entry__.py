@@ -1937,6 +1937,26 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_mark_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``graph-mark-components`` — weakly-connected component labels
+    (min reachable node id) over a derived user-bucket graph, via the
+    near-dup min-label propagation (checkpointed frontier, O(diameter)
+    rounds). Oracle: recursive transitive closure + LEAST."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | project s = user_id % 60"
+        " | extend d = s - s % 10"
+        " | summarize c = count() by s, d"
+        " | make-graph s --> d"
+        " | graph-mark-components with_component_id = comp"
+        " | graph-to-table nodes"
+        " | order by node_id asc",
+    )
+
+
 def q_kql_bag_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bag_merge / bag_set_key / bag_remove_keys — property-bag surgery
     on VARIANT bags via a map<string,variant> twin (first-bag-wins
@@ -3198,6 +3218,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_dcount_intersect": q_kql_dcount_intersect,
         "kql_bag_surgery": q_kql_bag_surgery,
         "kql_array_split": q_kql_array_split,
+        "graph_mark_components": q_graph_mark_components,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
         "kql_scalar_suite4": q_kql_scalar_suite4,
@@ -4259,6 +4280,21 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "graph_mark_components": (
+            "WITH RECURSIVE "
+            "e0 AS (SELECT DISTINCT user_id % 60 AS s, "
+            "user_id % 60 - (user_id % 60) % 10 AS d FROM events), "
+            "edges AS (SELECT s AS a, d AS b FROM e0 "
+            "UNION SELECT d, s FROM e0), "
+            "reach(a, b) AS (SELECT a, b FROM edges "
+            "UNION SELECT r.a, e.b FROM reach r "
+            "JOIN edges e ON r.b = e.a), "
+            "nodes AS (SELECT s AS n FROM e0 UNION SELECT d FROM e0) "
+            "SELECT n AS node_id, "
+            "CAST(LEAST(n, COALESCE(MIN(r.b), n)) AS BIGINT) AS comp "
+            "FROM nodes LEFT JOIN reach r ON r.a = n "
+            "GROUP BY n ORDER BY node_id"
         ),
         "kql_array_split": (
             "SELECT event_id, value AS p0, value * 2 AS p1, "

@@ -3427,7 +3427,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         "sample", "sample-distinct", "mv-expand", "mv-apply",
         "make-series", "evaluate", "top-nested", "search", "reduce",
         "make-graph", "graph-match", "graph-to-table", "find",
-        "graph-shortest-paths",
+        "graph-shortest-paths", "graph-mark-components",
     }
 
     def pe(s: str) -> Column:
@@ -5842,6 +5842,69 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 "edges": df, "src": srcc, "dst": dstc,
                 "nodes": ndf, "nid": nid or anon_id or "node_id",
             }
+        elif op == "graph-mark-components":
+            # `graph-mark-components [kind = weak]
+            #  [with_component_id = name]` — label every node with its
+            # weakly-connected component: the component id is the
+            # MINIMUM node id reachable treating edges as undirected
+            # (deterministic canonical label, Kusto's
+            # graph-mark-components with kind=weak; kind=strong is
+            # rejected, documented subset). Reuses the near-dup
+            # min-label propagation (dataops/dedup.py
+            # connected_components: one equi-join + one map-side min
+            # per round, checkpointed frontier, converges in
+            # O(diameter) rounds) — the right CC algorithm at scale.
+            # NULL endpoints are ignored. The marked node set replaces
+            # the graph's nodes; export it with `graph-to-table nodes`.
+            g = sctx.get("graph")
+            if g is None:
+                raise KqlError(
+                    "graph-mark-components requires a preceding "
+                    "make-graph")
+            m2 = re.match(
+                r"^(?:kind\s*=\s*(\w+)\s*)?"
+                r"(?:with_component_id\s*=\s*([A-Za-z_]\w*)\s*)?$",
+                rest)
+            if not m2:
+                raise KqlError(
+                    "graph-mark-components takes [kind = weak] "
+                    "[with_component_id = name]")
+            kind, cname = m2.groups()
+            if kind not in (None, "weak"):
+                raise KqlError(
+                    "graph-mark-components: only kind=weak is "
+                    "supported (strong components are not)")
+            cname = cname or "ComponentId"
+            from otel_arrow_spark.dataops.dedup import (
+                connected_components,
+            )
+            nid = g["nid"]
+            pairs = g["edges"].select(
+                F.col(g["src"]).alias("doc_a"),
+                F.col(g["dst"]).alias("doc_b"),
+            ).filter(
+                F.col("doc_a").isNotNull()
+                & F.col("doc_b").isNotNull())
+            if g["nodes"] is not None:
+                nodes = g["nodes"]
+            else:
+                nodes = (
+                    g["edges"].select(F.col(g["src"]).alias(nid))
+                    .unionByName(
+                        g["edges"].select(F.col(g["dst"]).alias(nid)))
+                    .distinct()
+                )
+            uni = nodes.select(F.col(nid).alias("doc_id")) \
+                .filter(F.col("doc_id").isNotNull()).distinct()
+            labels = connected_components(pairs, uni)
+            sctx["graph"] = dict(
+                g,
+                nodes=nodes.join(
+                    labels.select(
+                        F.col("doc_id").alias(nid),
+                        F.col("cluster_id").alias(cname)),
+                    nid, "left"),
+            )
         elif op == "graph-to-table":
             g = sctx.get("graph")
             if g is None:

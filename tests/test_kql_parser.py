@@ -2013,6 +2013,23 @@ def test_activity_counts_metrics(tiny_activity):
     ]
 
 
+def test_graph_mark_components(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], "s long, d long")
+    got = kql(
+        df,
+        "T | make-graph s --> d"
+        " | graph-mark-components with_component_id = comp"
+        " | graph-to-table nodes | order by node_id asc")
+    rows = [(r.node_id, r.comp) for r in got.collect()]
+    assert rows == [
+        (1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 7),
+    ]
+    with pytest.raises(KqlError):
+        kql(df, "T | make-graph s --> d"
+                " | graph-mark-components kind = strong")
+
+
 def test_array_split(spark):
     df = spark.createDataFrame([(1,)], "id int")
     r = kql(
