@@ -1937,6 +1937,26 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_parse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_path() component bag + countof(kind=regex) — path strings
+    built from row values, components extracted back out of the
+    VARIANT bag, digit-run counts over props."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend p = strcat('/data/', event_type, '/f_',"
+        " tostring(event_id), '.json.gz')"
+        " | extend b = parse_path(p)"
+        " | project dn = tostring(b.DirectoryName),"
+        " fn = tostring(b.Filename), ext = tostring(b.Extension),"
+        " nd = countof(props, '\\\\d', 'regex')"
+        " | summarize n = count(), snd = sum(nd) by dn, ext"
+        " | order by dn asc",
+    )
+
+
 def q_graph_mark_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``graph-mark-components`` — weakly-connected component labels
     (min reachable node id) over a derived user-bucket graph, via the
@@ -3219,6 +3239,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_bag_surgery": q_kql_bag_surgery,
         "kql_array_split": q_kql_array_split,
         "graph_mark_components": q_graph_mark_components,
+        "kql_parse_path": q_kql_parse_path,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
         "kql_scalar_suite4": q_kql_scalar_suite4,
@@ -4280,6 +4301,14 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_parse_path": (
+            "SELECT event_type AS dn, 'gz' AS ext, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(length(props) - length("
+            "regexp_replace(props, '[0-9]', '', 'g'))) AS BIGINT) "
+            "AS snd "
+            "FROM events GROUP BY event_type ORDER BY dn"
         ),
         "graph_mark_components": (
             "WITH RECURSIVE "

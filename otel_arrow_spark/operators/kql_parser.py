@@ -1805,6 +1805,47 @@ class ExprParser:
             pat = _lit_str(args[0])
             grp = 1 if re.compile(pat).groups >= 1 else 0
             return KE(F.regexp_extract_all(args[1].col, F.lit(pat), grp))
+        if lname == "countof" and len(args) == 3:
+            # countof(text, search, kind) — kind=regex counts regex
+            # matches (non-overlapping); kind=normal is the substring
+            # count (the 2-arg map entry's formula)
+            kind = _lit_str(args[2])
+            if kind == "regex":
+                return KE(F.size(F.regexp_extract_all(
+                    args[0].col, F.lit(_lit_str(args[1])), 0
+                )).cast("bigint"))
+            if kind != "normal":
+                raise KqlError(
+                    "countof kind must be 'normal' or 'regex'")
+            return KE(F.when(
+                F.length(args[1].col) > 0,
+                (F.length(args[0].col) - F.length(
+                    F.replace(args[0].col, args[1].col, F.lit(""))))
+                / F.length(args[1].col),
+            ).cast("bigint"))
+        if lname == "parse_path":
+            # parse_path(path) → dynamic bag of path components
+            # (Kusto shape; both / and \ separators). ADS names are
+            # not parsed (empty string, documented subset).
+            if len(args) != 1:
+                raise KqlError("parse_path needs (path)")
+            p = args[0].col
+            return KE(F.parse_json(F.to_json(F.struct(
+                F.regexp_extract(
+                    p, r"^([A-Za-z][A-Za-z0-9+.\-]*):[/\\]", 1
+                ).alias("Scheme"),
+                F.regexp_extract(
+                    p, r"^([A-Za-z]:|[/\\])", 1).alias("RootPath"),
+                F.regexp_extract(
+                    p, r"^(.*)[/\\][^/\\]*$", 1).alias("DirectoryPath"),
+                F.regexp_extract(
+                    p, r"([^/\\]+)[/\\][^/\\]*$", 1
+                ).alias("DirectoryName"),
+                F.regexp_extract(p, r"([^/\\]*)$", 1).alias("Filename"),
+                F.regexp_extract(
+                    p, r"\.([^./\\]+)$", 1).alias("Extension"),
+                F.lit("").alias("AlternateDataStreamName"),
+            ))), variant=True)
         if lname == "capture":
             # capture(s, pattern[, group]) — single-capture twin of
             # extract (text exec `text_scalar_expressions.rs` Capture)

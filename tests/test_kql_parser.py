@@ -2013,6 +2013,26 @@ def test_activity_counts_metrics(tiny_activity):
     ]
 
 
+def test_countof_regex_and_parse_path(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        " cr = countof('a1b22c333', '\\\\d+', 'regex'),"
+        " cn = countof('abcabc', 'bc', 'normal'),"
+        " pp = parse_path('/data/logs/app_2024/trace.json.gz'),"
+        " wn = parse_path('C:\\\\dir\\\\file.txt')"
+        " | project cr, cn, dp = tostring(pp.DirectoryPath),"
+        " dn = tostring(pp.DirectoryName), fn = tostring(pp.Filename),"
+        " ext = tostring(pp.Extension), rp = tostring(wn.RootPath),"
+        " wfn = tostring(wn.Filename)",
+    ).collect()[0]
+    assert (r.cr, r.cn) == (3, 2)
+    assert (r.dp, r.dn, r.fn, r.ext) == (
+        "/data/logs/app_2024", "app_2024", "trace.json.gz", "gz")
+    assert (r.rp, r.wfn) == ("C:", "file.txt")
+
+
 def test_graph_mark_components(spark):
     df = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (7, 7)], "s long, d long")
