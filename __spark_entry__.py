@@ -1937,6 +1937,23 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_unicode_codepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unicode_codepoints_from_string / _to_string — codepoint array
+    round-trip over event_type, probed to scalars."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | project et = event_type,"
+        " cps = unicode_codepoints_from_string(event_type)"
+        " | project et, rt = unicode_codepoints_to_string(cps),"
+        " c0 = cps[0], n = array_length(cps)"
+        " | summarize cnt = count(), sc0 = sum(c0) by et, rt, n"
+        " | order by et asc",
+    )
+
+
 def q_kql_parse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_path() component bag + countof(kind=regex) — path strings
     built from row values, components extracted back out of the
@@ -3240,6 +3257,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_array_split": q_kql_array_split,
         "graph_mark_components": q_graph_mark_components,
         "kql_parse_path": q_kql_parse_path,
+        "kql_unicode_codepoints": q_kql_unicode_codepoints,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
         "kql_scalar_suite4": q_kql_scalar_suite4,
@@ -4301,6 +4319,14 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_unicode_codepoints": (
+            "SELECT event_type AS et, event_type AS rt, "
+            "CAST(length(event_type) AS INTEGER) AS n, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(ascii(substr(event_type, 1, 1))) AS BIGINT) "
+            "AS sc0 "
+            "FROM events GROUP BY event_type ORDER BY et"
         ),
         "kql_parse_path": (
             "SELECT event_type AS dn, 'gz' AS ext, "

@@ -1846,6 +1846,30 @@ class ExprParser:
                     p, r"\.([^./\\]+)$", 1).alias("Extension"),
                 F.lit("").alias("AlternateDataStreamName"),
             ))), variant=True)
+        if lname == "unicode_codepoints_from_string":
+            # per-character codepoint array — one transform over a
+            # character-index sequence; F.ascii returns the full
+            # codepoint of the first character (BMP + astral — Spark
+            # strings are codepoint-indexed)
+            if len(args) != 1:
+                raise KqlError(
+                    "unicode_codepoints_from_string needs (s)")
+            s = args[0].col
+            return KE(F.when(
+                F.length(s) > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s)),
+                    lambda i: F.ascii(
+                        F.substring(s, i, F.lit(1))).cast("bigint")),
+            ).otherwise(F.array().cast("array<bigint>")))
+        if lname == "unicode_codepoints_to_string":
+            if len(args) != 1:
+                raise KqlError(
+                    "unicode_codepoints_to_string needs (arr)")
+            return KE(F.array_join(
+                F.transform(
+                    args[0].col, lambda c: F.char(c.cast("int"))),
+                ""))
         if lname == "capture":
             # capture(s, pattern[, group]) — single-capture twin of
             # extract (text exec `text_scalar_expressions.rs` Capture)

@@ -2013,6 +2013,19 @@ def test_activity_counts_metrics(tiny_activity):
     ]
 
 
+def test_unicode_codepoints(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project a = unicode_codepoints_from_string('Aé€'),"
+        " s = unicode_codepoints_to_string(pack_array(72, 105)),"
+        " e = unicode_codepoints_from_string('')",
+    ).collect()[0]
+    assert r.a == [65, 233, 8364]
+    assert r.s == "Hi"
+    assert r.e == []
+
+
 def test_countof_regex_and_parse_path(spark):
     df = spark.createDataFrame([(1,)], "id int")
     r = kql(
