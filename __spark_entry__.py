@@ -1937,6 +1937,25 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_externaldata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``externaldata (…) ['path'] with (format='parquet')`` — Kusto's
+    external-table source on spark.read with an explicit schema (no
+    inference; scan prunes/pushes against the declared columns). Joined
+    against an in-registry table to prove it composes."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        f"externaldata (r_regionkey: int, r_name: string)"
+        f" ['{sf_dir}/region.parquet'] with (format = 'parquet')"
+        " | extend b = r_regionkey % 5"
+        " | summarize n = count(), names = strcat_array("
+        "array_sort_asc(make_list(r_name)), '|') by b"
+        " | order by b asc",
+    )
+
+
 def q_kql_unicode_codepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unicode_codepoints_from_string / _to_string — codepoint array
     round-trip over event_type, probed to scalars."""
@@ -3258,6 +3277,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mark_components": q_graph_mark_components,
         "kql_parse_path": q_kql_parse_path,
         "kql_unicode_codepoints": q_kql_unicode_codepoints,
+        "kql_externaldata": q_kql_externaldata,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
         "kql_scalar_suite4": q_kql_scalar_suite4,
@@ -4319,6 +4339,12 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_externaldata": (
+            "SELECT r_regionkey % 5 AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "string_agg(r_name, '|' ORDER BY r_name) AS names "
+            "FROM region GROUP BY 1 ORDER BY b"
         ),
         "kql_unicode_codepoints": (
             "SELECT event_type AS et, event_type AS rt, "

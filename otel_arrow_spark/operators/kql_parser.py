@@ -2684,7 +2684,8 @@ _JOIN_KINDS = {
 }
 
 
-_SOURCE_OPS = ("range ", "datatable", "print ", "print\t")
+_SOURCE_OPS = ("range ", "datatable", "print ", "print\t",
+               "externaldata")
 
 
 def _literal_source(head: str, bindings: dict) -> DataFrame:
@@ -2748,6 +2749,57 @@ def _literal_source(head: str, bindings: dict) -> DataFrame:
         for i, (name, expr) in enumerate(_parse_assignments(m.group(1))):
             sel.append(pe(expr).alias(name or f"print_{i}"))
         return one.select(*sel)
+    m = re.match(
+        r"^externaldata\s*\((.*?)\)\s*\[(.*?)\]"
+        r"\s*(?:with\s*\((.*?)\))?\s*$", head, re.S)
+    if m:
+        # `externaldata (c: type, …) ['path', …]
+        #  [with (format='csv|tsv|json|parquet', header=true|false)]`
+        # — Kusto's external-table source mapped straight onto
+        # spark.read with an EXPLICIT schema (never inference — schema
+        # drift in external files must fail loudly, and an explicit
+        # schema is what lets the scan prune columns/push filters at
+        # 100 TB). URLs are not fetched (no network by policy); paths
+        # are storage paths the cluster can read.
+        _DT_TYPES = {
+            "string": "string", "long": "bigint", "int": "int",
+            "real": "double", "datetime": "timestamp_ntz",
+            "bool": "boolean", "boolean": "boolean",
+        }
+        fields = []
+        for part in _split_commas(m.group(1)):
+            cm = re.match(
+                r"^([A-Za-z_]\w*)\s*:\s*([a-z]+)$", part.strip())
+            if not cm or cm.group(2) not in _DT_TYPES:
+                raise KqlError(
+                    f"bad externaldata column {part.strip()!r}")
+            fields.append(
+                f"{cm.group(1)} {_DT_TYPES[cm.group(2)]}")
+        paths = [
+            _unquote(p.strip())
+            for p in _split_commas(m.group(2)) if p.strip()
+        ]
+        if not fields or not paths:
+            raise KqlError(
+                "externaldata needs (col: type, …) ['path', …]")
+        opts = {}
+        for part in _split_commas(m.group(3) or ""):
+            om = re.match(r"^(\w+)\s*=\s*(.+)$", part.strip())
+            if om:
+                opts[om.group(1).lower()] = _unquote(
+                    om.group(2).strip())
+        fmt = opts.get("format", "csv").lower()
+        schema = ", ".join(fields)
+        if fmt == "parquet":
+            return spark.read.schema(schema).parquet(*paths)
+        if fmt == "json":
+            return spark.read.schema(schema).json(*paths)
+        if fmt in ("csv", "tsv", "txt"):
+            return spark.read.schema(schema).csv(
+                list(paths),
+                sep="\t" if fmt == "tsv" else ",",
+                header=opts.get("header", "false") == "true")
+        raise KqlError(f"externaldata: unsupported format {fmt!r}")
     raise KqlError(f"bad literal source {head!r}")
 
 

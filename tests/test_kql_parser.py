@@ -2013,6 +2013,28 @@ def test_activity_counts_metrics(tiny_activity):
     ]
 
 
+def test_externaldata(spark, tmp_path):
+    p = tmp_path / "ext.csv"
+    p.write_text("1,alpha\n2,beta\n")
+    got = kql(
+        spark.range(1).toDF("id"),
+        f"externaldata (k: long, s: string) ['{p}']"
+        " with (format = 'csv')"
+        " | order by k asc")
+    assert [(r.k, r.s) for r in got.collect()] == [
+        (1, "alpha"), (2, "beta")]
+    # parquet with explicit schema straight off the test data
+    got2 = kql(
+        spark.range(1).toDF("id"),
+        f"externaldata (r_regionkey: int, r_name: string)"
+        f" ['{SF}/region.parquet'] with (format = 'parquet')"
+        " | summarize n = count()")
+    assert got2.collect()[0].n == 5
+    with pytest.raises(KqlError):
+        kql(spark.range(1).toDF("id"),
+            "externaldata (k: long) ['/x'] with (format = 'xml')")
+
+
 def test_unicode_codepoints(spark):
     df = spark.createDataFrame([(1,)], "id int")
     r = kql(
