@@ -1937,6 +1937,40 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-domain quota sampling
+    (dataops/webcurate.py): skewed synthetic URLs (70% on one domain),
+    canonicalized (case/port/www/tracking-param/slash rules), then
+    capped at 150 docs/domain — the oversized domain pays the hash-
+    ordered rank, small domains pass through a broadcast anti-join.
+    The oracle derives the same canonical strings and QUALIFY-caps with
+    the portable SHA hash."""
+    from otel_arrow_spark.dataops.webcurate import (
+        canonicalize_url,
+        domain_cap_sample,
+        url_domain,
+    )
+
+    docs = _docs(spark, sf_dir)
+    k = F.when(F.col("doc_id") % 10 < 7, F.lit(0)) \
+        .otherwise(F.col("doc_id") % 10 - 6)
+    url = F.concat(
+        F.lit("HTTPS://WWW.d"), k.cast("string"),
+        F.lit(".Example.COM:443//p/"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&q="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("#f"))
+    c = canonicalize_url(docs.withColumn("url", url))
+    kept = domain_cap_sample(c, 150)
+    return (
+        kept.withColumn("dom", url_domain(F.col("canon_url")))
+        .groupBy("dom")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("doc_id").alias("sid"),
+             F.min("canon_url").alias("minu"))
+        .orderBy("dom")
+    )
+
+
 def q_kql_externaldata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``externaldata (…) ['path'] with (format='parquet')`` — Kusto's
     external-table source on spark.read with an explicit schema (no
@@ -3278,6 +3312,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_parse_path": q_kql_parse_path,
         "kql_unicode_codepoints": q_kql_unicode_codepoints,
         "kql_externaldata": q_kql_externaldata,
+        "web_domain_cap": q_web_domain_cap,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
         "kql_scalar_suite4": q_kql_scalar_suite4,
@@ -4339,6 +4374,21 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "web_domain_cap": (
+            "WITH c AS (SELECT doc_id, CASE WHEN doc_id % 10 < 7 "
+            "THEN 0 ELSE doc_id % 10 - 6 END AS k FROM documents), "
+            "u AS (SELECT doc_id, 'd' || k || '.example.com' AS dom, "
+            "'https://d' || k || '.example.com/p/' || doc_id || "
+            "'?q=' || (doc_id % 5) AS canon FROM c), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY dom "
+            "ORDER BY ('0x' || substr(sha256(canon || '|' || doc_id), "
+            "1, 8))::BIGINT, doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY dom) AS dn FROM u) "
+            "SELECT dom, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(doc_id) AS BIGINT) AS sid, MIN(canon) AS minu "
+            "FROM r WHERE dn <= 150 OR rn <= 150 "
+            "GROUP BY dom ORDER BY dom"
         ),
         "kql_externaldata": (
             "SELECT r_regionkey % 5 AS b, "

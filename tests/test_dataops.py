@@ -824,3 +824,32 @@ def test_tfidf_keywords(spark):
     assert [k for _, k, _ in by_doc[3]] == ["dog", "elephant"]
     # every rank list is 1..k with no gaps
     assert all([r for r, _, _ in v] == [1, 2] for v in by_doc.values())
+
+
+def test_canonicalize_url_and_domain_cap(spark):
+    from otel_arrow_spark.dataops.webcurate import (
+        canonicalize_url,
+        domain_cap_sample,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a//b/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://example.com:80/a/b"),
+        (3, "https://other.org/path/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    c = canonicalize_url(df)
+    got = {r.doc_id: r.canon_url for r in c.collect()}
+    # scheme/host lowered, www./default port/fragment stripped, path
+    # slashes collapsed + trailing dropped, tracking params dropped,
+    # survivors sorted
+    assert got[1] == "https://example.com/a/b?a=1&b=2"
+    assert got[2] == "http://example.com/a/b"
+    assert got[3] == "https://other.org/path"
+    # cap=1: example.com is oversized (2 rows) → exactly 1 kept by the
+    # deterministic hash order; other.org passes through untouched
+    kept = domain_cap_sample(c, 1)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert len(ids) == 2 and 3 in ids
+    kept2 = domain_cap_sample(c, 1)
+    assert sorted(r.doc_id for r in kept2.collect()) == ids
