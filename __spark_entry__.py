@@ -1937,6 +1937,39 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate session_count(user_id, ts, start, end, 4h, 2h)`` —
+    active sessions per 4h bin: gap-sessionize per user (one lag+cumsum
+    window), session spans explode to covered bins, spine fills zeros.
+    Oracle mirrors with lag/cumsum CTEs + lateral generate_series."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate session_count(user_id, ts,"
+        " datetime(2024-01-02 00:00:00), datetime(2024-01-05 00:00:00),"
+        " 4h, 2h) | order by ts asc",
+    )
+
+
+def q_kql_has_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``has_any`` / ``has_all`` — whole-term multi-needle predicates
+    (term-boundary regex, runtime-escaped needles)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend s = strcat(event_type, ' zone',"
+        " tostring(user_id % 4))"
+        " | where s has_any ('click', 'zone2')"
+        " | extend hit2 = iff(s has_all ('zone1', 'view'), 1, 0)"
+        " | summarize n = count(), n2 = sum(hit2) by event_type"
+        " | order by event_type asc",
+    )
+
+
 def q_web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + per-domain quota sampling
     (dataops/webcurate.py): skewed synthetic URLs (70% on one domain),
@@ -3313,6 +3346,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_unicode_codepoints": q_kql_unicode_codepoints,
         "kql_externaldata": q_kql_externaldata,
         "web_domain_cap": q_web_domain_cap,
+        "kql_session_count": q_kql_session_count,
+        "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
         "kql_scalar_suite4": q_kql_scalar_suite4,
@@ -4374,6 +4409,37 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_session_count": (
+            # bin 4h = 14400s (slots 118344..118362), lookback 2h
+            "WITH b AS (SELECT user_id AS id, epoch(ts) AS e "
+            "FROM events WHERE epoch(ts) >= 1704153600 "
+            "AND epoch(ts) <= 1704412800), "
+            "l AS (SELECT id, e, CASE WHEN e - lag(e) OVER ("
+            "PARTITION BY id ORDER BY e) > 7200.0 OR lag(e) OVER ("
+            "PARTITION BY id ORDER BY e) IS NULL THEN 1 ELSE 0 END "
+            "AS brk FROM b), "
+            "s AS (SELECT id, e, SUM(brk) OVER (PARTITION BY id "
+            "ORDER BY e ROWS UNBOUNDED PRECEDING) AS sid FROM l), "
+            "sp AS (SELECT id, sid, MIN(e) AS st, MAX(e) AS en "
+            "FROM s GROUP BY 1, 2), "
+            "bins AS (SELECT unnest(range("
+            "CAST(floor(st / 14400.0) AS BIGINT), "
+            "LEAST(CAST(floor((en + 7200.0) / 14400.0) AS BIGINT), "
+            "118362) + 1)) AS t FROM sp), "
+            "spine AS (SELECT r.range AS t FROM "
+            "range(118344, 118363) r) "
+            "SELECT epoch_ms(spine.t * 14400 * 1000) AS ts, "
+            "CAST(COUNT(bins.t) AS BIGINT) AS count_sessions "
+            "FROM spine LEFT JOIN bins ON spine.t = bins.t "
+            "GROUP BY spine.t ORDER BY ts"
+        ),
+        "kql_has_any_all": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CASE WHEN event_type = 'view' "
+            "AND user_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
+            "FROM events WHERE event_type = 'click' OR user_id % 4 = 2 "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "web_domain_cap": (
             "WITH c AS (SELECT doc_id, CASE WHEN doc_id % 10 < 7 "

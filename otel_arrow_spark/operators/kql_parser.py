@@ -1512,6 +1512,32 @@ class ExprParser:
             if t == "endswith":
                 return KE(F.lower(l).endswith(F.lower(r)))
             return KE(~F.lower(l).contains(F.lower(r)))
+        if t in ("has_any", "has_all"):
+            # `s has_any ('a', 'b')` / `has_all` — whole-TERM matches
+            # (same boundary regex as `has`), OR- / AND-combined. Each
+            # needle is runtime-escaped so column-valued needles work.
+            self.next()
+            self.expect("(")
+            items = [self._or()]
+            while self.peek().text == ",":
+                self.next()
+                items.append(self._or())
+            self.expect(")")
+            lead = F.lit("(?i)(^|[^a-zA-Z0-9])")
+            tail = F.lit("($|[^a-zA-Z0-9])")
+            cond = None
+            for i in items:
+                esc = F.regexp_replace(
+                    i.col, "([^a-zA-Z0-9])", r"\\$1")
+                hit = F.regexp_like(
+                    left.col, F.concat(lead, esc, tail))
+                if cond is None:
+                    cond = hit
+                elif t == "has_any":
+                    cond = cond | hit
+                else:
+                    cond = cond & hit
+            return KE(cond)
         if t in ("in", "in~", "!in", "!in~"):
             self.next()
             self.expect("(")
@@ -5168,6 +5194,67 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         ).cast("timestamp_ntz").alias(tc),
                         "count_", "dcount", "new_dcount",
                         "aggregated_dcount")
+                )
+                continue
+            mscn = re.match(
+                r"^session_count\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*datetime\(([^)]*)\)\s*,"
+                r"\s*datetime\(([^)]*)\)\s*,\s*([\w.]+)\s*,"
+                r"\s*([\w.]+)\s*\)\s*$", rest)
+            if mscn:
+                # `evaluate session_count(id, timeline, datetime(start),
+                # datetime(end), Bin, LookBackWindow)` — active sessions
+                # per bin. A session starts at an activity with no
+                # same-id activity in the preceding LookBackWindow and
+                # stays active until LookBackWindow after its last
+                # activity (this engine's precise rendering of Kusto's
+                # plugin; boundary: gap strictly greater than the
+                # window starts a new session). Shape: gap-sessionize
+                # per id (one lag+cumsum window, one shuffle), one
+                # aggregate to session spans, then each span explodes
+                # to the bins it covers — bounded by the query's own
+                # (End−Start)/Bin bin count, never by data size.
+                idc, tc, st_src, en_src, bin_src, look_src = \
+                    mscn.groups()
+                for c in (idc, tc):
+                    if c not in df.columns:
+                        raise KqlError(
+                            f"session_count: no column {c!r}")
+                bin_s = _timespan_secs(bin_src)
+                look_s = _timespan_secs(look_src)
+                t0 = _plugin_epoch(st_src)
+                t1 = _plugin_epoch(en_src)
+                s0, e0 = int(t0 // bin_s), int(t1 // bin_s)
+                from otel_arrow_spark.operators.sequence import (
+                    sessionize,
+                )
+                epoch = F.col(tc).cast("timestamp").cast("double")
+                base = df.filter((epoch >= t0) & (epoch <= t1)).select(
+                    F.col(idc).alias("_id"), epoch.alias("_e"))
+                sess = sessionize(base, ["_id"], "_e", look_s)
+                spans = sess.groupBy("_id", "session_id").agg(
+                    F.min("_e").alias("_st"),
+                    F.max("_e").alias("_en"))
+                b0 = F.floor(
+                    F.col("_st") / F.lit(float(bin_s))).cast("long")
+                b1 = F.least(
+                    F.floor((F.col("_en") + F.lit(float(look_s)))
+                            / F.lit(float(bin_s))).cast("long"),
+                    F.lit(e0))
+                bins = spans.select(
+                    F.explode(F.sequence(b0, b1)).alias("_t"))
+                counts = bins.groupBy("_t").agg(
+                    F.count(F.lit(1)).alias("count_sessions"))
+                spine = df.sparkSession.range(s0, e0 + 1).select(
+                    F.col("id").alias("_t"))
+                df = (
+                    spine.join(counts, "_t", "left")
+                    .select(
+                        F.timestamp_seconds(
+                            F.col("_t") * F.lit(float(bin_s))
+                        ).cast("timestamp_ntz").alias(tc),
+                        F.coalesce("count_sessions", F.lit(0))
+                        .alias("count_sessions"))
                 )
                 continue
             mnam = re.match(

@@ -2188,6 +2188,40 @@ def test_rolling_percentile(spark):
     ]
 
 
+def test_session_count(spark):
+    df = spark.createDataFrame(
+        [("A", "2024-01-01 00:30:00"), ("A", "2024-01-01 01:00:00"),
+         ("A", "2024-01-01 04:00:00"), ("B", "2024-01-01 02:30:00")],
+        "uid string, t string",
+    ).select("uid", F.col("t").cast("timestamp_ntz").alias("t"))
+    got = kql(
+        df,
+        "T | evaluate session_count(uid, t,"
+        " datetime(2024-01-01 00:00:00), datetime(2024-01-01 06:00:00),"
+        " 1h, 1h) | order by t asc")
+    rows = [(r.t.hour, r.count_sessions) for r in got.collect()]
+    # A: [00:30,01:00] active→02:00 (bins 0-2), new session 04:00
+    # active→05:00 (bins 4-5); B: 02:30 active→03:30 (bins 2-3)
+    assert rows == [
+        (0, 1), (1, 1), (2, 2), (3, 1), (4, 1), (5, 1), (6, 0),
+    ]
+
+
+def test_has_any_all(events):
+    got = kql(
+        events,
+        "events | where event_type has_any ('click', 'view')")
+    exp = events.filter(F.col("event_type").isin("click", "view"))
+    assert got.count() == exp.count() > 0
+    df = events.sparkSession.createDataFrame(
+        [("North America east",), ("orth america",)], "s string")
+    assert kql(df, "T | where s has_any ('north')").count() == 1
+    assert kql(
+        df, "T | where s has_all ('america', 'east')").count() == 1
+    assert kql(
+        df, "T | where s has_all ('america', 'west')").count() == 0
+
+
 def test_new_activity_metrics(tiny_activity):
     got = kql(
         tiny_activity,
