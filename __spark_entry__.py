@@ -1937,6 +1937,28 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_ipv4_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_ipv4 (/mask-aware), parse_ipv4_mask, ipv4_netmask_suffix,
+    format_ipv4 — numeric↔dotted round-trips over synthesized CIDRs;
+    all narrow octet arithmetic."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend o1 = user_id % 200 + 1, o2 = event_id % 256,"
+        " o3 = user_id % 256, o4 = event_id % 250, m = 8 + user_id % 25"
+        " | extend ip = strcat(tostring(o1), '.', tostring(o2), '.',"
+        " tostring(o3), '.', tostring(o4))"
+        " | extend cidr = strcat(ip, '/', tostring(m))"
+        " | project v = parse_ipv4(cidr), s = ipv4_netmask_suffix(cidr),"
+        " f = format_ipv4(parse_ipv4(ip), 24)"
+        " | summarize n = count(), sv = sum(v), ss = sum(s),"
+        " d = dcount(f) by b = s % 4"
+        " | order by b asc",
+    )
+
+
 def q_kql_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``evaluate session_count(user_id, ts, start, end, 4h, 2h)`` —
     active sessions per 4h bin: gap-sessionize per user (one lag+cumsum
@@ -3347,6 +3369,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_externaldata": q_kql_externaldata,
         "web_domain_cap": q_web_domain_cap,
         "kql_session_count": q_kql_session_count,
+        "kql_ipv4_scalars": q_kql_ipv4_scalars,
         "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
@@ -4409,6 +4432,23 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_ipv4_scalars": (
+            "WITH b AS (SELECT user_id % 200 + 1 AS o1, "
+            "event_id % 256 AS o2, user_id % 256 AS o3, "
+            "event_id % 250 AS o4, "
+            "CAST(8 + user_id % 25 AS INTEGER) AS m FROM events), "
+            "c AS (SELECT m, o1 * 16777216 + o2 * 65536 + o3 * 256 "
+            "+ o4 AS base, o1, o2, o3 FROM b), "
+            "p AS (SELECT m, CAST(floor(base / "
+            "CAST(power(2, 32 - m) AS BIGINT)) AS BIGINT) * "
+            "CAST(power(2, 32 - m) AS BIGINT) AS v, "
+            "o1 || '.' || o2 || '.' || o3 || '.0' AS f FROM c) "
+            "SELECT m % 4 AS b, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(v) AS BIGINT) AS sv, "
+            "CAST(SUM(m) AS BIGINT) AS ss, "
+            "CAST(COUNT(DISTINCT f) AS BIGINT) AS d "
+            "FROM p GROUP BY 1 ORDER BY b"
         ),
         "kql_session_count": (
             # bin 4h = 14400s (slots 118344..118362), lookback 2h

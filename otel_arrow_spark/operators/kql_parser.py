@@ -329,6 +329,42 @@ def _ip2long(c: Column) -> Column:
     )
 
 
+def _parse_ipv4_masked(ip: Column, mask: Column) -> Column:
+    """Numeric value of a dotted-quad with the host bits below the mask
+    cleared (mask 32 = identity). NULL on malformed input or mask."""
+    n = _ip2long(ip)
+    block = F.pow(F.lit(2.0), 32 - mask).cast("bigint")
+    return F.when(
+        mask.between(0, 32),
+        F.floor(n / block).cast("bigint") * block,
+    ).cast("bigint")
+
+
+def _format_ipv4(val: Column, *rest: Column) -> Column:
+    """Dotted-quad of a numeric IPv4 (or of a dotted/CIDR string),
+    optionally masked by a prefix length argument."""
+    mask = rest[0].try_cast("int") if rest else F.lit(32)
+    num = F.when(
+        val.try_cast("bigint").isNotNull(), val.try_cast("bigint")
+    ).otherwise(_parse_ipv4_masked(
+        F.try_element_at(F.split(val.cast("string"), "/"), F.lit(1)),
+        F.coalesce(
+            F.try_element_at(F.split(val.cast("string"), "/"),
+                             F.lit(2)).try_cast("int"),
+            F.lit(32))))
+    block = F.pow(F.lit(2.0), 32 - mask).cast("bigint")
+    n = F.when(
+        mask.between(0, 32) & num.between(0, 4294967295),
+        F.floor(num / block).cast("bigint") * block)
+    return F.concat_ws(
+        ".",
+        F.floor(n / 16777216).cast("bigint") % 256,
+        F.floor(n / 65536).cast("bigint") % 256,
+        F.floor(n / 256).cast("bigint") % 256,
+        n % 256,
+    )
+
+
 def _ipv4_in_range(ip: Column, cidr: Column) -> Column:
     """ipv4_is_in_range(ip, 'a.b.c.d/m') — prefix compare via division
     by 2^(32-m) (shiftright needs a literal bit count; the mask length
@@ -1125,6 +1161,26 @@ _FUNC_MAP_SIMPLE = {
     ),
     "ipv4_is_in_range": lambda a: _ipv4_in_range(a[0], a[1]),
     "ipv4_is_match": lambda a: _ipv4_in_range(a[0], a[1]),
+    # parse_ipv4 accepts an optional /mask suffix (bits above the mask
+    # zeroed — Kusto's semantics); parse_ipv4_mask takes the mask as a
+    # second arg; format_ipv4 renders a numeric back to dotted-quad
+    # (also accepts dotted input, masked); ipv4_netmask_suffix reads
+    # the /m (32 when absent, NULL when malformed)
+    "parse_ipv4": lambda a: _parse_ipv4_masked(
+        F.try_element_at(F.split(a[0], "/"), F.lit(1)),
+        F.coalesce(
+            F.try_element_at(F.split(a[0], "/"), F.lit(2))
+            .try_cast("int"), F.lit(32))),
+    "parse_ipv4_mask": lambda a: _parse_ipv4_masked(
+        F.try_element_at(F.split(a[0], "/"), F.lit(1)),
+        a[1].try_cast("int")),
+    "ipv4_netmask_suffix": lambda a: F.when(
+        _ip2long(F.try_element_at(F.split(a[0], "/"), F.lit(1)))
+        .isNotNull(),
+        F.coalesce(
+            F.try_element_at(F.split(a[0], "/"), F.lit(2))
+            .try_cast("int"), F.lit(32))).cast("int"),
+    "format_ipv4": lambda a: _format_ipv4(*a),
     # KQL array_index_of is 0-based, -1 when absent (array_position is
     # 1-based, 0 when absent)
     "array_index_of": lambda a: (

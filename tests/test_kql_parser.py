@@ -2035,6 +2035,27 @@ def test_externaldata(spark, tmp_path):
             "externaldata (k: long) ['/x'] with (format = 'xml')")
 
 
+def test_ipv4_scalar_quartet(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project p = parse_ipv4('192.168.1.1'),"
+        " pm = parse_ipv4('192.168.1.1/24'),"
+        " pm2 = parse_ipv4_mask('192.168.1.1', 24),"
+        " sfx = ipv4_netmask_suffix('10.0.0.0/8'),"
+        " sfx32 = ipv4_netmask_suffix('10.0.0.1'),"
+        " sfxbad = ipv4_netmask_suffix('not-an-ip'),"
+        " f = format_ipv4(3232235777),"
+        " fm = format_ipv4('192.168.1.5/24'),"
+        " fm2 = format_ipv4('10.1.2.3', 16),"
+        " bad = parse_ipv4('bad')",
+    ).collect()[0]
+    assert r.p == 3232235777 and r.pm == 3232235776 == r.pm2
+    assert (r.sfx, r.sfx32, r.sfxbad) == (8, 32, None)
+    assert r.f == "192.168.1.1" and r.fm == "192.168.1.0"
+    assert r.fm2 == "10.1.0.0" and r.bad is None
+
+
 def test_unicode_codepoints(spark):
     df = spark.createDataFrame([(1,)], "id int")
     r = kql(
