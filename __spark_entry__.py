@@ -1937,6 +1937,24 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_mv_expand_itemindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mv-expand with_itemindex = ix`` — posexplode with the 0-based
+    element index; NULL elements survive (only NULL/empty arrays drop
+    rows), asserted via the per-index NULL counts."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend b = user_id % 7"
+        " | extend a = pack_array(b, long(null), b + 2)"
+        " | mv-expand with_itemindex = ix e = a"
+        " | summarize n = count(), se = sum(e),"
+        " nn = countif(isnull(e)) by ix"
+        " | order by ix asc",
+    )
+
+
 def q_kql_ipv4_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_ipv4 (/mask-aware), parse_ipv4_mask, ipv4_netmask_suffix,
     format_ipv4 — numeric↔dotted round-trips over synthesized CIDRs;
@@ -3370,6 +3388,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_cap": q_web_domain_cap,
         "kql_session_count": q_kql_session_count,
         "kql_ipv4_scalars": q_kql_ipv4_scalars,
+        "kql_mv_expand_itemindex": q_kql_mv_expand_itemindex,
         "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
@@ -4432,6 +4451,17 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_mv_expand_itemindex": (
+            "SELECT CAST(g AS INTEGER) AS ix, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CASE WHEN g = 1 THEN NULL ELSE "
+            "CAST(SUM(CASE WHEN g = 0 THEN user_id % 7 "
+            "ELSE user_id % 7 + 2 END) AS BIGINT) END AS se, "
+            "CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS nn "
+            "FROM events CROSS JOIN range(0, 3) r(g) "
+            "GROUP BY g ORDER BY ix"
         ),
         "kql_ipv4_scalars": (
             "WITH b AS (SELECT user_id % 200 + 1 AS o1, "

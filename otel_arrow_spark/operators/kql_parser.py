@@ -3711,6 +3711,16 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             cols = []
             order_src: list[tuple[str, bool] | None] = []
             for part in _split_commas(rest):
+                part = part.strip()
+                # `… [asc|desc] [nulls first|nulls last]` — explicit
+                # null placement; defaults match both KQL and Spark
+                # (asc → nulls first, desc → nulls last)
+                mnul = re.search(
+                    r"\s+nulls\s+(first|last)$", part, re.I)
+                nulls = None
+                if mnul:
+                    nulls = mnul.group(1).lower()
+                    part = part[:mnul.start()].strip()
                 toks = part.rsplit(None, 1)
                 if len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
                     expr_src, asc = toks[0], toks[1].lower() == "asc"
@@ -3718,7 +3728,16 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     # KQL default sort order is descending (kql docs)
                     expr_src, asc = part, False
                 c = pe(expr_src)
-                cols.append(c.asc() if asc else c.desc())
+                if nulls == "first":
+                    cols.append(
+                        c.asc_nulls_first() if asc
+                        else c.desc_nulls_first())
+                elif nulls == "last":
+                    cols.append(
+                        c.asc_nulls_last() if asc
+                        else c.desc_nulls_last())
+                else:
+                    cols.append(c.asc() if asc else c.desc())
                 order_src.append(
                     (expr_src.strip(), asc)
                     if re.fullmatch(r"[A-Za-z_]\w*", expr_src.strip())
@@ -3847,6 +3866,12 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             # (KQL default). One item per stage: multi-column KQL
             # mv-expand zips arrays, which sequential explodes would
             # silently turn into a cross product.
+            mwi = re.match(
+                r"^with_itemindex\s*=\s*([A-Za-z_]\w*)\s+(.+)$",
+                rest, re.S)
+            ixname = None
+            if mwi:
+                ixname, rest = mwi.groups()
             items = _parse_assignments(rest)
             if len(items) != 1:
                 raise KqlError("mv-expand takes exactly one item per stage")
@@ -3858,7 +3883,14 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         "mv-expand needs `name = expr` for non-column"
                         " expressions"
                     )
-            df = df.withColumn(name, F.explode(pe(expr)))
+            if ixname is not None:
+                # with_itemindex → posexplode (0-based element index)
+                others = [c for c in df.columns if c != name]
+                df = df.select(
+                    *others,
+                    F.posexplode(pe(expr)).alias(ixname, name))
+            else:
+                df = df.withColumn(name, F.explode(pe(expr)))
         elif op == "make-series":
             # `make-series name = agg() [default = d] on ts_col
             #  from datetime(…) to datetime(…) step <timespan> [by keys]`

@@ -2035,6 +2035,23 @@ def test_externaldata(spark, tmp_path):
             "externaldata (k: long) ['/x'] with (format = 'xml')")
 
 
+def test_sort_nulls_and_mv_expand_itemindex(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "k int, v int")
+    got = kql(df, "T | sort by v asc nulls last | project k")
+    assert [r.k for r in got.collect()] == [3, 1, 2]
+    got2 = kql(df, "T | sort by v desc nulls first | project k")
+    assert [r.k for r in got2.collect()] == [2, 1, 3]
+    df2 = spark.createDataFrame([(1,)], "id int")
+    got3 = kql(
+        df2,
+        "T | extend a = pack_array('x', 'y', 'z')"
+        " | mv-expand with_itemindex = ix e = a"
+        " | project ix, e | order by ix asc")
+    assert [(r.ix, r.e) for r in got3.collect()] == [
+        (0, "x"), (1, "y"), (2, "z")]
+
+
 def test_ipv4_scalar_quartet(spark):
     df = spark.createDataFrame([(1,)], "id int")
     r = kql(
