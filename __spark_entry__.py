@@ -2960,6 +2960,23 @@ def q_dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_dup_corpus(spark, sf_dir))
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup clustering through the O(log n) star-contraction CC
+    (`dedup.connected_components_star`, Kiveris et al. SoCC'14
+    large-star/small-star alternation) — the scale path for graphs
+    whose DIAMETER makes min-label propagation slow. Identical
+    recursive-closure oracle as `dedup_neardup_clusters`; equivalence
+    on adversarial shapes is pytest-gated."""
+    from otel_arrow_spark.dataops.dedup import (
+        connected_components_star,
+        minhash_lsh_pairs,
+    )
+
+    docs = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, tau=0.5).select("doc_a", "doc_b")
+    return connected_components_star(pairs, docs.select("doc_id"))
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_spark.dataops.dedup import ngram_jaccard_pairs
 
@@ -3419,6 +3436,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_neardup_clusters": q_dedup_neardup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_simhash": q_dedup_simhash,
@@ -5373,6 +5391,7 @@ def _dataops_oracles() -> dict[str, str]:
                        " WHERE doc_id < 1000000",
         ),
         "dedup_neardup_clusters": dedup.neardup_clusters_oracle_sql(),
+        "dedup_clusters_star": dedup.neardup_clusters_oracle_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),
         "dedup_substring_spans": dedup.duplicate_ngram_spans_oracle_sql(
             n=8, min_count=2

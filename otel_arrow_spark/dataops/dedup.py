@@ -712,6 +712,92 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
     )
 
 
+def connected_components_star(pairs: DataFrame, universe: DataFrame,
+                              max_iter: int = 40) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round variant for graphs whose
+    diameter makes :func:`connected_components`' O(diameter) min-label
+    propagation slow (long chains, adversarial inputs). Same contract:
+    ``(doc_id, cluster_id)`` with cluster = MIN node id of the
+    component, singletons labeled themselves.
+
+    Each round is two edge rewrites, each ONE groupBy-min + ONE
+    equi-join over the current edge set:
+
+    * large-star: every node u computes ``m = min(Γ(u) ∪ {u})`` and
+      re-points its strictly larger neighbors at m;
+    * small-star: over larger→smaller canonical edges, every node u
+      re-points its ≤-neighbors (and itself) at the local min.
+
+    Rounds localCheckpoint like the min-label loop (lineage cut, so
+    round N+1 does not replay 1..N); the convergence probe is one
+    bounded count per round (edge-set fixpoint), and the result is a
+    forest of depth-1 stars rooted at component minima.
+    """
+    e = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
+                & (F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _bidir(edges: DataFrame) -> DataFrame:
+        return edges.unionByName(edges.select(
+            F.col("v").alias("u"), F.col("u").alias("v")))
+
+    for _ in range(max_iter):
+        # large-star over the bidirected neighborhood
+        bd = _bidir(e)
+        mins = bd.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m"))
+        large = (
+            bd.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star over larger→smaller canonical edges
+        canon = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct()
+        smins = canon.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m"))
+        small = (
+            canon.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select(
+                F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint when the edge set is unchanged (symmetric difference
+        # empty) — two bounded anti-join counts
+        grew = small.exceptAll(e).limit(1).count()
+        shrank = e.exceptAll(small).limit(1).count()
+        e = small
+        if grew == 0 and shrank == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — not expected for any graph (O(log n) bound); "
+            "check the input for pathological duplication"
+        )
+    labels = e.groupBy("u").agg(F.min("v").alias("lbl")).select(
+        F.col("u").alias("doc_id"), "lbl")
+    return (
+        universe.select("doc_id")
+        .join(labels.withColumnRenamed("lbl", "cluster_id"),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 def neardup_clusters(docs: DataFrame, tau: float = 0.5,
                      max_iter: int = 25, **lsh_kw) -> DataFrame:
     """Near-dup CLUSTER assignment: MinHash-LSH candidate pairs

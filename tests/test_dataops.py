@@ -853,3 +853,36 @@ def test_canonicalize_url_and_domain_cap(spark):
     assert len(ids) == 2 and 3 in ids
     kept2 = domain_cap_sample(c, 1)
     assert sorted(r.doc_id for r in kept2.collect()) == ids
+
+
+def test_connected_components_star_matches_minlabel(spark):
+    """Star contraction (O(log n) rounds) must induce exactly the same
+    partition — same min-id labels — as min-label propagation, on the
+    shapes that stress each: long chains (diameter), rings, stars,
+    multi-component graphs, self-loops, and a seeded random graph."""
+    import random
+
+    from otel_arrow_spark.dataops.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [(i, i + 1) for i in range(15)],                  # 16-chain
+        [(i, (i + 1) % 10) for i in range(10)],           # ring
+        [(0, i) for i in range(1, 8)],                    # star
+        [(1, 2), (3, 4), (5, 5), (9, 8)],                 # components+loop
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(35)],
+    ]
+    for edges in cases:
+        nodes = sorted({n for e in edges for n in e} | {77})
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long")
+        uni = spark.createDataFrame(
+            [(n,) for n in nodes], "doc_id long")
+        a = {r.doc_id: r.cluster_id
+             for r in connected_components(pairs, uni, 30).collect()}
+        b = {r.doc_id: r.cluster_id
+             for r in connected_components_star(pairs, uni).collect()}
+        assert a == b, f"mismatch for edges={edges}: {a} vs {b}"
