@@ -5,6 +5,7 @@ from otel_arrow_spark.streaming.pipeline import (
     read_transcript_stream,
     stream_pipeline,
     streaming_dedup,
+    streaming_enrich,
     streaming_interval_join,
     streaming_histogram_points,
     windowed_sink_counts,
@@ -17,6 +18,7 @@ __all__ = [
     "read_transcript_stream",
     "stream_pipeline",
     "streaming_dedup",
+    "streaming_enrich",
     "streaming_interval_join",
     "streaming_histogram_points",
     "windowed_sink_counts",

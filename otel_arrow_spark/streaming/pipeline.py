@@ -473,6 +473,30 @@ def streaming_interval_join(
     return out.select(*keep)
 
 
+def streaming_enrich(
+    stream: DataFrame,
+    tool_catalog: DataFrame,
+    role_catalog: DataFrame,
+) -> DataFrame:
+    """Stream-static broadcast enrich — the streaming twin of the batch
+    `enrich.enrich_turns` (§2.5 lookup enrich; reference analog: the
+    attribute-dictionary probe on the live ingest path).
+
+    A stream-static join is stateless on the stream side: Spark
+    re-resolves the static relation per micro-batch and, with the dims
+    explicitly broadcast, plans an executor-local hash probe — no
+    stream-side shuffle, no state store, bounded memory at any stream
+    length. LEFT joins keep unmatched rows (nulls, never drops) so the
+    routed counts downstream are unaffected by catalog gaps.
+    """
+    from otel_arrow_spark.enrich import enrich_turns
+
+    # enrich_turns is already pure narrow-side plan construction
+    # (broadcast dims, left joins); it composes unchanged on a
+    # streaming DataFrame — asserted by the batch/stream parity test.
+    return enrich_turns(stream, tool_catalog, role_catalog)
+
+
 def exactly_once_batch_sink(catalog, table: str, ledger_dir: str):
     """Idempotent ``foreachBatch`` writer into a :class:`Catalog` table
     — the pattern for streaming into a real table (Iceberg/JDBC/…)

@@ -543,3 +543,57 @@ def test_streaming_make_series_equals_batch(spark, stream_dirs):
     # the grid really is regular and default-filled
     any_series = next(iter(got.values()))[0]
     assert len(any_series) == 8
+
+
+def test_streaming_enrich_equals_batch(spark, tmp_path):
+    """Stream-static broadcast enrich parity: the same transcript rows
+    enriched as a stream (per-micro-batch static re-resolve, broadcast
+    probe, no state store) must equal the batch `enrich_turns` result
+    row-for-row, including unmatched-left nulls."""
+    from otel_arrow_spark.enrich import enrich_turns
+    from otel_arrow_spark.fixtures import gen_role_catalog, gen_tool_catalog
+    from otel_arrow_spark.streaming import (
+        read_transcript_stream,
+        streaming_enrich,
+    )
+
+    base = spark.range(120).select(
+        F.concat(F.lit("c"), (F.col("id") % 12)).alias("conv_id"),
+        (F.col("id") / 12).cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 3 == 0, "user").otherwise("assistant")
+        .alias("role"),
+        F.concat(F.lit("txt "), F.col("id")).alias("text"),
+        # every 5th row carries a tool id the catalog does NOT know —
+        # the left join must keep it with null enrich fields
+        F.when(F.col("id") % 5 == 0, F.lit("mystery_tool"))
+        .otherwise(F.lit("calculator")).alias("tool"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id"))).alias("ts"),
+    )
+    in_dir = str(tmp_path / "in")
+    base.coalesce(2).write.mode("overwrite").parquet(in_dir)
+    tools = spark.createDataFrame(gen_tool_catalog())
+    roles = spark.createDataFrame(gen_role_catalog())
+
+    enriched = streaming_enrich(
+        read_transcript_stream(spark, in_dir), tools, roles)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM enrich_stream")
+    exp = enrich_turns(
+        spark.read.parquet(in_dir), tools, roles)
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert sorted(got.columns) == sorted(exp.columns)
+    cols = sorted(got.columns)
+    assert key(got.select(*cols).collect()) == key(
+        exp.select(*cols).collect())
+    # the unknown tool rows survived with null enrich fields
+    assert got.filter(
+        (F.col("tool") == "mystery_tool")
+        & F.col("tool_kind").isNull()).count() == 24
