@@ -1937,6 +1937,25 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_row_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``row_window_session(ts, 0, 1h)`` — per-row session-start
+    timestamps over per-user serialized order (lag nested in a running
+    max: two Window ops, ONE Exchange+Sort); rolled up to per-bucket
+    session counts. Oracle = lag/cumsum sessionize CTEs."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | sort by ts asc, event_id asc | serialize by user_id"
+        " | extend s = row_window_session(ts, 0, 1h)"
+        " | summarize n_sessions = dcount(s), n = count() by user_id"
+        " | summarize users = count(), tot_sessions = sum(n_sessions),"
+        " tot = sum(n) by b = user_id % 5"
+        " | order by b asc",
+    )
+
+
 def q_kql_mv_expand_itemindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``mv-expand with_itemindex = ix`` — posexplode with the 0-based
     element index; NULL elements survive (only NULL/empty arrays drop
@@ -3406,6 +3425,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_session_count": q_kql_session_count,
         "kql_ipv4_scalars": q_kql_ipv4_scalars,
         "kql_mv_expand_itemindex": q_kql_mv_expand_itemindex,
+        "kql_row_window_session": q_kql_row_window_session,
         "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
@@ -4469,6 +4489,19 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_row_window_session": (
+            "WITH l AS (SELECT user_id, CASE WHEN epoch(ts) - "
+            "lag(epoch(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) > 3600.0 OR lag(epoch(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "p AS (SELECT user_id, CAST(SUM(brk) AS BIGINT) AS ns, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1) "
+            "SELECT user_id % 5 AS b, CAST(COUNT(*) AS BIGINT) "
+            "AS users, CAST(SUM(ns) AS BIGINT) AS tot_sessions, "
+            "CAST(SUM(n) AS BIGINT) AS tot "
+            "FROM p GROUP BY 1 ORDER BY b"
         ),
         "kql_mv_expand_itemindex": (
             "SELECT CAST(g AS INTEGER) AS ix, "

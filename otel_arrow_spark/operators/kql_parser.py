@@ -2217,7 +2217,8 @@ class ExprParser:
                 F.parse_url(u, F.lit("REF")).alias("Fragment"),
             ))), variant=True)
         if lname in ("row_number", "prev", "next", "row_cumsum",
-                     "row_rank_min", "row_rank_dense"):
+                     "row_rank_min", "row_rank_dense",
+                     "row_window_session"):
             # Serialized-window functions. Legal only on a serialized
             # row set (after `sort by`, optionally re-partitioned by
             # `serialize by k…`) — the same precondition KQL enforces.
@@ -2249,6 +2250,42 @@ class ExprParser:
                         "row_cumsum needs (x) (restart arg unsupported)"
                     )
                 return KE(F.sum(args[0].col).over(
+                    w.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)))
+            if lname == "row_window_session":
+                # row_window_session(ts, MaxDistanceFromFirst,
+                # MaxDistanceBetweenNeighbors) — the session-START
+                # timestamp per row. Gap-based subset: a new session
+                # starts when the gap to the previous row exceeds the
+                # neighbor bound; the from-first bound depends on the
+                # running session start (inherently sequential), so it
+                # must be passed as 0 (= unbounded) — use `scan` for
+                # from-first windows. Closed form: session start =
+                # the latest boundary row's ts at or before the
+                # current row — a lag nested in a running max, two
+                # Window ops sharing one Exchange + Sort.
+                if len(args) != 3:
+                    raise KqlError(
+                        "row_window_session needs (ts, "
+                        "maxDistanceFromFirst, "
+                        "maxDistanceBetweenNeighbors)")
+                if not (args[1].is_lit and args[1].lit in (0, "0")):
+                    raise KqlError(
+                        "row_window_session: MaxDistanceFromFirst is "
+                        "sequential state — pass 0 (unbounded) or use "
+                        "the scan operator")
+                if not isinstance(args[2].lit, str):
+                    raise KqlError(
+                        "row_window_session: "
+                        "MaxDistanceBetweenNeighbors must be a "
+                        "timespan literal")
+                idle_us = _timespan_secs(args[2].lit) * 1_000_000.0
+                ts = args[0].col
+                prev_ts = F.lag(ts).over(w)
+                boundary = prev_ts.isNull() | (
+                    F.timestamp_diff("MICROSECOND", prev_ts, ts)
+                    > F.lit(idle_us))
+                return KE(F.max(F.when(boundary, ts)).over(
                     w.rowsBetween(Window.unboundedPreceding,
                                   Window.currentRow)))
             # prev(x[, offset[, default]]) / next(…)

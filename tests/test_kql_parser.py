@@ -2035,6 +2035,28 @@ def test_externaldata(spark, tmp_path):
             "externaldata (k: long) ['/x'] with (format = 'xml')")
 
 
+def test_row_window_session(spark):
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:00:10"),
+         ("u", "2024-01-01 00:01:40"), ("u", "2024-01-01 00:01:45"),
+         ("v", "2024-01-01 00:00:05")],
+        "uid string, t string",
+    ).select("uid", F.col("t").cast("timestamp_ntz").alias("t"))
+    got = kql(
+        df,
+        "T | sort by t asc | serialize by uid"
+        " | extend s = row_window_session(t, 0, 30s)"
+        " | order by uid asc, t asc | project uid, s")
+    rows = [(r.uid, r.s.minute, r.s.second) for r in got.collect()]
+    assert rows == [
+        ("u", 0, 0), ("u", 0, 0), ("u", 1, 40), ("u", 1, 40),
+        ("v", 0, 5),
+    ]
+    with pytest.raises(KqlError):
+        kql(df, "T | sort by t asc | serialize by uid"
+                " | extend s = row_window_session(t, 1d, 30s)")
+
+
 def test_sort_nulls_and_mv_expand_itemindex(spark):
     df = spark.createDataFrame(
         [(1, 10), (2, None), (3, 5)], "k int, v int")
