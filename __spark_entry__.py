@@ -1937,6 +1937,30 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_suite6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_csv (quote-aware split), bag_zip (keys beyond values →
+    null), format_bytes (binary unit ladder, fixed-precision decimal
+    strings) — row-built CSV lines parsed back, byte sizes formatted
+    and min/max-compared as strings."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend line = strcat(event_type, ',\"v,',"
+        " tostring(user_id % 100), '\",', tostring(event_id % 9))"
+        " | extend c = parse_csv(line),"
+        " b = bag_zip(pack_array('t', 'u'), pack_array(event_type))"
+        " | project f0 = c[0], f1 = c[1], f2 = c[2],"
+        " bt = tostring(b.t), bu = tostring(b.u),"
+        " fb = format_bytes(value * 1000000, 2)"
+        " | summarize n = count(), d1 = dcount(f1), d2 = dcount(f2),"
+        " mnf = min(fb), mxf = max(fb), nu = countif(isnull(bu))"
+        " by f0, bt"
+        " | order by f0 asc",
+    )
+
+
 def q_kql_row_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``row_window_session(ts, 0, 1h)`` — per-row session-start
     timestamps over per-user serialized order (lag nested in a running
@@ -3426,6 +3450,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_ipv4_scalars": q_kql_ipv4_scalars,
         "kql_mv_expand_itemindex": q_kql_mv_expand_itemindex,
         "kql_row_window_session": q_kql_row_window_session,
+        "kql_scalar_suite6": q_kql_scalar_suite6,
         "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
@@ -4489,6 +4514,34 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_scalar_suite6": (
+            "WITH b AS (SELECT event_type AS t, user_id % 100 AS u, "
+            "event_id % 9 AS e, value * 1000000 AS vb FROM events), "
+            "f AS (SELECT t, 'v,' || u AS f1, CAST(e AS VARCHAR) "
+            "AS f2, CASE "
+            "WHEN abs(vb) >= power(1024, 5) THEN CAST(CAST(round("
+            "vb / power(1024, 5), 2) AS DECIMAL(38,2)) AS VARCHAR) "
+            "|| ' PB' "
+            "WHEN abs(vb) >= power(1024, 4) THEN CAST(CAST(round("
+            "vb / power(1024, 4), 2) AS DECIMAL(38,2)) AS VARCHAR) "
+            "|| ' TB' "
+            "WHEN abs(vb) >= power(1024, 3) THEN CAST(CAST(round("
+            "vb / power(1024, 3), 2) AS DECIMAL(38,2)) AS VARCHAR) "
+            "|| ' GB' "
+            "WHEN abs(vb) >= power(1024, 2) THEN CAST(CAST(round("
+            "vb / power(1024, 2), 2) AS DECIMAL(38,2)) AS VARCHAR) "
+            "|| ' MB' "
+            "WHEN abs(vb) >= 1024 THEN CAST(CAST(round(vb / 1024, 2) "
+            "AS DECIMAL(38,2)) AS VARCHAR) || ' KB' "
+            "ELSE CAST(CAST(round(vb, 2) AS DECIMAL(38,2)) "
+            "AS VARCHAR) || ' Bytes' END AS fb FROM b) "
+            "SELECT t AS f0, t AS bt, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(DISTINCT f1) AS BIGINT) AS d1, "
+            "CAST(COUNT(DISTINCT f2) AS BIGINT) AS d2, "
+            "MIN(fb) AS mnf, MAX(fb) AS mxf, "
+            "CAST(COUNT(*) AS BIGINT) AS nu "
+            "FROM f GROUP BY t ORDER BY f0"
         ),
         "kql_row_window_session": (
             "WITH l AS (SELECT user_id, CASE WHEN epoch(ts) - "

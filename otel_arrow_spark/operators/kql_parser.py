@@ -1905,6 +1905,61 @@ class ExprParser:
                     F.replace(args[0].col, args[1].col, F.lit(""))))
                 / F.length(args[1].col),
             ).cast("bigint"))
+        if lname == "parse_csv":
+            # parse_csv(line) → array of fields, RFC-4180 quote-aware:
+            # split on commas OUTSIDE double quotes (Java-regex
+            # lookahead — even quote count to line end), then strip
+            # surrounding quotes and unescape "" per field. Single-line
+            # records (Kusto's scalar behaves the same).
+            if len(args) != 1:
+                raise KqlError("parse_csv needs (line)")
+            parts = F.split(
+                args[0].col, r',(?=(?:[^"]*"[^"]*")*[^"]*$)')
+            return KE(F.transform(
+                parts,
+                lambda f: F.when(
+                    f.rlike('^".*"$'),
+                    F.replace(
+                        F.substring(f, F.lit(2), F.length(f) - 2),
+                        F.lit('""'), F.lit('"')),
+                ).otherwise(f)))
+        if lname == "bag_zip":
+            # bag_zip(keys, values) → dynamic bag; keys beyond the
+            # value array get null values, surplus values are ignored
+            # (Kusto's rule)
+            if len(args) != 2:
+                raise KqlError("bag_zip needs (keys, values)")
+            keys = args[0].col
+            vals = args[1].col
+            padded = F.transform(
+                F.sequence(F.lit(1), F.size(keys)),
+                lambda i: F.try_element_at(vals, i.cast("int")))
+            m = F.map_from_arrays(
+                F.transform(keys, lambda k: k.cast("string")), padded)
+            return KE(F.parse_json(F.to_json(m)), variant=True)
+        if lname == "format_bytes":
+            # format_bytes(size[, precision]) — auto unit ladder
+            # (binary 1024 steps, Kusto's units), fixed-precision round
+            if not args or len(args) > 2:
+                raise KqlError("format_bytes needs (size[, precision])")
+            size = args[0].col.cast("double")
+            prec = _lit_int(args[1]) if len(args) > 1 else 0
+            steps = [("PB", 1024.0 ** 5), ("TB", 1024.0 ** 4),
+                     ("GB", 1024.0 ** 3), ("MB", 1024.0 ** 2),
+                     ("KB", 1024.0)]
+            def _fmt(v: Column) -> Column:
+                # fixed-precision decimal string (no locale separators)
+                return F.round(v, prec).cast(
+                    f"decimal(38,{prec})").cast("string")
+
+            expr = F.concat(_fmt(size), F.lit(" Bytes"))
+            for unit, div in reversed(steps):
+                expr = F.when(
+                    F.abs(size) >= div,
+                    F.concat(_fmt(size / F.lit(div)),
+                             F.lit(f" {unit}")),
+                ).otherwise(expr)
+            return KE(expr)
         if lname == "parse_path":
             # parse_path(path) → dynamic bag of path components
             # (Kusto shape; both / and \ separators). ADS names are

@@ -2035,6 +2035,24 @@ def test_externaldata(spark, tmp_path):
             "externaldata (k: long) ['/x'] with (format = 'xml')")
 
 
+def test_parse_csv_bag_zip_format_bytes(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        " c = parse_csv('a,\"x,y\",3,\"he said \"\"hi\"\"\"'),"
+        " z = tostring(bag_zip(pack_array('k1', 'k2', 'k3'),"
+        " pack_array(10, 25))),"
+        " f1 = format_bytes(1024), f2 = format_bytes(1536, 1),"
+        " f3 = format_bytes(512), f4 = format_bytes(2147483648, 2)",
+    ).collect()[0]
+    assert r.c == ["a", "x,y", "3", 'he said "hi"']
+    import json
+    assert json.loads(r.z) == {"k1": 10, "k2": 25, "k3": None}
+    assert r.f1 == "1 KB" and r.f2 == "1.5 KB"
+    assert r.f3 == "512 Bytes" and r.f4 == "2.00 GB"
+
+
 def test_row_window_session(spark):
     df = spark.createDataFrame(
         [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:00:10"),
