@@ -4234,16 +4234,26 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             # table name (or `unionN` for literal/subquery sources).
             m2 = re.match(
                 r"^(?:withsource\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s+)?"
-                r"(?:kind\s*=\s*(inner|outer)\s+)?(.+)$",
+                r"(?:kind\s*=\s*(inner|outer)\s+)?"
+                r"(?:isfuzzy\s*=\s*(true|false)\s+)?(.+)$",
                 rest, re.S,
             )
             if not m2:
                 raise KqlError("union needs at least one source table")
             srccol, ukind = m2.group(1), m2.group(2) or "outer"
+            fuzzy = m2.group(3) == "true"
             if srccol:
                 df = df.withColumn(srccol, F.lit("T"))
-            for i, item in enumerate(_split_commas(m2.group(3))):
-                other = _parse_source(item, tables, bindings)
+            for i, item in enumerate(_split_commas(m2.group(4))):
+                try:
+                    other = _parse_source(item, tables, bindings)
+                except KqlError:
+                    if fuzzy:
+                        # `isfuzzy=true`: unresolvable operands are
+                        # skipped, not errors (Kusto's rule — the union
+                        # of the sources that DO resolve)
+                        continue
+                    raise
                 if srccol:
                     mname = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*$",
                                      item)

@@ -2035,6 +2035,18 @@ def test_externaldata(spark, tmp_path):
             "externaldata (k: long) ['/x'] with (format = 'xml')")
 
 
+def test_union_isfuzzy(spark):
+    df = spark.createDataFrame([(1,)], "k int")
+    t2 = spark.createDataFrame([(2,)], "k int")
+    got = kql(
+        df,
+        "T | union isfuzzy = true t2, no_such_table | order by k asc",
+        tables={"t2": t2})
+    assert [r.k for r in got.collect()] == [1, 2]
+    with pytest.raises(KqlError):
+        kql(df, "T | union t2, no_such_table", tables={"t2": t2})
+
+
 def test_parse_csv_bag_zip_format_bytes(spark):
     df = spark.createDataFrame([(1,)], "id int")
     r = kql(
