@@ -1937,6 +1937,29 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_pack_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_all() whole-row bag + startof/endofquarter/endofyear —
+    values extracted back out of the bag must round-trip exactly
+    (January data: quarter start month 1, quarter end Mar 31, leap
+    year end day-of-year 366)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend q = getmonth(startofquarter(ts)),"
+        " eq = dayofmonth(endofquarter(ts)),"
+        " ey = datetime_part('dayofyear', endofyear(ts))"
+        " | project event_type, value, q, eq, ey"
+        " | extend b = pack_all()"
+        " | project et = tostring(b.event_type), v = todouble(b.value),"
+        " q2 = tolong(b.q), eq, ey"
+        " | summarize n = count(), sv = round(sum(v), 4), sq = sum(q2),"
+        " seq = sum(eq), sey = sum(ey) by et"
+        " | order by et asc",
+    )
+
+
 def q_kql_scalar_suite6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_csv (quote-aware split), bag_zip (keys beyond values →
     null), format_bytes (binary unit ladder, fixed-precision decimal
@@ -3451,6 +3474,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_mv_expand_itemindex": q_kql_mv_expand_itemindex,
         "kql_row_window_session": q_kql_row_window_session,
         "kql_scalar_suite6": q_kql_scalar_suite6,
+        "kql_pack_all": q_kql_pack_all,
         "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
@@ -4514,6 +4538,16 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_pack_all": (
+            # every ts is Jan 2024: quarter start month 1, quarter end
+            # Mar 31, leap-year end day-of-year 366
+            "SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n, "
+            "round(SUM(value), 4) AS sv, "
+            "CAST(COUNT(*) * 1 AS BIGINT) AS sq, "
+            "CAST(COUNT(*) * 31 AS BIGINT) AS seq, "
+            "CAST(COUNT(*) * 366 AS BIGINT) AS sey "
+            "FROM events GROUP BY event_type ORDER BY et"
         ),
         "kql_scalar_suite6": (
             "WITH b AS (SELECT event_type AS t, user_id % 100 AS u, "

@@ -1006,6 +1006,17 @@ _FUNC_MAP_SIMPLE = {
         F.timestamp_add("MONTH", F.lit(1), F.date_trunc("month", a[0])),
     ),
     "monthofyear": lambda a: F.month(a[0]).cast("bigint"),
+    "startofyear": lambda a: F.date_trunc("year", a[0]),
+    "endofyear": lambda a: F.timestamp_add(
+        "MICROSECOND", F.lit(-1),
+        F.timestamp_add("YEAR", F.lit(1), F.date_trunc("year", a[0])),
+    ),
+    "startofquarter": lambda a: F.date_trunc("quarter", a[0]),
+    "endofquarter": lambda a: F.timestamp_add(
+        "MICROSECOND", F.lit(-1),
+        F.timestamp_add(
+            "QUARTER", F.lit(1), F.date_trunc("quarter", a[0])),
+    ),
     "week_of_year": lambda a: F.weekofyear(a[0]).cast("bigint"),
     "make_datetime": lambda a: F.make_timestamp_ntz(
         a[0].cast("int"), a[1].cast("int"), a[2].cast("int"),
@@ -1395,6 +1406,15 @@ def _timespan_secs(src: str) -> float:
     return float(m.group(1)) * {
         "d": 86400, "h": 3600, "m": 60, "s": 1, "ms": 0.001
     }[m.group(2)]
+
+
+def _pack_all_col(df: DataFrame) -> Column:
+    """``pack_all()`` — a dynamic bag of every current column (Kusto).
+    Needs the stage's column list, so it is substituted at the
+    extend/project layer rather than living in the expression parser
+    (which sees only expressions, not the relation)."""
+    return F.parse_json(F.to_json(F.struct(
+        *[F.col(c).alias(c) for c in df.columns])))
 
 
 def _plugin_epoch(src: str) -> float:
@@ -3746,12 +3766,14 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             for name, expr in _parse_assignments(rest):
                 if name is None:
                     raise KqlError("extend needs name = expr")
-                cols[name] = pe(expr)
+                cols[name] = _pack_all_col(df) if re.fullmatch(
+                    r"pack_all\s*\(\s*\)", expr.strip()) else pe(expr)
             df = df.withColumns(cols)
         elif op == "project":
             sel = []
             for name, expr in _parse_assignments(rest):
-                c = pe(expr)
+                c = _pack_all_col(df) if re.fullmatch(
+                    r"pack_all\s*\(\s*\)", expr.strip()) else pe(expr)
                 sel.append(c.alias(name) if name else c)
             df = df.select(*sel)
         elif op == "project-keep":

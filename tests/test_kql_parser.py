@@ -2035,6 +2035,30 @@ def test_externaldata(spark, tmp_path):
             "externaldata (k: long) ['/x'] with (format = 'xml')")
 
 
+def test_pack_all_and_quarter_bounds(spark):
+    import json
+
+    df = spark.createDataFrame([(1, "x")], "k int, s string")
+    r = kql(
+        df,
+        "T | extend b = pack_all()"
+        " | project j = tostring(b), kk = tolong(b.k)",
+    ).collect()[0]
+    assert json.loads(r.j) == {"k": 1, "s": "x"}
+    assert r.kk == 1
+    r2 = kql(
+        df,
+        "T | project q = startofquarter(datetime(2024-05-15)),"
+        " eq = endofquarter(datetime(2024-05-15)),"
+        " y = startofyear(datetime(2024-05-15)),"
+        " ey = endofyear(datetime(2024-05-15))",
+    ).collect()[0]
+    assert str(r2.q) == "2024-04-01 00:00:00"
+    assert str(r2.eq) == "2024-06-30 23:59:59.999999"
+    assert str(r2.y) == "2024-01-01 00:00:00"
+    assert str(r2.ey) == "2024-12-31 23:59:59.999999"
+
+
 def test_union_isfuzzy(spark):
     df = spark.createDataFrame([(1,)], "k int")
     t2 = spark.createDataFrame([(2,)], "k int")
