@@ -1937,6 +1937,24 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_arg_max_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``summarize arg_max(ts, *) by bucket`` — latest whole row per
+    bucket as ONE max_by(struct) aggregate (map-side combinable; no
+    window, no self-join). Oracle: row_number QUALIFY twin with the
+    same (ts, event_id) tie order."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend b = user_id % 50"
+        " | summarize arg_max(ts, *) by b"
+        " | project b, event_id, user_id, event_type,"
+        " v = round(value, 4)"
+        " | order by b asc",
+    )
+
+
 def q_kql_pack_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pack_all() whole-row bag + startof/endofquarter/endofyear —
     values extracted back out of the bag must round-trip exactly
@@ -3475,6 +3493,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_row_window_session": q_kql_row_window_session,
         "kql_scalar_suite6": q_kql_scalar_suite6,
         "kql_pack_all": q_kql_pack_all,
+        "kql_arg_max_star": q_kql_arg_max_star,
         "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
@@ -4538,6 +4557,13 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_arg_max_star": (
+            "SELECT user_id % 50 AS b, event_id, user_id, event_type, "
+            "round(value, 4) AS v FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id % 50 "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1 ORDER BY b"
         ),
         "kql_pack_all": (
             # every ts is Jan 2024: quarter start month 1, quarter end

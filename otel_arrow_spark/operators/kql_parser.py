@@ -3809,17 +3809,57 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 for n, e in by_items
             ]
             aggs = {}
+            star_rows: list[tuple[str, str]] = []  # (kind, rank expr)
             for i, (name, expr) in enumerate(_parse_assignments(agg_part)):
+                mstar = re.fullmatch(
+                    r"arg_(max|min)\s*\((.+?),\s*\*\s*\)", expr.strip(),
+                    re.S)
+                if mstar:
+                    # `arg_max(rank, *)` — the whole winning ROW: one
+                    # max_by/min_by over a struct of every input column
+                    # (single map-side-combinable aggregate, no
+                    # window/self-join), exploded back to columns after
+                    # the groupBy. Ties break on the full row struct
+                    # (deterministic; Kusto's pick is arbitrary).
+                    if name is not None:
+                        raise KqlError(
+                            f"arg_{mstar.group(1)}(expr, *) cannot be "
+                            "renamed — it expands to every column")
+                    star_rows.append((mstar.group(1), mstar.group(2)))
+                    continue
                 c = pe(expr)
                 aggs[name or f"agg_{i}"] = c
-            if not aggs:
-                raise KqlError(
-                    "summarize needs at least one aggregate "
-                    "(e.g. `summarize n = count() by k`)"
+            if star_rows:
+                if len(star_rows) > 1:
+                    raise KqlError(
+                        "only one arg_max/arg_min(expr, *) per "
+                        "summarize")
+                kind, rank_src = star_rows[0]
+                key_names = {
+                    (n or e.strip()) for n, e in by_items
+                }
+                row_cols = [c for c in df.columns if c not in key_names]
+                rowstruct = F.struct(*[F.col(c) for c in row_cols])
+                fn = F.max_by if kind == "max" else F.min_by
+                # rank first, full row as tie-break → deterministic
+                picked = fn(
+                    rowstruct, F.struct(pe(rank_src), rowstruct)
+                ).alias("_row")
+                df = df.groupBy(*keys).agg(
+                    picked,
+                    *[v.alias(k) for k, v in aggs.items()])
+                df = df.select(
+                    *[c for c in df.columns if c != "_row"],
+                    *[F.col(f"_row.{c}").alias(c) for c in row_cols])
+            else:
+                if not aggs:
+                    raise KqlError(
+                        "summarize needs at least one aggregate "
+                        "(e.g. `summarize n = count() by k`)"
+                    )
+                df = df.groupBy(*keys).agg(
+                    *[v.alias(k) for k, v in aggs.items()]
                 )
-            df = df.groupBy(*keys).agg(
-                *[v.alias(k) for k, v in aggs.items()]
-            )
         elif op in ("order", "sort"):
             rest = re.sub(r"^by\s+", "", rest)
             cols = []

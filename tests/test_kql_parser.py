@@ -2035,6 +2035,23 @@ def test_externaldata(spark, tmp_path):
             "externaldata (k: long) ['/x'] with (format = 'xml')")
 
 
+def test_arg_max_star(spark):
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (2, 3, "c"), (2, 3, "d")],
+        "k int, v int, s string")
+    got = kql(df, "T | summarize arg_max(v, *) by k | order by k asc")
+    assert sorted(got.columns) == ["k", "s", "v"]
+    rows = [(r.k, r.v, r.s) for r in got.collect()]
+    # k=2 ties on v=3 → full-row struct tie-break picks the max row 'd'
+    assert rows == [(1, 9, "b"), (2, 3, "d")]
+    got2 = kql(
+        df,
+        "T | summarize arg_min(v, *), n = count() by k"
+        " | order by k asc")
+    assert [(r.k, r.v, r.s, r.n) for r in got2.collect()] == [
+        (1, 5, "a", 2), (2, 3, "c", 2)]
+
+
 def test_pack_all_and_quarter_bounds(spark):
     import json
 
