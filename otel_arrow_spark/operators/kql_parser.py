@@ -3809,36 +3809,51 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 for n, e in by_items
             ]
             aggs = {}
-            star_rows: list[tuple[str, str]] = []  # (kind, rank expr)
+            # (kind, rank expr, cols-or-None-for-*)
+            star_rows: list[tuple[str, str, list[str] | None]] = []
             for i, (name, expr) in enumerate(_parse_assignments(agg_part)):
                 mstar = re.fullmatch(
-                    r"arg_(max|min)\s*\((.+?),\s*\*\s*\)", expr.strip(),
+                    r"arg_(max|min)\s*\((.+?),\s*(\*|[A-Za-z_]\w*"
+                    r"(?:\s*,\s*[A-Za-z_]\w*)+)\s*\)", expr.strip(),
                     re.S)
-                if mstar:
-                    # `arg_max(rank, *)` — the whole winning ROW: one
-                    # max_by/min_by over a struct of every input column
-                    # (single map-side-combinable aggregate, no
-                    # window/self-join), exploded back to columns after
-                    # the groupBy. Ties break on the full row struct
-                    # (deterministic; Kusto's pick is arbitrary).
+                if mstar and (
+                    mstar.group(3) == "*"
+                    or all(c.strip() in df.columns
+                           for c in mstar.group(3).split(","))
+                ):
+                    # `arg_max(rank, *)` / `arg_max(rank, c1, c2, …)` —
+                    # the winning ROW's columns: one max_by/min_by over
+                    # a struct (single map-side-combinable aggregate,
+                    # no window/self-join), exploded back to columns
+                    # after the groupBy. Ties break on the full row
+                    # struct (deterministic; Kusto's pick is
+                    # arbitrary). The 2-arg single-expression form
+                    # stays in the plain aggregate map.
                     if name is not None:
                         raise KqlError(
-                            f"arg_{mstar.group(1)}(expr, *) cannot be "
-                            "renamed — it expands to every column")
-                    star_rows.append((mstar.group(1), mstar.group(2)))
+                            f"arg_{mstar.group(1)}(expr, cols…) cannot "
+                            "be renamed — it expands to the columns")
+                    wanted = (
+                        None if mstar.group(3) == "*"
+                        else [c.strip()
+                              for c in mstar.group(3).split(",")])
+                    star_rows.append(
+                        (mstar.group(1), mstar.group(2), wanted))
                     continue
                 c = pe(expr)
                 aggs[name or f"agg_{i}"] = c
             if star_rows:
                 if len(star_rows) > 1:
                     raise KqlError(
-                        "only one arg_max/arg_min(expr, *) per "
+                        "only one arg_max/arg_min(expr, cols…) per "
                         "summarize")
-                kind, rank_src = star_rows[0]
+                kind, rank_src, wanted = star_rows[0]
                 key_names = {
                     (n or e.strip()) for n, e in by_items
                 }
-                row_cols = [c for c in df.columns if c not in key_names]
+                row_cols = (
+                    wanted if wanted is not None
+                    else [c for c in df.columns if c not in key_names])
                 rowstruct = F.struct(*[F.col(c) for c in row_cols])
                 fn = F.max_by if kind == "max" else F.min_by
                 # rank first, full row as tie-break → deterministic

@@ -2050,6 +2050,12 @@ def test_arg_max_star(spark):
         " | order by k asc")
     assert [(r.k, r.v, r.s, r.n) for r in got2.collect()] == [
         (1, 5, "a", 2), (2, 3, "c", 2)]
+    # explicit column-list form
+    got3 = kql(df, "T | summarize arg_min(v, s, v) by k"
+                   " | order by k asc")
+    assert sorted(got3.columns) == ["k", "s", "v"]
+    assert [(r.k, r.s, r.v) for r in got3.collect()] == [
+        (1, "a", 5), (2, "c", 3)]
 
 
 def test_pack_all_and_quarter_bounds(spark):
