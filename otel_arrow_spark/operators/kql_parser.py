@@ -3840,6 +3840,17 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     star_rows.append(
                         (mstar.group(1), mstar.group(2), wanted))
                     continue
+                if re.fullmatch(r"take_any\s*\(\s*\*\s*\)",
+                                expr.strip()):
+                    # `take_any(*)` — any whole row per group; made
+                    # deterministic (min over the row struct) so the
+                    # result is engine- and partitioning-independent
+                    if name is not None:
+                        raise KqlError(
+                            "take_any(*) cannot be renamed — it "
+                            "expands to every column")
+                    star_rows.append(("min", None, None))
+                    continue
                 c = pe(expr)
                 aggs[name or f"agg_{i}"] = c
             if star_rows:
@@ -3856,10 +3867,13 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     else [c for c in df.columns if c not in key_names])
                 rowstruct = F.struct(*[F.col(c) for c in row_cols])
                 fn = F.max_by if kind == "max" else F.min_by
-                # rank first, full row as tie-break → deterministic
-                picked = fn(
-                    rowstruct, F.struct(pe(rank_src), rowstruct)
-                ).alias("_row")
+                if rank_src is None:  # take_any(*): min row struct
+                    picked = F.min(rowstruct).alias("_row")
+                else:
+                    # rank first, full row tie-break → deterministic
+                    picked = fn(
+                        rowstruct, F.struct(pe(rank_src), rowstruct)
+                    ).alias("_row")
                 df = df.groupBy(*keys).agg(
                     picked,
                     *[v.alias(k) for k, v in aggs.items()])

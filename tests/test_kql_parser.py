@@ -2056,6 +2056,10 @@ def test_arg_max_star(spark):
     assert sorted(got3.columns) == ["k", "s", "v"]
     assert [(r.k, r.s, r.v) for r in got3.collect()] == [
         (1, "a", 5), (2, "c", 3)]
+    # take_any(*): deterministic min-row pick
+    got4 = kql(df, "T | summarize take_any(*) by k | order by k asc")
+    assert [(r.k, r.v, r.s) for r in got4.collect()] == [
+        (1, 5, "a"), (2, 3, "c")]
 
 
 def test_pack_all_and_quarter_bounds(spark):
