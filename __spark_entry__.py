@@ -1937,6 +1937,24 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_set_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jaccard_index / set_has_element over modular-arithmetic sets;
+    oracle uses DuckDB list_intersect/list_distinct twins."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend a = pack_array(user_id % 5, user_id % 7,"
+        " user_id % 11), b2 = pack_array(user_id % 7, user_id % 13)"
+        " | project j = round(jaccard_index(a, b2), 6),"
+        " h = set_has_element(a, user_id % 13), k = user_id % 3"
+        " | summarize n = count(), sj = round(sum(j), 4),"
+        " nh = countif(h) by k"
+        " | order by k asc",
+    )
+
+
 def q_kql_arg_max_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``summarize arg_max(ts, *) by bucket`` — latest whole row per
     bucket as ONE max_by(struct) aggregate (map-side combinable; no
@@ -3494,6 +3512,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite6": q_kql_scalar_suite6,
         "kql_pack_all": q_kql_pack_all,
         "kql_arg_max_star": q_kql_arg_max_star,
+        "kql_set_functions": q_kql_set_functions,
         "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
@@ -4557,6 +4576,19 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_set_functions": (
+            "WITH b AS (SELECT user_id % 3 AS k, "
+            "list_distinct([user_id % 5, user_id % 7, user_id % 11]) "
+            "AS la, list_distinct([user_id % 7, user_id % 13]) AS lb, "
+            "user_id % 13 AS probe FROM events), "
+            "p AS (SELECT k, round(CAST(len(list_intersect(la, lb)) "
+            "AS DOUBLE) / len(list_distinct(la || lb)), 6) AS j, "
+            "list_contains(la, probe) AS h FROM b) "
+            "SELECT k, CAST(COUNT(*) AS BIGINT) AS n, "
+            "round(SUM(j), 4) AS sj, "
+            "CAST(SUM(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS nh "
+            "FROM p GROUP BY k ORDER BY k"
         ),
         "kql_arg_max_star": (
             "SELECT user_id % 50 AS b, event_id, user_id, event_type, "

@@ -503,6 +503,42 @@ def _series_iir(arr: Column, b: Column, a_: Column) -> Column:
     ).otherwise(F.array().cast("array<double>"))
 
 
+def _series_fit_dynamic(arr: Column) -> Column:
+    """``series_fit_line_dynamic`` — the fit as a dynamic bag
+    {rsquare, slope, variance, rvariance, interception, line_fit}.
+    Slope/intercept come from the closed-form :func:`_series_fit`;
+    the fitted series and residual sums ride zip_with folds with the
+    parameters MATERIALIZED once per row via array_repeat (expressions
+    captured in HOF lambdas re-evaluate per element — measured, see
+    series_outliers)."""
+    n = F.size(arr)
+    nd = n.cast("double")
+    slope, intercept = _series_fit(arr)
+    mean = _series_sum(arr) / nd
+    params = F.array_repeat(
+        F.struct(slope.alias("s"), intercept.alias("b"),
+                 mean.alias("m")), n)
+    idx = F.sequence(F.lit(0), F.greatest(n, F.lit(1)) - 1)
+    line = F.zip_with(
+        params, idx, lambda p, i: p["s"] * i + p["b"])
+    tss = _series_sum(F.zip_with(
+        arr, params,
+        lambda y, p: (y.cast("double") - p["m"])
+        * (y.cast("double") - p["m"])))
+    rss = _series_sum(F.zip_with(
+        arr, line,
+        lambda y, f: (y.cast("double") - f)
+        * (y.cast("double") - f)))
+    return F.parse_json(F.to_json(F.struct(
+        F.when(tss > 0, 1 - rss / tss).alias("rsquare"),
+        slope.alias("slope"),
+        (tss / nd).alias("variance"),
+        (rss / nd).alias("rvariance"),
+        intercept.alias("interception"),
+        line.alias("line_fit"),
+    )))
+
+
 def _series_fit_2lines(arr: Column) -> Column:
     """Two-segment least-squares fit (Kusto ``series_fit_2lines``,
     reduced output): picks the split s ∈ [2, n−2] minimizing total RSS
@@ -1055,6 +1091,15 @@ _FUNC_MAP_SIMPLE = {
         a[0], a[1], lambda x, y: x.cast("double") / y.cast("double")),
     "series_abs": lambda a: F.transform(a[0], F.abs),
     "series_fit_line": lambda a: F.array(*_series_fit(a[0])),
+    "series_fit_line_dynamic": lambda a: _series_fit_dynamic(a[0]),
+    # set predicates over dynamic arrays (arrays as sets — Spark's
+    # array_intersect/union already dedupe)
+    "set_has_element": lambda a: F.array_contains(a[0], a[1]),
+    "jaccard_index": lambda a: F.when(
+        F.size(F.array_union(a[0], a[1])) > 0,
+        F.size(F.array_intersect(a[0], a[1])).cast("double")
+        / F.size(F.array_union(a[0], a[1])),
+    ),
     "series_outliers": lambda a: _series_outliers(a[0]),
     "series_pearson_correlation": lambda a: _series_pearson(a[0], a[1]),
     # null-gap fill with a constant (the make-series `default=` rule as

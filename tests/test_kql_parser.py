@@ -2035,6 +2035,30 @@ def test_externaldata(spark, tmp_path):
             "externaldata (k: long) ['/x'] with (format = 'xml')")
 
 
+def test_set_fns_and_fit_dynamic(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project"
+        " j = jaccard_index(pack_array(1, 2, 3), pack_array(2, 3, 4)),"
+        " j0 = jaccard_index(pack_array(1), pack_array(2)),"
+        " h = set_has_element(pack_array('a', 'b'), 'b'),"
+        " h0 = set_has_element(pack_array('a', 'b'), 'z')",
+    ).collect()[0]
+    assert abs(r.j - 0.5) < 1e-12 and r.j0 == 0.0
+    assert r.h is True and r.h0 is False
+    r2 = kql(
+        df,
+        "T | extend d = series_fit_line_dynamic(pack_array(0, 2, 4, 6))"
+        " | project s = todouble(d.slope),"
+        " b = todouble(d.interception), r2 = todouble(d.rsquare),"
+        " rv = todouble(d.rvariance), l3 = todouble(d.line_fit[3])",
+    ).collect()[0]
+    assert abs(r2.s - 2.0) < 1e-9 and abs(r2.b) < 1e-9
+    assert abs(r2.r2 - 1.0) < 1e-9 and r2.rv < 1e-12
+    assert abs(r2.l3 - 6.0) < 1e-9
+
+
 def test_arg_max_star(spark):
     df = spark.createDataFrame(
         [(1, 5, "a"), (1, 9, "b"), (2, 3, "c"), (2, 3, "d")],
