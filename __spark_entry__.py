@@ -1937,6 +1937,22 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_percentilesw_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentilesw_array — exact weighted multi-percentiles (sorted
+    fold per entry), element-probed; oracle = cumulative-weight window
+    + MIN(v) crossing per percentile."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | summarize p = percentilesw_array(value,"
+        " 1.0 + user_id % 3, 25, 50, 75) by event_type"
+        " | project event_type, p0 = p[0], p1 = p[1], p2 = p[2]"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_set_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jaccard_index / set_has_element over modular-arithmetic sets;
     oracle uses DuckDB list_intersect/list_distinct twins."""
@@ -3513,6 +3529,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_pack_all": q_kql_pack_all,
         "kql_arg_max_star": q_kql_arg_max_star,
         "kql_set_functions": q_kql_set_functions,
+        "kql_percentilesw_array": q_kql_percentilesw_array,
         "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
@@ -4576,6 +4593,22 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_percentilesw_array": (
+            "WITH b AS (SELECT event_type AS et, value AS v, "
+            "1.0 + user_id % 3 AS w FROM events "
+            "WHERE value IS NOT NULL), "
+            "c AS (SELECT et, v, SUM(w) OVER (PARTITION BY et "
+            "ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum, "
+            "SUM(w) OVER (PARTITION BY et) AS tot FROM b), "
+            "sel AS (SELECT et, q.p, MIN(v) AS pv FROM c "
+            "CROSS JOIN (VALUES (25), (50), (75)) q(p) "
+            "WHERE cum >= tot * q.p / 100.0 GROUP BY et, q.p) "
+            "SELECT et AS event_type, "
+            "MAX(CASE WHEN p = 25 THEN pv END) AS p0, "
+            "MAX(CASE WHEN p = 50 THEN pv END) AS p1, "
+            "MAX(CASE WHEN p = 75 THEN pv END) AS p2 "
+            "FROM sel GROUP BY et ORDER BY event_type"
         ),
         "kql_set_functions": (
             "WITH b AS (SELECT user_id % 3 AS k, "

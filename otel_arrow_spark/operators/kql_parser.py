@@ -2154,6 +2154,18 @@ class ExprParser:
                                           _lit_int(args[1]) / 100.0))
         if lname == "percentiles_array":
             return _percentiles_array(args)
+        if lname == "percentilesw_array":
+            # percentilesw_array(x, weight, p1, p2, …) — array of exact
+            # weighted percentiles; each entry is one _percentilew fold
+            # (k collect buffers for k percentiles — k is a query
+            # literal, same bounded-group contract as percentilew)
+            if len(args) < 3:
+                raise KqlError(
+                    "percentilesw_array needs (x, w, p1[, p2…])")
+            return KE(F.array(*[
+                _percentilew(args[0].col, args[1].col, a.col)
+                for a in args[2:]
+            ]))
         if lname == "format_datetime":
             # Kusto format tokens (yyyy MM dd HH mm ss …) are the Java
             # DateTimeFormatter tokens Spark's date_format consumes

@@ -2035,6 +2035,17 @@ def test_externaldata(spark, tmp_path):
             "externaldata (k: long) ['/x'] with (format = 'xml')")
 
 
+def test_percentilesw_array(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 8.0)], "v double, w double")
+    got = kql(
+        df,
+        "T | summarize p = percentilesw_array(v, w, 10, 50, 90)",
+    ).collect()[0]
+    # total weight 10: cum thresholds 1, 5, 9 → v = 1, 3, 3
+    assert got.p == [1.0, 3.0, 3.0]
+
+
 def test_set_fns_and_fit_dynamic(spark):
     df = spark.createDataFrame([(1,)], "id int")
     r = kql(
