@@ -1937,6 +1937,25 @@ def q_kql_array_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_bag_has_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bag_has_key + indexof(s, sub, start) — key membership on built
+    bags; offset search finds the second occurrence in a doubled
+    string (= strlen of the needle)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend b = bag_pack('t', event_type, 'u', user_id),"
+        " s2 = strcat(event_type, event_type)"
+        " | project et = event_type, h = bag_has_key(b, 'u'),"
+        " hz = bag_has_key(b, 'z'), ix = indexof(s2, event_type, 1)"
+        " | summarize n = count(), nh = countif(h), nhz = countif(hz),"
+        " six = sum(ix) by et"
+        " | order by et asc",
+    )
+
+
 def q_kql_percentilesw_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentilesw_array — exact weighted multi-percentiles (sorted
     fold per entry), element-probed; oracle = cumulative-weight window
@@ -3530,6 +3549,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_arg_max_star": q_kql_arg_max_star,
         "kql_set_functions": q_kql_set_functions,
         "kql_percentilesw_array": q_kql_percentilesw_array,
+        "kql_bag_has_key": q_kql_bag_has_key,
         "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
@@ -4593,6 +4613,13 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_bag_has_key": (
+            "SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(*) AS BIGINT) AS nh, "
+            "CAST(0 AS BIGINT) AS nhz, "
+            "CAST(SUM(length(event_type)) AS BIGINT) AS six "
+            "FROM events GROUP BY event_type ORDER BY et"
         ),
         "kql_percentilesw_array": (
             "WITH b AS (SELECT event_type AS et, value AS v, "

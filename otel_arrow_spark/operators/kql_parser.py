@@ -2250,6 +2250,27 @@ class ExprParser:
             if args[0].variant:
                 src = F.to_json(src)
             return KE(F.json_object_keys(src))
+        if lname == "bag_has_key":
+            # bag_has_key(bag, key) — top-level key membership
+            if len(args) != 2:
+                raise KqlError("bag_has_key needs (bag, key)")
+            src = args[0].col
+            if args[0].variant:
+                src = F.to_json(src)
+            return KE(F.coalesce(
+                F.array_contains(
+                    F.json_object_keys(src),
+                    args[1].col.cast("string")),
+                F.lit(False)))
+        if lname == "indexof" and len(args) == 3:
+            # indexof(s, sub, start) — search from a 0-based offset
+            # (the 2-arg form stays in the scalar map)
+            s, sub, start = args[0].col, args[1].col, args[2].col
+            off = F.greatest(start.cast("int"), F.lit(0))
+            hit = F.position(sub, F.substring(s, off + 1, F.length(s)))
+            return KE(F.when(
+                hit > 0, (hit + off - 1).cast("bigint")
+            ).otherwise(F.lit(-1).cast("bigint")))
         if lname in ("bag_merge", "bag_set_key", "bag_remove_keys"):
             # Property-bag surgery. Bags travel as VARIANT; surgery
             # happens on a map<string, variant> twin (from_json ↔

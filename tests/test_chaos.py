@@ -261,6 +261,35 @@ STAGE_FRAGMENTS = st.sampled_from([
     "extend z = toscalar(T)", "project-reorder",
     "where v !!~ 3", "extend y = unknown_fn(v)", "extend y = v +",
     "extend y = prev(v)", "extend y = row_number()",
+    # round-4 session-4 stages and scalars
+    "evaluate rows_near", "evaluate rows_near(v > 1)",
+    "evaluate rows_near(v > 1, x)",
+    "evaluate sliding_window_counts(k, v, 1h, 2h)",
+    "evaluate sliding_window_counts(k, nope,"
+    " datetime(2024-01-01), datetime(2024-01-02), 1h, 2h)",
+    "evaluate activity_counts_metrics(k)",
+    "evaluate new_activity_metrics(k, v)",
+    "evaluate rolling_percentile(v)",
+    "evaluate rolling_percentile(v, 50, k, 0, 2)",
+    "evaluate session_count(k, v, 1h, 1h)",
+    "evaluate funnel_sequence(k, v, 1h)",
+    "evaluate dcount_intersect()", "evaluate dcount_intersect(nope)",
+    "graph-mark-components",
+    "make-graph k --> nope",
+    "graph-mark-components kind = strong",
+    "extend z = bag_merge(k)", "extend z = bag_set_key(k)",
+    "extend z = bag_remove_keys(k)", "extend z = array_split(v)",
+    "extend z = parse_csv()", "extend z = bag_zip(k)",
+    "extend z = format_bytes()", "extend z = parse_path()",
+    "extend z = unicode_codepoints_from_string()",
+    "extend z = row_window_session(v)",
+    "extend z = row_window_session(v, 1d, 5m)",
+    "summarize arg_max(v, *), arg_min(v, *) by k",
+    "summarize q = take_any(*) by k",
+    "summarize p = percentilesw_array(v, k)",
+    "union isfuzzy = true nosuch_a, nosuch_b",
+    "mv-expand with_itemindex = ix",
+    "sort by v asc nulls sideways",
 ])
 
 

@@ -2035,6 +2035,20 @@ def test_externaldata(spark, tmp_path):
             "externaldata (k: long) ['/x'] with (format = 'xml')")
 
 
+def test_bag_has_key_and_indexof_start(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    r = kql(
+        df,
+        "T | project h = bag_has_key(bag_pack('a', 1, 'b', 2), 'b'),"
+        " h0 = bag_has_key(bag_pack('a', 1), 'z'),"
+        " i1 = indexof('abcabc', 'bc', 2),"
+        " i0 = indexof('abcabc', 'bc'),"
+        " im = indexof('abcabc', 'zz', 1)",
+    ).collect()[0]
+    assert r.h is True and r.h0 is False
+    assert (r.i0, r.i1, r.im) == (1, 4, -1)
+
+
 def test_percentilesw_array(spark):
     df = spark.createDataFrame(
         [(1.0, 1.0), (2.0, 1.0), (3.0, 8.0)], "v double, w double")
