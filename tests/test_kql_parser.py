@@ -2959,3 +2959,69 @@ def test_series_decompose_forecast(spark):
     assert r.f6 == round(25 - sl * 2.5 + sl * 6, 6)
     assert r.f7 == round(25 - sl * 2.5 + sl * 7, 6)
     assert r.bad is None          # non-positive period → NULL
+
+
+def test_parse_csv_property_vs_python_csv(spark):
+    """parse_csv must agree with Python's csv module on quoting edge
+    cases — commas/quotes/doubled quotes inside fields. All cases ride
+    ONE DataFrame (one Spark job), lines built by csv.writer."""
+    import csv
+    import io
+    import random
+
+    rng = random.Random(42)
+    alphabet = ['a', 'b', ',', '"', ' ', 'x,y', '""', 'q"r', '']
+    cases = []
+    for i in range(80):
+        fields = [
+            "".join(rng.choices(alphabet, k=rng.randrange(0, 4)))
+            for _ in range(rng.randrange(1, 5))
+        ]
+        buf = io.StringIO()
+        csv.writer(buf, lineterminator="").writerow(fields)
+        cases.append((i, buf.getvalue(), fields))
+    df = spark.createDataFrame(
+        [(i, line) for i, line, _ in cases], "i long, line string")
+    got = {
+        r.i: list(r.c)
+        for r in kql(df, "T | extend c = parse_csv(line)").collect()
+    }
+    for i, _line, fields in cases:
+        assert got[i] == fields, (i, _line, got[i], fields)
+
+
+def test_array_split_property_vs_python(spark):
+    """array_split vs the Python reference (normalize indices, clamp,
+    empty inverted segments) — 100 random cases in one job."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    for i in range(100):
+        n = rng.randrange(0, 8)
+        arr = [rng.randrange(100) for _ in range(n)]
+        idxs = [rng.randrange(-10, 10)
+                for _ in range(rng.randrange(1, 4))]
+        cases.append((i, arr, idxs))
+
+    def ref(arr, idxs):
+        n = len(arr)
+        bounds = [0] + [
+            max(n + i, 0) if i < 0 else min(i, n) for i in idxs
+        ] + [n]
+        return [
+            arr[bounds[j]:bounds[j + 1]]
+            if bounds[j + 1] > bounds[j] else []
+            for j in range(len(bounds) - 1)
+        ]
+
+    df = spark.createDataFrame(
+        [(i, a, ix) for i, a, ix in cases],
+        "i long, arr array<long>, idxs array<long>")
+    got = {
+        r.i: [list(seg) for seg in r.s]
+        for r in kql(df, "T | extend s = array_split(arr, idxs)")
+        .collect()
+    }
+    for i, arr, idxs in cases:
+        assert got[i] == ref(arr, idxs), (i, arr, idxs, got[i])
