@@ -2303,6 +2303,25 @@ def q_kql_dcount_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_funnel_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate funnel_sequence_completion`` — per funnel prefix and
+    per day, users completing that prefix (click ≤ 2d and purchase ≤ 4d
+    from the signup anchor). Chained set-minima with the from-first
+    bound (a partition constant) — still pure windows over one per-user
+    Exchange."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate funnel_sequence_completion(user_id, ts,"
+        " datetime(2024-01-01 00:00:00), datetime(2024-01-31 00:00:00),"
+        " 1d, event_type, dynamic(['signup', 'click', 'purchase']),"
+        " dynamic([2d, 4d]))"
+        " | order by event_type asc, ts asc",
+    )
+
+
 def q_kql_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``evaluate funnel_sequence(user_id, ts, …, 2d, event_type,
     dynamic(['signup','click','purchase']))`` — for users completing
@@ -3532,6 +3551,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_sliding_window_counts": q_kql_sliding_window_counts,
         "kql_rolling_percentile": q_kql_rolling_percentile,
         "kql_funnel_sequence": q_kql_funnel_sequence,
+        "kql_funnel_completion": q_kql_funnel_completion,
         "kql_dcount_intersect": q_kql_dcount_intersect,
         "kql_bag_surgery": q_kql_bag_surgery,
         "kql_array_split": q_kql_array_split,
@@ -4849,6 +4869,36 @@ GROUP BY 1, 2, 3, 4, 5
             "CAST(SUM(c * v) AS BIGINT) AS s1, "
             "CAST(SUM(c * v * p) AS BIGINT) AS s2 "
             "FROM g GROUP BY d ORDER BY d"
+        ),
+        "kql_funnel_completion": (
+            # windows from the signup anchor: click ≤ 2d (172800s),
+            # purchase ≤ 4d (345600s); bin 1d
+            "WITH base AS (SELECT user_id AS id, epoch(ts) AS e, "
+            "event_type AS st FROM events "
+            "WHERE epoch(ts) >= 1704067200 "
+            "AND epoch(ts) <= 1706659200), "
+            "w0 AS (SELECT *, MIN(CASE WHEN st = 'signup' THEN e END) "
+            "OVER (PARTITION BY id) AS t0 FROM base), "
+            "w1 AS (SELECT *, MIN(CASE WHEN st = 'click' AND e > t0 "
+            "AND e <= t0 + 172800.0 THEN e END) "
+            "OVER (PARTITION BY id) AS t1 FROM w0), "
+            "w2 AS (SELECT *, MIN(CASE WHEN st = 'purchase' "
+            "AND e > t1 AND e <= t0 + 345600.0 THEN e END) "
+            "OVER (PARTITION BY id) AS t2 FROM w1), "
+            "p AS (SELECT id, MIN(t0) AS t0, MIN(t1) AS t1, "
+            "MIN(t2) AS t2 FROM w2 GROUP BY 1), "
+            "legs AS (SELECT 'signup' AS event_type, "
+            "CAST(floor(t0 / 86400.0) AS BIGINT) AS b FROM p "
+            "WHERE t0 IS NOT NULL "
+            "UNION ALL SELECT 'click', "
+            "CAST(floor(t1 / 86400.0) AS BIGINT) FROM p "
+            "WHERE t1 IS NOT NULL "
+            "UNION ALL SELECT 'purchase', "
+            "CAST(floor(t2 / 86400.0) AS BIGINT) FROM p "
+            "WHERE t2 IS NOT NULL) "
+            "SELECT epoch_ms(b * 86400 * 1000) AS ts, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS dcount FROM legs "
+            "GROUP BY 1, 2 ORDER BY event_type, ts"
         ),
         "kql_funnel_sequence": (
             # [2024-01-01, 2024-01-31] = epoch [1704067200, 1706659200];

@@ -5803,6 +5803,98 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     *keep,
                     *[outs[n].alias(n) for n in sorted(outs)])
                 continue
+            mfc = re.match(
+                r"^funnel_sequence_completion\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*datetime\(([^)]*)\)\s*,"
+                r"\s*datetime\(([^)]*)\)\s*,\s*([\w.]+)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*dynamic\(\s*\[(.*?)\]\s*\)\s*,"
+                r"\s*dynamic\(\s*\[(.*?)\]\s*\)\s*\)\s*$", rest, re.S)
+            if mfc:
+                # `evaluate funnel_sequence_completion(id, timeline,
+                # datetime(start), datetime(end), Bin, state,
+                # dynamic(['s1', …]), dynamic([w1, …]))` — per sequence
+                # PREFIX and per bin, how many ids completed that
+                # prefix in the bin (the funnel-completion matrix).
+                # Prefix k completes at the anchored-earliest chain's
+                # t_k with the FROM-FIRST bound t_k − t_1 ≤ w_k (each
+                # w_k a timespan literal, one per step). Shape: k
+                # chained set-minima windows over ONE per-id Exchange
+                # (the from-first bound references t_1, itself a
+                # partition constant — still pure windows, no state
+                # machine), one per-id aggregate, then one small
+                # (step, bin) count.
+                (idc, tc, st_src, en_src, bin_src, statec,
+                 seq_src, win_src) = mfc.groups()
+                for c in (idc, tc, statec):
+                    if c not in df.columns:
+                        raise KqlError(
+                            "funnel_sequence_completion: no column "
+                            f"{c!r}")
+                seq = [
+                    _unquote(p.strip())
+                    for p in _split_commas(seq_src) if p.strip()
+                ]
+                wins = [
+                    _timespan_secs(p.strip())
+                    for p in _split_commas(win_src) if p.strip()
+                ]
+                if len(seq) < 1 or len(wins) not in (
+                        len(seq), max(len(seq) - 1, 1)):
+                    raise KqlError(
+                        "funnel_sequence_completion: one max window "
+                        "per step (or per transition)")
+                if len(wins) == len(seq) - 1:
+                    # per-transition form → shift to per-step (the
+                    # anchor step has no bound)
+                    wins = [0.0] + wins
+                bin_s = _timespan_secs(bin_src)
+                t0 = _plugin_epoch(st_src)
+                t1e = _plugin_epoch(en_src)
+                epoch = F.col(tc).cast("timestamp").cast("double")
+                base = df.filter((epoch >= t0) & (epoch <= t1e)).select(
+                    F.col(idc).alias("_id"), epoch.alias("_e"),
+                    F.col(statec).alias("_st"))
+                wid = Window.partitionBy("_id")
+                chain = base
+                prev_t = None
+                first_t = None
+                tcols = []
+                for i, s in enumerate(seq):
+                    cond = F.col("_st") == s
+                    if prev_t is not None:
+                        cond = cond & (F.col("_e") > prev_t) & (
+                            F.col("_e")
+                            <= first_t + F.lit(float(wins[i])))
+                    col = f"_t{i}"
+                    chain = chain.withColumn(
+                        col, F.min(F.when(cond, F.col("_e"))).over(wid))
+                    prev_t = F.col(col)
+                    if first_t is None:
+                        first_t = F.col(col)
+                    tcols.append(col)
+                per_id = chain.groupBy("_id").agg(
+                    *[F.min(c).alias(c) for c in tcols])
+                legs = []
+                for i, s in enumerate(seq):
+                    legs.append(
+                        per_id.filter(F.col(tcols[i]).isNotNull())
+                        .select(
+                            F.lit(s).alias(statec),
+                            F.floor(
+                                F.col(tcols[i]) / F.lit(float(bin_s))
+                            ).cast("long").alias("_b"))
+                    )
+                out = legs[0]
+                for leg in legs[1:]:
+                    out = out.unionByName(leg)
+                df = out.groupBy(statec, "_b").agg(
+                    F.count(F.lit(1)).alias("dcount")
+                ).select(
+                    F.timestamp_seconds(
+                        F.col("_b") * F.lit(float(bin_s))
+                    ).cast("timestamp_ntz").alias(tc),
+                    statec, "dcount")
+                continue
             mfs = re.match(
                 r"^funnel_sequence\s*\(\s*([A-Za-z_]\w*)\s*,"
                 r"\s*([A-Za-z_]\w*)\s*,\s*datetime\(([^)]*)\)\s*,"

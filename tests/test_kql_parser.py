@@ -2328,6 +2328,34 @@ def test_dcount_intersect(spark):
     # A = 0..9, B = 5..11, C = 8..19 → |A| = 10, |A∩B| = 5 (5..9),
     # |A∩B∩C| = 2 (8, 9); sparse sketches are exact
     assert (r.s0, r.s1, r.s2) == (10, 5, 2)
+
+
+def test_funnel_sequence_completion(spark):
+    rows = []
+    for uid, pts in {
+        "u1": [(0, "s1"), (5, "s2"), (20, "s3")],   # s3 past 10s bound
+        "u2": [(0, "s1"), (2, "s2"), (8, "s3")],    # full completion
+        "u3": [(70, "s1")],                          # prefix 1 only
+    }.items():
+        rows += [(uid, f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}", st)
+                 for s, st in pts]
+    df = spark.createDataFrame(rows, "uid string, t string, st string") \
+        .select("uid", F.col("t").cast("timestamp_ntz").alias("t"), "st")
+    got = kql(
+        df,
+        "T | evaluate funnel_sequence_completion(uid, t,"
+        " datetime(2024-01-01 00:00:00), datetime(2024-01-02 00:00:00),"
+        " 1m, st, dynamic(['s1', 's2', 's3']), dynamic([6s, 10s]))")
+    res = {(r.st, r.t.minute): r.dcount for r in got.collect()}
+    # s1 completions: u1,u2 in minute 0; u3 in minute 1
+    # s2 (≤6s from first): u1 (5s), u2 (2s) in minute 0
+    # s3 (≤10s from first): only u2 (8s); u1's 20s exceeds the bound
+    assert res == {
+        ("s1", 0): 2, ("s1", 1): 1, ("s2", 0): 2, ("s3", 0): 1,
+    }
+
+
+def test_funnel_sequence(spark):
     rows = []
     for uid, pts in {
         "u1": [(0, "a"), (1, "s1"), (2, "s2"), (3, "s3"), (4, "b")],
