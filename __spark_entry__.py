@@ -2147,6 +2147,25 @@ def q_kql_has_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture selection (dataops/packing.py
+    token_budget_select): per-source char budgets hit by a
+    deterministic hash-ordered prefix — the "recipe says 30B tokens of
+    web, 5B of code" assembly step. One window cumsum per (bounded)
+    stratum."""
+    from otel_arrow_spark.dataops.packing import token_budget_select
+
+    docs = _docs(spark, sf_dir)
+    kept = token_budget_select(
+        docs, {"src0": 3000, "src1": 1500, "src2": 4000})
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").alias("tok"))
+        .orderBy("source")
+    )
+
+
 def q_web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + per-domain quota sampling
     (dataops/webcurate.py): skewed synthetic URLs (70% on one domain),
@@ -3560,6 +3579,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_unicode_codepoints": q_kql_unicode_codepoints,
         "kql_externaldata": q_kql_externaldata,
         "web_domain_cap": q_web_domain_cap,
+        "token_budget_mix": q_token_budget_mix,
         "kql_session_count": q_kql_session_count,
         "kql_ipv4_scalars": q_kql_ipv4_scalars,
         "kql_mv_expand_itemindex": q_kql_mv_expand_itemindex,
@@ -5697,6 +5717,13 @@ def _dataops_oracles() -> dict[str, str]:
         "sample_hash_docs": _packing_oracle("hash"),
         "sample_stratified_docs": _packing_oracle("stratified"),
         "sample_mixture_docs": _mixture_oracle(),
+        "token_budget_mix": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(n_chars) AS BIGINT) AS tok FROM ("
+            + packing.token_budget_oracle_sql(
+                {"src0": 3000, "src1": 1500, "src2": 4000})
+            + ") GROUP BY source ORDER BY source"
+        ),
         "decontam_flags": _decontam_oracle(),
         "pack_stats": _packing_oracle("pack"),
         "training_order": packing.training_order_oracle_sql(),

@@ -114,6 +114,69 @@ SELECT * EXCLUDE (_srn) FROM (
 """
 
 
+def token_budget_select(docs: DataFrame, budgets: dict[str, int],
+                        token_col: str = "n_chars",
+                        strata_col: str = "source",
+                        key_col: str = "doc_id",
+                        seed: int | str = "budget") -> DataFrame:
+    """Per-stratum TOKEN-budget selection — the other half of mixture
+    assembly (:func:`mixture_sample` hits target *rates*; this hits
+    target token *counts*, the quantity a pre-training recipe is
+    actually written in).
+
+    Each stratum's docs are walked in content-hash order (``h32(key)``,
+    ties by key — deterministic on any engine/partitioning) and the
+    prefix whose cumulative ``token_col`` stays ≤ the stratum's budget
+    is kept; strata absent from ``budgets`` are dropped. A stratum
+    whose first doc alone exceeds its budget keeps nothing (strict
+    rule, documented).
+
+    Scale shape: one window cumsum per stratum. Strata are the mixture
+    sources — a bounded, recipe-sized set by contract — so the
+    per-stratum sort is the skew ceiling; for a single giant stratum
+    swap in the two-phase hash-range rank of
+    :func:`training_order` (same order key, bucketed prefix sums).
+    """
+    if not budgets:
+        raise ValueError("token_budget_select: budgets is empty")
+    bmap = F.create_map(*[
+        F.lit(x) for kv in budgets.items() for x in kv
+    ])
+    d = docs.filter(
+        F.col(strata_col).isin(*budgets.keys()))
+    w = Window.partitionBy(strata_col).orderBy(
+        h32(F.col(key_col).cast("string"), seed).asc(),
+        F.col(key_col).asc())
+    cum = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        d.withColumn("_cum", cum)
+        .filter(F.col("_cum") <= bmap[F.col(strata_col)])
+        .drop("_cum")
+    )
+
+
+def token_budget_oracle_sql(budgets: dict[str, int],
+                            token_col: str = "n_chars",
+                            table: str = "documents",
+                            strata_col: str = "source",
+                            key_col: str = "doc_id",
+                            seed: int | str = "budget") -> str:
+    """DuckDB twin of :func:`token_budget_select`."""
+    h = h32_sql(f"CAST({key_col} AS VARCHAR)", seed)
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v)}" for k, v in budgets.items())
+    keys = ", ".join(f"'{k}'" for k in budgets)
+    return f"""
+SELECT * EXCLUDE (_cum) FROM (
+  SELECT *, SUM({token_col}) OVER (
+    PARTITION BY {strata_col} ORDER BY {h}, {key_col}
+    ROWS UNBOUNDED PRECEDING) AS _cum
+  FROM {table} WHERE {strata_col} IN ({keys}))
+WHERE _cum <= CASE {strata_col} {cases} END
+"""
+
+
 def mixture_sample(docs: DataFrame, rates: dict[str, float],
                    strata_col: str = "source", key_col: str = "doc_id",
                    seed: int | str = "mix") -> DataFrame:

@@ -886,3 +886,31 @@ def test_connected_components_star_matches_minlabel(spark):
         b = {r.doc_id: r.cluster_id
              for r in connected_components_star(pairs, uni).collect()}
         assert a == b, f"mismatch for edges={edges}: {a} vs {b}"
+
+
+def test_token_budget_select(spark):
+    from otel_arrow_spark.dataops.packing import token_budget_select
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 3), 100 + (i * 37) % 250)
+         for i in range(60)],
+        "doc_id long, source string, n_chars long")
+    budgets = {"s0": 800, "s1": 500}
+    kept = token_budget_select(docs, budgets).collect()
+    # absent stratum dropped entirely
+    assert all(r.source in budgets for r in kept)
+    # per-stratum cumulative token total within budget
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        assert sum(r.n_chars for r in rows) <= budgets[src]
+        assert rows  # something selected at these budgets
+    # deterministic
+    again = sorted(r.doc_id for r in
+                   token_budget_select(docs, budgets).collect())
+    assert again == sorted(r.doc_id for r in kept)
+    # monotone in the budget: a larger budget keeps a superset
+    bigger = token_budget_select(
+        docs, {"s0": 2000, "s1": 2000}).collect()
+    assert {r.doc_id for r in kept} <= {r.doc_id for r in bigger}
