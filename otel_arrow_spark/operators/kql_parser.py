@@ -46,10 +46,18 @@ Catalyst, mirroring the reference's constant resolution,
 ``ago()``, ``between (lo .. hi)``.
 
 Tabular operators beyond the reference grammar (Kusto-documented
-semantics): ``join``/``lookup`` (equi-join flavors), ``union``,
-``make-series``, ``scan``, ``evaluate`` plugins, ``mv-apply``,
-``partition``, ``sample``, ``top-nested``, ``facet`` — each compiled to
-the same declarative Catalyst plan shapes as the core surface.
+semantics): ``join``/``lookup`` (equi-join flavors), ``union``
+(incl. ``isfuzzy``), ``make-series``, ``scan`` (incl. ``declare``
+state), ``evaluate`` plugins (pivot/bag_unpack/narrow/basket/
+autocluster/diffpatterns/rows_near/dcount_intersect, the activity
+family incl. sliding_window_counts/rolling_percentile/session_count,
+funnel_sequence[_completion], sequence_detect, ipv4_lookup),
+``mv-apply``, ``mv-expand`` (incl. ``with_itemindex``), ``partition``,
+``sample``, ``top-nested``, ``facet``, ``find``, ``reduce by``, the
+graph family (``make-graph``/``graph-match``/``graph-shortest-paths``/
+``graph-mark-components``/``graph-to-table``) and ``externaldata`` —
+each compiled to the same declarative Catalyst plan shapes as the core
+surface.
 
 Implementation note: every parse result is a ``KE`` node — a Catalyst
 Column plus, when the expression is a literal, its Python value. Literal
