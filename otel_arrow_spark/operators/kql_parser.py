@@ -511,6 +511,22 @@ def _series_iir(arr: Column, b: Column, a_: Column) -> Column:
     ).otherwise(F.array().cast("array<double>"))
 
 
+def _series_fit_2lines_bag(fit: Column) -> Column:
+    """Repackage ``_series_fit_2lines``'s array result as Kusto's
+    dynamic shape (split_idx / rss + left/right line sub-bags)."""
+    g = lambda i: F.try_element_at(fit, F.lit(i))  # noqa: E731
+    return F.parse_json(F.to_json(F.struct(
+        g(1).cast("bigint").alias("split_idx"),
+        g(6).alias("rss"),
+        F.struct(
+            g(2).alias("slope"), g(3).alias("interception")
+        ).alias("left"),
+        F.struct(
+            g(4).alias("slope"), g(5).alias("interception")
+        ).alias("right"),
+    )))
+
+
 def _series_fit_dynamic(arr: Column) -> Column:
     """``series_fit_line_dynamic`` — the fit as a dynamic bag
     {rsquare, slope, variance, rvariance, interception, line_fit}.
@@ -1100,6 +1116,10 @@ _FUNC_MAP_SIMPLE = {
     "series_abs": lambda a: F.transform(a[0], F.abs),
     "series_fit_line": lambda a: F.array(*_series_fit(a[0])),
     "series_fit_line_dynamic": lambda a: _series_fit_dynamic(a[0]),
+    # bag form of the gated array variant ([split, sl, il, sr, ir,
+    # rss] → named keys + per-segment sub-bags)
+    "series_fit_2lines_dynamic": lambda a: _series_fit_2lines_bag(
+        _series_fit_2lines(a[0])),
     # set predicates over dynamic arrays (arrays as sets — Spark's
     # array_intersect/union already dedupe)
     "set_has_element": lambda a: F.array_contains(a[0], a[1]),

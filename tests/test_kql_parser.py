@@ -2035,6 +2035,24 @@ def test_externaldata(spark, tmp_path):
             "externaldata (k: long) ['/x'] with (format = 'xml')")
 
 
+def test_series_fit_2lines_dynamic(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    # two perfect segments: flat 0s then a slope-2 line → rss 0,
+    # split at 3
+    r = kql(
+        df,
+        "T | extend d = series_fit_2lines_dynamic("
+        "pack_array(0, 0, 0, 10, 12, 14))"
+        " | project s = tolong(d.split_idx), rss = todouble(d.rss),"
+        " ls = todouble(d.left.slope), rs = todouble(d.right.slope),"
+        " ri = todouble(d.right.interception)",
+    ).collect()[0]
+    assert r.s == 3 and r.rss < 1e-9
+    assert abs(r.ls) < 1e-9 and abs(r.rs - 2.0) < 1e-9
+    # right intercept is in GLOBAL x coords: 10 = 2·3 + 4
+    assert abs(r.ri - 4.0) < 1e-9
+
+
 def test_bag_has_key_and_indexof_start(spark):
     df = spark.createDataFrame([(1,)], "id int")
     r = kql(
