@@ -961,6 +961,40 @@ def _array_shift(arr: Column, by: Column, fill: Column) -> Column:
     ).otherwise(F.concat(pad, F.slice(arr, 1, sz - n_)))
 
 
+def _countof_overlapping(text: Column, needle: Column) -> Column:
+    """Kusto's plain-string countof counts OVERLAPPING occurrences
+    (countof('aaa','aa') == 2), unlike the length-difference-after-
+    replace formula (non-overlapping). A zero-width lookahead regex
+    counts every start position; the needle is literal-quoted with
+    Java's \\Q...\\E (any embedded \\E broken out with the standard
+    \\E\\\\E\\Q splice) so it works for a data-dependent column, not
+    just literals."""
+    quoted = F.concat(
+        F.lit("(?=\\Q"),
+        F.replace(needle, F.lit("\\E"), F.lit("\\E\\\\E\\Q")),
+        F.lit("\\E)"))
+    return F.when(
+        F.length(needle) > 0,
+        F.size(F.regexp_extract_all(text, quoted, F.lit(0))),
+    ).cast("bigint")
+
+
+def _orderable_type(dt) -> bool:
+    """True when Spark can ORDER values of this type (min/max/sort).
+    Maps and VARIANT are unorderable; arrays/structs inherit from
+    their element/field types. Used to build tie-break structs that
+    exclude bag columns (common in this engine's tables) — a bare
+    min(struct(*)) fails analysis the moment any column is a map."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.MapType) or dt.typeName() == "variant":
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 _FUNC_MAP_SIMPLE = {
     # text (text_scalar_expression.rs:7-22)
     "strlen": lambda a: F.length(a[0]),
@@ -1039,11 +1073,8 @@ _FUNC_MAP_SIMPLE = {
     "strrep": lambda a: F.repeat(a[0], a[1]),
     # KQL indexof is 0-based, -1 when absent; position is 1-based, 0
     "indexof": lambda a: (F.position(a[1], a[0]) - 1).cast("bigint"),
-    "countof": lambda a: F.when(
-        F.length(a[1]) > 0,
-        (F.length(a[0]) - F.length(F.replace(a[0], a[1], F.lit(""))))
-        / F.length(a[1]),
-    ).cast("bigint"),
+    # Kusto countof counts OVERLAPPING plain-string matches
+    "countof": lambda a: _countof_overlapping(a[0], a[1]),
     "tohex": lambda a: F.lower(F.hex(a[0])),
     # temporal (cont.) — startofweek truncates to MONDAY (the Spark /
     # ISO / DuckDB convention; KQL's Sunday week start is a documented
@@ -1982,8 +2013,9 @@ class ExprParser:
             return KE(F.regexp_extract_all(args[1].col, F.lit(pat), grp))
         if lname == "countof" and len(args) == 3:
             # countof(text, search, kind) — kind=regex counts regex
-            # matches (non-overlapping); kind=normal is the substring
-            # count (the 2-arg map entry's formula)
+            # matches (non-overlapping, Kusto's rule); kind=normal
+            # counts OVERLAPPING plain-string matches (the 2-arg map
+            # entry's lookahead formula)
             kind = _lit_str(args[2])
             if kind == "regex":
                 return KE(F.size(F.regexp_extract_all(
@@ -1992,12 +2024,7 @@ class ExprParser:
             if kind != "normal":
                 raise KqlError(
                     "countof kind must be 'normal' or 'regex'")
-            return KE(F.when(
-                F.length(args[1].col) > 0,
-                (F.length(args[0].col) - F.length(
-                    F.replace(args[0].col, args[1].col, F.lit(""))))
-                / F.length(args[1].col),
-            ).cast("bigint"))
+            return KE(_countof_overlapping(args[0].col, args[1].col))
         if lname == "parse_csv":
             # parse_csv(line) → array of fields, RFC-4180 quote-aware:
             # split on commas OUTSIDE double quotes (Java-regex
@@ -2019,16 +2046,28 @@ class ExprParser:
         if lname == "bag_zip":
             # bag_zip(keys, values) → dynamic bag; keys beyond the
             # value array get null values, surplus values are ignored
-            # (Kusto's rule)
+            # (Kusto's rule). Null keys are skipped and duplicate keys
+            # keep the FIRST occurrence — Kusto degrades gracefully on
+            # malformed key arrays, whereas a bare map_from_arrays
+            # would raise (Spark forbids null map keys and the default
+            # dedup policy is EXCEPTION), crashing the job on
+            # data-dependent keys.
             if len(args) != 2:
                 raise KqlError("bag_zip needs (keys, values)")
-            keys = args[0].col
+            keys = F.transform(args[0].col, lambda k: k.cast("string"))
             vals = args[1].col
             padded = F.transform(
-                F.sequence(F.lit(1), F.size(keys)),
-                lambda i: F.try_element_at(vals, i.cast("int")))
-            m = F.map_from_arrays(
-                F.transform(keys, lambda k: k.cast("string")), padded)
+                F.sequence(F.lit(0), F.size(keys) - 1),
+                lambda i: F.try_element_at(vals, i.cast("int") + 1))
+            entries = F.filter(
+                F.zip_with(keys, padded, lambda k, v: F.struct(
+                    k.alias("key"), v.alias("value"))),
+                lambda e: e["key"].isNotNull())
+            ekeys = F.transform(entries, lambda e: e["key"])
+            dedup = F.filter(
+                entries,
+                lambda e, i: F.array_position(ekeys, e["key"]) == i + 1)
+            m = F.map_from_entries(dedup)
             return KE(F.parse_json(F.to_json(m)), variant=True)
         if lname == "format_bytes":
             # format_bytes(size[, precision]) — auto unit ladder
@@ -2292,9 +2331,14 @@ class ExprParser:
                 F.lit(False)))
         if lname == "indexof" and len(args) == 3:
             # indexof(s, sub, start) — search from a 0-based offset
-            # (the 2-arg form stays in the scalar map)
+            # (the 2-arg form stays in the scalar map). A NEGATIVE
+            # start is an offset from the END of the source string
+            # (Kusto semantics), clamped to 0 when it underflows.
             s, sub, start = args[0].col, args[1].col, args[2].col
-            off = F.greatest(start.cast("int"), F.lit(0))
+            raw = start.cast("int")
+            off = F.greatest(
+                F.when(raw < 0, F.length(s) + raw).otherwise(raw),
+                F.lit(0))
             hit = F.position(sub, F.substring(s, off + 1, F.length(s)))
             return KE(F.when(
                 hit > 0, (hit + off - 1).cast("bigint")
@@ -3971,21 +4015,50 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 row_cols = (
                     wanted if wanted is not None
                     else [c for c in df.columns if c not in key_names])
-                rowstruct = F.struct(*[F.col(c) for c in row_cols])
+                # Kusto's output ALSO carries the ranked expression's
+                # column (arg_max(E, c1) → E, c1; arg_max(strlen(s), *)
+                # → strlen_s, *), aliased by its source text — include
+                # it unless a listed/expanded or by-key column already
+                # holds it.
+                rank_out = None
+                if rank_src is not None:
+                    rname = rank_src.strip()
+                    if rname not in row_cols and rname not in key_names:
+                        rank_out = rname
+                fields = [F.col(c).alias(c) for c in row_cols]
+                if rank_out is not None:
+                    fields.insert(0, pe(rank_src).alias("__rank_out"))
+                rowstruct = F.struct(*fields)
+                # Tie-break only on ORDERABLE columns — map / VARIANT
+                # bag columns (common here) would fail analysis inside
+                # a min()/max_by ordering struct; they still travel in
+                # the returned payload struct.
+                dtypes = {f.name: f.dataType for f in df.schema.fields}
+                ord_cols = [F.col(c) for c in row_cols
+                            if _orderable_type(dtypes[c])]
                 fn = F.max_by if kind == "max" else F.min_by
-                if rank_src is None:  # take_any(*): min row struct
-                    picked = F.min(rowstruct).alias("_row")
+                if rank_src is None:  # take_any(*): deterministic min
+                    if ord_cols:
+                        picked = F.min_by(
+                            rowstruct, F.struct(*ord_cols)).alias("_row")
+                    else:  # nothing orderable — any non-null row
+                        picked = F.any_value(
+                            rowstruct, True).alias("_row")
                 else:
-                    # rank first, full row tie-break → deterministic
+                    # rank first, orderable-row tie-break
                     picked = fn(
-                        rowstruct, F.struct(pe(rank_src), rowstruct)
+                        rowstruct, F.struct(pe(rank_src), *ord_cols)
                     ).alias("_row")
                 df = df.groupBy(*keys).agg(
                     picked,
                     *[v.alias(k) for k, v in aggs.items()])
+                out_cols = (
+                    [F.col("_row.__rank_out").alias(rank_out)]
+                    if rank_out is not None else [])
+                out_cols += [
+                    F.col(f"_row.{c}").alias(c) for c in row_cols]
                 df = df.select(
-                    *[c for c in df.columns if c != "_row"],
-                    *[F.col(f"_row.{c}").alias(c) for c in row_cols])
+                    *[c for c in df.columns if c != "_row"], *out_cols)
             else:
                 if not aggs:
                     raise KqlError(

@@ -2129,6 +2129,69 @@ def test_arg_max_star(spark):
         (1, 5, "a"), (2, 3, "c")]
 
 
+def test_arg_max_column_list_includes_rank(spark):
+    # Kusto's arg_max(E, c1, c2) outputs E's column too (ADVICE r4)
+    df = spark.createDataFrame(
+        [(1, 5, "a", 10), (1, 9, "b", 20), (2, 3, "c", 30),
+         (2, 3, "d", 40)],
+        "k int, v int, s string, w int")
+    got = kql(df, "T | summarize arg_max(v, s, w) by k | order by k asc")
+    assert got.columns == ["k", "v", "s", "w"]
+    assert [tuple(r) for r in got.collect()] == [
+        (1, 9, "b", 20), (2, 3, "d", 40)]
+    # rank column listed explicitly → not duplicated
+    got2 = kql(df, "T | summarize arg_min(v, s, v) by k | order by k asc")
+    assert sorted(got2.columns) == ["k", "s", "v"]
+
+
+def test_arg_max_star_with_unorderable_columns(spark):
+    # map / VARIANT columns can't sit in an ordering struct; the
+    # tie-break must skip them while the payload still carries them
+    df = spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (2, 3, "c")],
+        "k int, v int, s string",
+    ).selectExpr("k", "v", "map(s, v) as m")
+    got = kql(df, "T | summarize arg_max(v, *) by k | order by k asc")
+    rows = got.collect()
+    assert got.columns == ["k", "v", "m"]
+    assert [(r.k, r.v, dict(r.m)) for r in rows] == [
+        (1, 9, {"b": 9}), (2, 3, {"c": 3})]
+    got2 = kql(df, "T | summarize take_any(*) by k | order by k asc")
+    assert [(r.k, r.v) for r in got2.collect()] == [(1, 5), (2, 3)]
+
+
+def test_countof_overlapping_and_indexof_negative(spark):
+    df = spark.createDataFrame([("aaa", "aa")], "t string, n string")
+    r = kql(df, "T | project a = countof(t, n),"
+                " b = countof(t, n, 'normal'),"
+                " c = countof('banana', 'ana'),"
+                " d = countof('a.a.a', '.')").collect()[0]
+    # Kusto counts OVERLAPPING plain-string matches; needle is
+    # literal-quoted so regex metacharacters count as text
+    assert (r.a, r.b, r.c, r.d) == (2, 2, 2, 2)
+    r = kql(df, "T | project a = indexof('abcdef', 'de', -3),"
+                " b = indexof('abcdef', 'ab', -100),"
+                " c = indexof('abcdef', 'de', 1)").collect()[0]
+    # negative start = offset from END of source (Kusto), clamped at 0
+    assert (r.a, r.b, r.c) == (3, 0, 3)
+
+
+def test_bag_zip_malformed_keys_degrade(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    # duplicate keys keep FIRST; surplus keys pad with null — no crash
+    r = kql(df, "T | extend b = bag_zip("
+                "pack_array('a', 'b', 'a', 'c'), pack_array(1, 2, 3))"
+                " | project j = tostring(b)").collect()[0]
+    import json
+    assert json.loads(r.j) == {"a": 1, "b": 2, "c": None}
+    # null keys are skipped instead of raising
+    df2 = spark.createDataFrame([(1, None)], "i int, ns string")
+    r = kql(df2, "T | extend b = bag_zip(pack_array('x', ns, 'z'),"
+                 " pack_array(1, 2, 3))"
+                 " | project j = tostring(b)").collect()[0]
+    assert json.loads(r.j) == {"x": 1, "z": 3}
+
+
 def test_pack_all_and_quarter_bounds(spark):
     import json
 
