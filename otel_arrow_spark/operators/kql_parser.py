@@ -134,15 +134,24 @@ class KE:
     engine analog of KQL dynamic, `kql.pest:198-203`): path access on it
     must go through ``try_variant_get`` — ``Column.getItem`` rejects
     VARIANT — and stays variant-typed so paths chain; a ``to*()``
-    conversion then casts it to a concrete type."""
+    conversion then casts it to a concrete type.
 
-    __slots__ = ("col", "lit", "variant")
+    ``bag_map`` optionally carries the ``map<string, variant>`` TWIN of
+    a variant property bag: bag-surgery functions compose on the twin
+    in map-land and re-enter VARIANT once at the statement boundary,
+    instead of paying a full to_json → from_json round-trip per call
+    (chained ``bag_merge``/``bag_set_key``/``bag_remove_keys`` were the
+    #2 most expensive query before the fusion)."""
+
+    __slots__ = ("col", "lit", "variant", "bag_map")
 
     def __init__(self, col: Column, lit: object = _NOT_LIT,
-                 variant: bool = False):
+                 variant: bool = False,
+                 bag_map: Column | None = None):
         self.col = col
         self.lit = lit
         self.variant = variant
+        self.bag_map = bag_map
 
     @property
     def is_lit(self) -> bool:
@@ -182,8 +191,15 @@ class KqlFunc:
 def _variant_get(c: KE, key) -> KE:
     """One path step into a VARIANT value; missing paths yield NULL
     (``try_variant_get``), matching KQL dynamic access semantics. The
-    result stays variant so steps chain (``parse_json(s)['a']['b']``)."""
+    result stays variant so steps chain (``parse_json(s)['a']['b']``).
+    When the bag's map twin is available (bag-surgery fusion), a
+    string key reads the map directly — same variant value (twin
+    values are JSON-normalized at the producer), no VARIANT path walk,
+    and the serialized VARIANT column becomes prunable."""
     if isinstance(key, str):
+        if c.bag_map is not None:
+            return KE(F.try_element_at(c.bag_map, F.lit(key)),
+                      variant=True)
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
             raise KqlError(f"unsupported variant key {key!r}")
         path = f"$.{key}"
@@ -1518,7 +1534,14 @@ def _pack_all_col(df: DataFrame) -> Column:
     extend/project layer rather than living in the expression parser
     (which sees only expressions, not the relation)."""
     return F.parse_json(F.to_json(F.struct(
-        *[F.col(c).alias(c) for c in df.columns])))
+        *[F.col(c).alias(c) for c in df.columns
+          if not c.startswith(_TWIN_PREFIX)])))
+
+
+# Hidden sibling columns holding the map<string,variant> twin of a bag
+# column produced by bag surgery — see KE.bag_map. Never user-visible:
+# stripped before any column-shape-changing stage and at query end.
+_TWIN_PREFIX = "__bag_twin__"
 
 
 def _plugin_epoch(src: str) -> float:
@@ -1590,7 +1613,8 @@ class ExprParser:
     def __init__(self, toks: list[Tok], pos: int = 0,
                  bindings: dict[str, "KE | Column"] | None = None,
                  wspec=None,
-                 variant_cols: set[str] | None = None):
+                 variant_cols: set[str] | None = None,
+                 bag_twins: dict[str, Column] | None = None):
         self.toks = toks
         self.pos = pos
         self.bindings = bindings or {}
@@ -1598,6 +1622,10 @@ class ExprParser:
         # bare references to them must resolve variant-flagged so path
         # accessors compile to try_variant_get, not getItem.
         self.variant_cols = variant_cols or set()
+        # Materialized map<string,variant> twins of bag columns (kept
+        # by the extend stage as hidden sibling columns) — bag-surgery
+        # calls on these columns skip the VARIANT→JSON→map conversion.
+        self.bag_twins = bag_twins or {}
         # Window spec of the current serialized row set (set by
         # `sort by` / `serialize`); None outside one. Window functions
         # (row_number/prev/next/row_cumsum/…) are only legal when set —
@@ -1868,7 +1896,8 @@ class ExprParser:
                         f"{name} is a function — call it: {name}(…)"
                     )
                 return b if isinstance(b, KE) else KE(b)
-            return KE(F.col(name), variant=name in self.variant_cols)
+            return KE(F.col(name), variant=name in self.variant_cols,
+                      bag_map=self.bag_twins.get(name))
         raise KqlError(f"unexpected token {t.text!r}" if t.kind != "eof"
                        else "unexpected end of input")
 
@@ -2350,8 +2379,14 @@ class ExprParser:
             # and the result re-enters the VARIANT world, so accessors
             # and the other bag functions compose with it. Bags are
             # unordered in Kusto — key order of the rebuilt JSON is not
-            # part of the contract.
+            # part of the contract. CHAINED surgery fuses in map-land:
+            # each result KE carries its map twin (``bag_map``), nested
+            # calls consume it directly, and the extend stage
+            # materializes it as a hidden sibling column so later
+            # statements compose without re-entering JSON per call.
             def _bag_map(ke: "KE") -> Column:
+                if ke.bag_map is not None:  # fused: already in map-land
+                    return ke.bag_map
                 src = ke.col
                 if ke.variant:
                     src = F.to_json(src)
@@ -2377,7 +2412,8 @@ class ExprParser:
                             lambda k, _v: ~F.coalesce(
                                 F.array_contains(seen, k),
                                 F.lit(False))))
-                return KE(F.parse_json(F.to_json(merged)), variant=True)
+                return KE(F.parse_json(F.to_json(merged)), variant=True,
+                          bag_map=merged)
             if lname == "bag_set_key":
                 if len(args) != 3:
                     raise KqlError(
@@ -2387,7 +2423,8 @@ class ExprParser:
                     F.map_filter(
                         _bag_map(args[0]), lambda k, _v: k != key),
                     F.create_map(key, args[2].col.cast("variant")))
-                return KE(F.parse_json(F.to_json(m)), variant=True)
+                return KE(F.parse_json(F.to_json(m)), variant=True,
+                          bag_map=m)
             # bag_remove_keys(bag, dynamic array of key names)
             if len(args) != 2:
                 raise KqlError("bag_remove_keys needs (bag, keys)")
@@ -2396,7 +2433,8 @@ class ExprParser:
                 _bag_map(args[0]),
                 lambda k, _v: ~F.coalesce(
                     F.array_contains(keys, k), F.lit(False)))
-            return KE(F.parse_json(F.to_json(m)), variant=True)
+            return KE(F.parse_json(F.to_json(m)), variant=True,
+                      bag_map=m)
         if lname == "parse_json":  # VARIANT result (kql.pest:198-203)
             if len(args) != 1:
                 raise KqlError("parse_json needs (s)")
@@ -2406,6 +2444,11 @@ class ExprParser:
             # accessors/bag_keys/bag_unpack compose with the result
             if len(args) < 2 or len(args) % 2:
                 raise KqlError("bag_pack needs (k1, v1[, k2, v2…])")
+            # Both forms also carry the map<string,variant> TWIN parsed
+            # from the SAME JSON string (exact parity by construction),
+            # so bag surgery / fused accessors on the result skip the
+            # VARIANT re-serialization — and when only the twin is
+            # consumed, Catalyst prunes the VARIANT column entirely.
             if all(args[i].is_lit for i in range(0, len(args), 2)):
                 # literal keys (the common case): a typed struct keeps
                 # each value's JSON type (numbers stay numbers)
@@ -2413,16 +2456,18 @@ class ExprParser:
                     args[i + 1].col.alias(str(args[i].lit))
                     for i in range(0, len(args), 2)
                 ]
-                return KE(F.parse_json(F.to_json(F.struct(*fields))),
-                          variant=True)
-            # column-valued keys: map form; values stringify (the JSON
-            # type degrades, same as Kusto's dynamic-from-map behavior)
-            return KE(F.parse_json(F.to_json(F.map_from_arrays(
-                F.array(*[args[i].col.cast("string")
-                          for i in range(0, len(args), 2)]),
-                F.array(*[args[i].col.cast("string")
-                          for i in range(1, len(args), 2)]),
-            ))), variant=True)
+                js = F.to_json(F.struct(*fields))
+            else:
+                # column-valued keys: map form; values stringify (the
+                # JSON type degrades, same as Kusto dynamic-from-map)
+                js = F.to_json(F.map_from_arrays(
+                    F.array(*[args[i].col.cast("string")
+                              for i in range(0, len(args), 2)]),
+                    F.array(*[args[i].col.cast("string")
+                              for i in range(1, len(args), 2)]),
+                ))
+            return KE(F.parse_json(js), variant=True,
+                      bag_map=F.from_json(js, "map<string, variant>"))
         if lname == "parse_url":
             # dynamic bag result (Kusto shape) so VARIANT path
             # accessors chain: `parse_url(u).Host`, `u['Path']`
@@ -2549,9 +2594,10 @@ def _unquote(s: str) -> str:
 
 
 def parse_expr_ke(s: str, bindings: dict[str, "KE | Column"] | None = None,
-                  wspec=None, variant_cols: set[str] | None = None) -> KE:
+                  wspec=None, variant_cols: set[str] | None = None,
+                  bag_twins: dict[str, Column] | None = None) -> KE:
     p = ExprParser(tokenize(s), bindings=bindings, wspec=wspec,
-                   variant_cols=variant_cols)
+                   variant_cols=variant_cols, bag_twins=bag_twins)
     c = p.parse()
     if p.peek().kind != "eof":
         raise KqlError(f"trailing tokens at {p.peek().text!r}")
@@ -2559,9 +2605,11 @@ def parse_expr_ke(s: str, bindings: dict[str, "KE | Column"] | None = None,
 
 
 def parse_expr(s: str, bindings: dict[str, "KE | Column"] | None = None,
-               wspec=None, variant_cols: set[str] | None = None) -> Column:
+               wspec=None, variant_cols: set[str] | None = None,
+               bag_twins: dict[str, Column] | None = None) -> Column:
     return parse_expr_ke(s, bindings, wspec=wspec,
-                         variant_cols=variant_cols).col
+                         variant_cols=variant_cols,
+                         bag_twins=bag_twins).col
 
 
 # ---------------------------------------------------------------------------
@@ -3891,19 +3939,44 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         "graph-shortest-paths", "graph-mark-components",
     }
 
-    def pe(s: str) -> Column:
+    # Materialized bag twins (KE.bag_map): column name → hidden-column
+    # reference. Twins survive only row-level stages; anything that
+    # reshapes the column set strips the hidden columns first.
+    bag_twins: dict[str, Column] = {}
+    _TWIN_PRESERVING = {
+        "where", "take", "limit", "extend", "order", "sort", "top",
+        "serialize",
+        # project CONSUMES twins (accessors on a fused bag read the map
+        # directly, letting Catalyst prune the serialized VARIANT twin
+        # entirely); its select() then drops the hidden columns, so the
+        # dict is cleared in the project branch rather than here.
+        "project",
+    }
+
+    def drop_twins() -> None:
+        nonlocal df
+        if bag_twins:
+            df = df.drop(*[_TWIN_PREFIX + n for n in bag_twins])
+            bag_twins.clear()
+
+    def pek(s: str) -> KE:
         vcols = {
             f.name for f in df.schema.fields
             if f.dataType.typeName() == "variant"
         }
-        return parse_expr(s, bindings, wspec=sctx["wspec"],
-                          variant_cols=vcols)
+        return parse_expr_ke(s, bindings, wspec=sctx["wspec"],
+                             variant_cols=vcols, bag_twins=bag_twins)
+
+    def pe(s: str) -> Column:
+        return pek(s).col
 
     for stage in stages:
         m = re.match(r"^([a-z-]+)\s*(.*)$", stage, re.S)
         if not m:
             raise KqlError(f"bad stage {stage!r}")
         op, rest = m.group(1), m.group(2).strip()
+        if op not in _TWIN_PRESERVING:
+            drop_twins()
         # narrow() consumes the serialized order its own stage destroys
         wspec_before = sctx["wspec"]
         if op in _ORDER_DESTROYING:
@@ -3913,12 +3986,30 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             df = df.filter(pe(rest))
         elif op == "extend":
             cols = {}
+            stale: list[str] = []
+            new_twins: list[str] = []
             for name, expr in _parse_assignments(rest):
                 if name is None:
                     raise KqlError("extend needs name = expr")
-                cols[name] = _pack_all_col(df) if re.fullmatch(
-                    r"pack_all\s*\(\s*\)", expr.strip()) else pe(expr)
+                if re.fullmatch(r"pack_all\s*\(\s*\)", expr.strip()):
+                    ke = None
+                    cols[name] = _pack_all_col(df)
+                else:
+                    ke = pek(expr)
+                    cols[name] = ke.col
+                if ke is not None and ke.bag_map is not None:
+                    # fuse: keep the map twin as a hidden sibling so
+                    # later bag surgery skips the JSON round-trip
+                    cols[_TWIN_PREFIX + name] = ke.bag_map
+                    new_twins.append(name)
+                elif name in bag_twins:
+                    stale.append(name)  # reassigned to a non-bag
             df = df.withColumns(cols)
+            for name in stale:
+                del bag_twins[name]
+                df = df.drop(_TWIN_PREFIX + name)
+            for name in new_twins:
+                bag_twins[name] = F.col(_TWIN_PREFIX + name)
         elif op == "project":
             sel = []
             for name, expr in _parse_assignments(rest):
@@ -3926,6 +4017,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     r"pack_all\s*\(\s*\)", expr.strip()) else pe(expr)
                 sel.append(c.alias(name) if name else c)
             df = df.select(*sel)
+            bag_twins.clear()  # select() already excluded the twins
         elif op == "project-keep":
             pats = [p.strip() for p in rest.split(",")]
             df = ops.project_keep(df, *pats)
@@ -6757,4 +6849,5 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         else:
             raise KqlError(f"unknown operator {op!r}")
     flush_sort()  # KQL sorted-output guarantee, on the final relation
+    drop_twins()  # hidden bag-twin columns never leave the query
     return df

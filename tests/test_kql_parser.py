@@ -2394,6 +2394,45 @@ def test_bag_surgery(spark):
     assert json.loads(r.rm) == {"a": 1}
 
 
+def test_bag_twin_fusion_never_leaks(spark):
+    """Chained bag surgery composes on the hidden map twin — the twin
+    columns must never appear in any user-visible output, across both
+    twin-preserving stages (where/extend/project) and column-reshaping
+    ones (summarize, mv-expand), and fused accessor reads must equal
+    the unfused VARIANT path walk."""
+    import json
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, "y", 3.0)], "id int, s string, v double")
+    q = (
+        "T | extend b = bag_merge(bag_pack('t', s, 'v', v),"
+        " bag_pack('v', -1.0, 'u', id))"
+        " | extend b2 = bag_set_key(b, 'w', v * 2)"
+        " | where isnotnull(b.t)"
+        " | project id, t = tostring(b.t), w = todouble(b2.w),"
+        " j = tostring(b2)"
+    )
+    out = kql(df, q)
+    assert not [c for c in out.columns if c.startswith("__bag_twin__")]
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].t == "x" and rows[1].w == 4.0
+    assert json.loads(rows[1].j) == {"t": "x", "v": 2.0, "u": 1, "w": 4.0}
+    # reshaping stage after an extend that created twins
+    agg = kql(
+        df,
+        "T | extend b = bag_pack('t', s) | extend t2 = tostring(b.t)"
+        " | summarize n = count() by t2 | order by t2 asc")
+    assert not [c for c in agg.columns if c.startswith("__bag_twin__")]
+    assert [(r.t2, r.n) for r in agg.collect()] == [("x", 1), ("y", 1)]
+    # reassigning a twinned name to a non-bag drops the stale twin
+    re2 = kql(
+        df,
+        "T | extend b = bag_pack('a', id) | extend b = id * 10"
+        " | project id, b")
+    assert [tuple(r) for r in re2.orderBy("id").collect()] == [
+        (1, 10), (2, 20)]
+
+
 def test_dcount_intersect(spark):
     df = spark.createDataFrame(
         [("a", i) for i in range(10)] + [("b", i) for i in range(5, 12)]
