@@ -1144,9 +1144,10 @@ def q_kql_text_scan_declare(spark: SparkSession, sf_dir: str) -> DataFrame:
     values from each `click` up to the first `purchase`, with the
     closing step gated ON the accumulated state (`spend >= 100` — a
     prefix-dependent predicate no window can express). Aggregated to
-    per-step counts/sums so the output is small and stable. No SQL
-    oracle (same rows-only standing as kql_text_scan_matches); exact
-    semantics pinned by test_scan_declare_property_vs_reference."""
+    per-step counts/sums so the output is small and stable. General
+    `scan` has no SQL oracle, but THIS program unrolls into a
+    recursive-CTE prefix machine — see its `oracle_sql()` entry; exact
+    semantics also pinned by test_scan_declare_property_vs_reference."""
     from otel_arrow_spark.operators.kql_parser import kql
 
     (events,) = _tables(spark, sf_dir, "events")
@@ -4170,6 +4171,65 @@ GROUP BY 1, 2, 3, 4, 5
             "AVG((value - 50.0) / 50.0) AS avg_nv "
             "FROM events WHERE value > 10.0 GROUP BY event_type"
         ),
+        # scan declare(...) — general `scan` is not SQL-expressible (a
+        # row's state depends on the whole prefix), but THIS program's
+        # state machine (per-user running click spend, close on the
+        # first purchase once spend >= 100, then reset) unrolls into a
+        # recursive CTE advancing every user one event per iteration
+        # (max events/user iterations — bounded at oracle scale).
+        "kql_text_scan_declare": """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+),
+m AS (
+  SELECT user_id, 0 AS rn,
+         CAST(0 AS DOUBLE) AS spend, CAST(0 AS BIGINT) AS n_ev,
+         FALSE AS active,
+         CAST(NULL AS VARCHAR) AS emit_step,
+         CAST(NULL AS DOUBLE) AS emit_spend,
+         CAST(NULL AS BIGINT) AS emit_n_ev
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  UNION ALL
+  SELECT e.user_id, e.rn,
+    CASE WHEN m.active AND m.spend >= 100 AND e.event_type = 'purchase'
+           THEN 0
+         WHEN e.event_type = 'click'
+           THEN (CASE WHEN m.active THEN m.spend ELSE 0 END) + e.value
+         ELSE m.spend END,
+    CASE WHEN m.active AND m.spend >= 100 AND e.event_type = 'purchase'
+           THEN 0
+         WHEN e.event_type = 'click'
+           THEN (CASE WHEN m.active THEN m.n_ev ELSE 0 END) + 1
+         ELSE m.n_ev END,
+    CASE WHEN m.active AND m.spend >= 100 AND e.event_type = 'purchase'
+           THEN FALSE
+         WHEN e.event_type = 'click' THEN TRUE
+         ELSE m.active END,
+    CASE WHEN m.active AND m.spend >= 100 AND e.event_type = 'purchase'
+           THEN 'closed'
+         WHEN e.event_type = 'click' THEN 'opened'
+         ELSE NULL END,
+    CASE WHEN m.active AND m.spend >= 100 AND e.event_type = 'purchase'
+           THEN m.spend
+         WHEN e.event_type = 'click'
+           THEN (CASE WHEN m.active THEN m.spend ELSE 0 END) + e.value
+         ELSE NULL END,
+    CASE WHEN m.active AND m.spend >= 100 AND e.event_type = 'purchase'
+           THEN m.n_ev + 1
+         WHEN e.event_type = 'click'
+           THEN (CASE WHEN m.active THEN m.n_ev ELSE 0 END) + 1
+         ELSE NULL END
+  FROM m JOIN ev e ON e.user_id = m.user_id AND e.rn = m.rn + 1
+)
+SELECT emit_step AS step, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(emit_spend), 4) AS total_spend,
+       CAST(SUM(emit_n_ev) AS BIGINT) AS total_ev
+FROM m WHERE emit_step IS NOT NULL
+GROUP BY 1
+""",
         "kql_text_parse_where": (
             "SELECT regexp_extract(text, '^.*?scan (.*?) .*', 1) AS nxt, "
             "COUNT(*) AS n FROM documents "
