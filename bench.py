@@ -147,7 +147,7 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
         "pipeline_sec": round(pipe_dt, 4),
-        "pipeline_turns": n_turns,
+        "pipeline_rows": n_turns,  # input row count of the e2e pipeline leg
         "turns_per_sec": round(n_turns / pipe_dt, 1) if pipe_dt > 0 else None,
     }
     out["regressions"] = regressions_vs_floor(timings)

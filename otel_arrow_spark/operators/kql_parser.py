@@ -6347,11 +6347,25 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         name, _, typ = s.partition(":")
                         specs.append((name, typ or "string"))
                 else:
+                    # implicit key inference: every distinct key becomes
+                    # a column, so the discovery is bounded — an
+                    # adversarial high-cardinality bag would otherwise
+                    # OOM the driver AND produce an absurd schema. A
+                    # clear error beats both; pass explicit keys (the
+                    # scale path) when a bag legitimately has many.
+                    max_keys = 1000
                     keyrows = (
                         df.select(F.explode(F.json_object_keys(
                             F.to_json(bag.col))).alias("k"))
-                        .distinct().collect()
+                        .distinct().limit(max_keys + 1).collect()
                     )
+                    if len(keyrows) > max_keys:
+                        raise KqlError(
+                            f"bag_unpack({src}) found more than "
+                            f"{max_keys} distinct keys — pass an "
+                            "explicit key list: bag_unpack(expr, "
+                            '"k1", "k2", …)'
+                        )
                     specs = sorted((r.k, "string") for r in keyrows)
                 clash = [n for n, _ in specs if n in df.columns]
                 if clash:

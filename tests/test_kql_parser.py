@@ -863,6 +863,18 @@ def test_evaluate_bag_unpack(spark):
         kql(df, "T | evaluate bag_unpack(props)")
 
 
+def test_bag_unpack_key_discovery_bounded(spark):
+    # implicit key inference over an adversarial bag (a distinct key
+    # per row, > the 1000-key cap) must raise a clear error pointing
+    # at the explicit-key form instead of collecting unbounded keys /
+    # exploding the schema
+    df = spark.range(1100).selectExpr(
+        "cast(id as string) as id",
+        "to_json(map(concat('k', id), id)) as props")
+    with pytest.raises(KqlError, match="explicit key list"):
+        kql(df, "T | evaluate bag_unpack(parse_json(props))")
+
+
 def test_as_and_getschema(spark):
     df = spark.createDataFrame(
         [("a", 1), ("b", 2), ("b", 3)], "k string, v int")
