@@ -1315,6 +1315,26 @@ def q_kql_basket3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_basket_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate basket(0.01)` over a FOUR-column projection — the
+    arbitrary-itemset-size path (two-pass FP-growth shape: frequent
+    single items broadcast, per-row bitmask explode of frequent-item
+    subsets, one shuffle on the canonical itemset array): all singles,
+    pairs, triples AND quadruples above the support floor, NULL-wildcard
+    output shape."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        "documents | project lang,"
+        ' size_bucket = iff(n_chars > 600, "big", "small"),'
+        ' parity = iff(doc_id % 2 == 0, "even", "odd"),'
+        ' tri = strcat("m", tostring(n_chars % 3))'
+        " | evaluate basket(0.01)",
+    )
+
+
 def q_kql_diffpatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate diffpatterns` — cohort comparison (English vs
     non-English documents) over the (source, lang) projection: per
@@ -1357,6 +1377,23 @@ def q_kql_diffpatterns_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents,
         "documents | project source, lang"
         ' | evaluate diffpatterns(lang == "en", 2)',
+    )
+
+
+def q_kql_diffpatterns_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate diffpatterns(pred, 3)` — cohort comparison over
+    ARBITRARY column subsets (size ≤ 3 here, all 7 subsets of the
+    3-column projection): the single-shuffle bitmask-explode path —
+    every row fans out to its subsets via a constant-folded mask list,
+    one grouped conditional aggregation covers every pattern."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        "documents | project source, lang,"
+        ' parity = iff(n_chars % 2 == 0, "even", "odd")'
+        ' | evaluate diffpatterns(lang == "en", 3)',
     )
 
 
@@ -3538,9 +3575,11 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_has_term": q_kql_has_term,
         "kql_toscalar": q_kql_toscalar,
         "kql_basket": q_kql_basket,
+        "kql_basket_fp": q_kql_basket_fp,
         "kql_ipv4": q_kql_ipv4,
         "kql_diffpatterns": q_kql_diffpatterns,
         "kql_diffpatterns_pairs": q_kql_diffpatterns_pairs,
+        "kql_diffpatterns_subsets": q_kql_diffpatterns_subsets,
         "kql_autocluster": q_kql_autocluster,
         "kql_series_anomalies": q_kql_series_anomalies,
         "kql_series_fir": q_kql_series_fir,
@@ -4433,6 +4472,41 @@ GROUP BY 1
             "- count_b / CAST(tb AS DOUBLE), 6) AS diff "
             "FROM u CROSS JOIN t"
         ),
+        # arbitrary column subsets (size <= 3): CUBE enumerates every
+        # grouping; pattern/value render by GROUPING() flags in the
+        # engine's canonical projected-column order
+        "kql_diffpatterns_subsets": (
+            "WITH b AS (SELECT source, lang, CASE WHEN n_chars % 2 = 0 "
+            "THEN 'even' ELSE 'odd' END AS parity, (lang = 'en') AS s "
+            "FROM documents), "
+            "t AS (SELECT greatest(CAST(SUM(CASE WHEN s THEN 1 ELSE 0 "
+            "END) AS BIGINT), 1) AS ta, "
+            "greatest(CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) "
+            "AS BIGINT), 1) AS tb FROM b), "
+            "u AS (SELECT "
+            "concat_ws('&', "
+            "CASE WHEN GROUPING(source) = 0 THEN 'source' END, "
+            "CASE WHEN GROUPING(lang) = 0 THEN 'lang' END, "
+            "CASE WHEN GROUPING(parity) = 0 THEN 'parity' END) "
+            "AS pattern_column, "
+            "concat_ws('&', "
+            "CASE WHEN GROUPING(source) = 0 THEN "
+            "COALESCE(CAST(source AS VARCHAR), '~null~') END, "
+            "CASE WHEN GROUPING(lang) = 0 THEN "
+            "COALESCE(CAST(lang AS VARCHAR), '~null~') END, "
+            "CASE WHEN GROUPING(parity) = 0 THEN "
+            "COALESCE(CAST(parity AS VARCHAR), '~null~') END) AS value, "
+            "CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS count_a, "
+            "CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS count_b FROM b GROUP BY CUBE(source, lang, parity)) "
+            "SELECT pattern_column, value, count_a, count_b, "
+            "ROUND(count_a / CAST(ta AS DOUBLE), 6) AS pct_a, "
+            "ROUND(count_b / CAST(tb AS DOUBLE), 6) AS pct_b, "
+            "ROUND(count_a / CAST(ta AS DOUBLE) "
+            "- count_b / CAST(tb AS DOUBLE), 6) AS diff "
+            "FROM u CROSS JOIN t WHERE pattern_column <> ''"
+        ),
         "kql_ipv4": (
             # ground-truth oracle: derives the expected classification
             # from the generator arithmetic, independent of any IP
@@ -4491,6 +4565,26 @@ GROUP BY 1
             "CAST(source AS VARCHAR), CAST(size_bucket AS VARCHAR), "
             "COUNT(*) FROM d GROUP BY lang, source, size_bucket "
             "HAVING COUNT(*) >= (SELECT t FROM th)"
+        ),
+        # arbitrary-size itemsets: CUBE enumerates every column subset
+        # (the all-wildcard grouping excluded); no input column is NULL,
+        # so a NULL output cell is exactly a wildcard position
+        "kql_basket_fp": (
+            "WITH d AS (SELECT lang, CASE WHEN n_chars > 600 THEN 'big' "
+            "ELSE 'small' END AS size_bucket, CASE WHEN doc_id % 2 = 0 "
+            "THEN 'even' ELSE 'odd' END AS parity, "
+            "'m' || CAST(n_chars % 3 AS VARCHAR) AS tri FROM documents), "
+            "th AS (SELECT greatest(CAST(trunc(COUNT(*) * 0.01) "
+            "AS BIGINT), 1) AS t FROM d) "
+            "SELECT CAST(lang AS VARCHAR) AS lang, "
+            "CAST(size_bucket AS VARCHAR) AS size_bucket, "
+            "CAST(parity AS VARCHAR) AS parity, "
+            "CAST(tri AS VARCHAR) AS tri, "
+            "CAST(COUNT(*) AS BIGINT) AS support_count "
+            "FROM d GROUP BY CUBE(lang, size_bucket, parity, tri) "
+            "HAVING COUNT(*) >= (SELECT t FROM th) "
+            "AND NOT (lang IS NULL AND size_bucket IS NULL "
+            "AND parity IS NULL AND tri IS NULL)"
         ),
         "kql_series_periods": (
             "WITH r AS (SELECT event_type, ts FROM events "

@@ -5212,50 +5212,106 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             mbsk = re.match(r"^basket\s*\(\s*([0-9.]*)\s*\)\s*$", rest)
             if mbsk:
                 # `evaluate basket(SupportFrac)` — frequent itemset
-                # mining over the (categorical) input columns, the
-                # Kusto basket plugin restricted to itemsets of size
-                # ≤ 3 (exhaustive column combos stay tractable without
-                # an FP-tree at basket's usual narrow projections:
-                # C(k,3) map-side-combinable aggregations of the one
-                # persisted input; at high k you'd add the Apriori
-                # prune — only extend column pairs that produced a
-                # frequent pair). NULL in the output marks a wildcard
-                # position (Kusto's shape). The row total is a 1-value
-                # driver aggregate (toscalar shape).
+                # mining over the (categorical) input columns at
+                # ARBITRARY itemset size, two-pass FP-growth-shaped:
+                #
+                #   pass 1 (Apriori base): ONE melt + aggregate finds
+                #     the frequent single (column, value) items; the
+                #     driver collect is bounded (≤ ncols/frac items can
+                #     clear the support floor) and broadcasts back as
+                #     literal isin lists;
+                #   pass 2: each row keeps only its frequent items
+                #     (anti-monotonicity: every member of a frequent
+                #     itemset is itself frequent, so nothing is lost),
+                #     then a bitmask explode emits the row's 2^m − 1
+                #     sub-itemsets (m ≤ ncols ≤ 12 — Kusto's own
+                #     MaxDimensions default is 5) and ONE shuffle on
+                #     the canonical column-ordered itemset array
+                #     counts supports.
+                #
+                # NULL in the output marks a wildcard position (Kusto's
+                # shape); a genuinely-NULL frequent value is kept as an
+                # item via an internal marker and renders as NULL too
+                # (same ambiguity as the plain groupBy it replaces).
                 frac = float(mbsk.group(1) or 0.05)
-                # persist the (already-projected) input across the leg
-                # loop: every leg is a full aggregation of the SAME
-                # relation, and without the persist each one replays
-                # the source scan + upstream stages. The total-count
-                # action doubles as the cache-warming pass; released by
-                # release_caches() after the consuming action.
-                from itertools import combinations
-
                 from otel_arrow_spark.dataops.dedup import (
                     persist_registered,
                 )
 
+                cols = df.columns
+                if len(cols) > 12:
+                    raise KqlError(
+                        "basket supports at most 12 input columns — "
+                        "project the candidate dimensions first"
+                    )
+                # persist the (already-projected) input across the two
+                # passes; the total-count action doubles as the
+                # cache-warming pass; released by release_caches().
                 df = persist_registered(df)
                 total = df.count()
                 thresh = max(int(total * frac), 1)
-                cols = df.columns
-                legs = []
-                for size in (1, 2, 3):
-                    for keys in combinations(cols, size):
-                        leg = (
-                            df.groupBy(*keys)
-                            .agg(F.count(F.lit(1)).alias("support_count"))
-                            .filter(F.col("support_count") >= thresh)
+                nullm = "\x00null\x00"
+                sv = [
+                    F.coalesce(F.col(c).cast("string"), F.lit(nullm))
+                    for c in cols
+                ]
+                freq_rows = (
+                    df.select(F.explode(F.array(*[
+                        F.struct(F.lit(i).alias("ci"), v.alias("v"))
+                        for i, v in enumerate(sv)])).alias("it"))
+                    .groupBy("it.ci", "it.v")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n") >= thresh)
+                    .collect()
+                )
+                freq: dict[int, list[str]] = {}
+                for r in freq_rows:
+                    freq.setdefault(r.ci, []).append(r.v)
+                if not freq:
+                    df = df.limit(0).select(
+                        *[F.col(c).cast("string").alias(c)
+                          for c in cols],
+                        F.lit(0).cast("long").alias("support_count"),
+                    )
+                    continue
+                row_items = F.filter(
+                    F.array(*[
+                        F.when(
+                            sv[i].isin(freq[i]),
+                            F.struct(F.lit(i).alias("ci"),
+                                     sv[i].alias("v")),
                         )
-                        legs.append(leg.select(*[
-                            (F.col(c).cast("string") if c in keys
-                             else F.lit(None).cast("string")).alias(c)
-                            for c in cols
-                        ] + [F.col("support_count")]))
-                out = legs[0]
-                for leg in legs[1:]:
-                    out = out.unionByName(leg)
-                df = out
+                        for i in sorted(freq)
+                    ]),
+                    lambda x: x.isNotNull(),
+                )
+                counted = (
+                    df.select(row_items.alias("__items"))
+                    .filter(F.size("__items") > 0)
+                    .select(
+                        "__items",
+                        F.expr(
+                            "explode(sequence(1, "
+                            "shiftleft(1, size(__items)) - 1))"
+                        ).alias("__mask"),
+                    )
+                    .select(F.expr(
+                        "filter(__items, (x, i) -> "
+                        "(shiftright(__mask, i) & 1) = 1)"
+                    ).alias("__set"))
+                    .groupBy("__set")
+                    .agg(F.count(F.lit(1)).alias("support_count"))
+                    .filter(F.col("support_count") >= thresh)
+                )
+                bm = F.map_from_entries("__set")
+                df = counted.select(*[
+                    F.when(
+                        F.try_element_at(bm, F.lit(i)) == nullm,
+                        F.lit(None).cast("string"),
+                    ).otherwise(F.try_element_at(bm, F.lit(i)))
+                    .alias(c)
+                    for i, c in enumerate(cols)
+                ] + [F.col("support_count")])
                 continue
             mac = re.match(r"^autocluster\s*\(\s*([0-9.]*)\s*\)\s*$", rest)
             if mac:
@@ -6236,19 +6292,20 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             mdp = re.match(r"^diffpatterns\s*\((.+)\)\s*$", rest, re.S)
             if mdp:
                 # `evaluate diffpatterns(split_pred [, max_size])` —
-                # the Kusto cohort-comparison plugin restricted to
-                # patterns of 1 column (default) or, with max_size=2,
-                # 1 and 2 columns: for every (column[, column]) value
-                # combination of the input's non-split columns, report
+                # the Kusto cohort-comparison plugin: for every column
+                # subset of size ≤ max_size (default 1) of the input's
+                # non-split columns, report per-value-combination
                 # counts and cohort fractions in the split=true (A) vs
-                # split=false (B) cohorts, with the fraction delta. One
-                # conditional aggregation per leg — each map-side
-                # combinable, long-form stacked output (the facet
-                # shape; a pair pattern renders as pattern_column
-                # "c1&c2" with '&'-joined values, NULLs marked). The
-                # projected input is persisted across the leg loop (the
-                # cohort-total action warms it); released via
-                # release_caches().
+                # split=false (B) cohorts, with the fraction delta.
+                # max_size ≤ 2 runs one map-side-combinable conditional
+                # aggregation per leg; max_size ≥ 3 switches to a
+                # single-shuffle bitmask-explode over all subsets
+                # (bounded by an 8-column cap). Long-form stacked
+                # output (the facet shape; a multi-column pattern
+                # renders as pattern_column "c1&c2…" with '&'-joined
+                # values, NULLs marked). The projected input is
+                # persisted across the passes (the cohort-total action
+                # warms it); released via release_caches().
                 dp_parts = _split_commas(mdp.group(1))
                 if len(dp_parts) > 2:
                     raise KqlError(
@@ -6256,9 +6313,10 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     )
                 max_size = 1
                 if len(dp_parts) == 2:
-                    if dp_parts[1].strip() not in ("1", "2"):
+                    if not re.fullmatch(r"[1-9]\d*", dp_parts[1].strip()):
                         raise KqlError(
-                            "diffpatterns max_size must be 1 or 2"
+                            "diffpatterns max_size must be a positive "
+                            "integer"
                         )
                     max_size = int(dp_parts[1])
                 from otel_arrow_spark.dataops.dedup import (
@@ -6297,6 +6355,78 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         )
                     )
 
+                if max_size > 2:
+                    # arbitrary-subset mining, ONE shuffle: each row
+                    # explodes into its column subsets of size ≤
+                    # max_size via a constant-folded bitmask list
+                    # (Σ C(ncols, k) per row — hence the explicit
+                    # column cap), then a single grouped conditional
+                    # aggregation on the canonical column-ordered
+                    # subset array covers every pattern at once.
+                    dpcols = df.columns
+                    if len(dpcols) > 8:
+                        raise KqlError(
+                            "diffpatterns with max_size > 2 supports "
+                            "at most 8 input columns — project the "
+                            "candidate dimensions first"
+                        )
+                    nmc = len(dpcols)
+                    names_arr = F.array(*[F.lit(c) for c in dpcols])
+                    items = F.array(*[
+                        F.struct(F.lit(i).alias("ci"),
+                                 F.col(c).cast("string").alias("v"))
+                        for i, c in enumerate(dpcols)
+                    ])
+                    sub = (
+                        base.select(items.alias("__items"), "_split")
+                        .select(
+                            "__items", "_split",
+                            F.expr(
+                                f"explode(filter(sequence(1, "
+                                f"shiftleft(1, {nmc}) - 1), mk -> "
+                                f"bit_count(mk) <= {max_size}))"
+                            ).alias("__mask"),
+                        )
+                        .select(
+                            "_split",
+                            F.expr(
+                                "filter(__items, (x, i) -> "
+                                "(shiftright(__mask, i) & 1) = 1)"
+                            ).alias("__set"),
+                        )
+                        .groupBy("__set")
+                        .agg(na.alias("count_a"), nb.alias("count_b"))
+                    )
+                    setc = F.col("__set")
+                    pat = F.array_join(
+                        F.transform(
+                            setc,
+                            lambda x: F.element_at(names_arr,
+                                                   x["ci"] + 1)),
+                        "&")
+                    val = F.when(
+                        F.size(setc) == 1, F.element_at(setc, 1)["v"]
+                    ).otherwise(F.array_join(
+                        F.transform(
+                            setc,
+                            lambda x: F.coalesce(x["v"],
+                                                 F.lit("~null~"))),
+                        "&"))
+                    df = sub.select(
+                        pat.alias("pattern_column"),
+                        val.alias("value"),
+                        "count_a",
+                        "count_b",
+                        F.round(F.col("count_a") / F.lit(ta), 6)
+                        .alias("pct_a"),
+                        F.round(F.col("count_b") / F.lit(tb), 6)
+                        .alias("pct_b"),
+                        F.round(
+                            F.col("count_a") / F.lit(ta)
+                            - F.col("count_b") / F.lit(tb), 6
+                        ).alias("diff"),
+                    )
+                    continue
                 legs = [
                     _dp_leg(F.lit(c), F.col(c).cast("string"), [c])
                     for c in df.columns

@@ -1636,6 +1636,38 @@ def test_evaluate_diffpatterns(spark):
     assert rows[("status", "err")].pct_a == 1.0
 
 
+def test_evaluate_diffpatterns_subsets(spark):
+    # max_size >= 3 takes the single-shuffle bitmask-explode path:
+    # every column subset up to the cap, '&'-joined names/values in
+    # canonical column order, NULL values ~null~-marked in multi-column
+    # patterns but raw in single-column ones (leg-path parity)
+    df = spark.createDataFrame(
+        [("x", "p", None, "err")] * 4 + [("x", "q", "m", "ok")] * 2
+        + [("y", "p", "m", "ok")] * 2,
+        "k string, s string, t string, status string",
+    )
+    out = kql(df, 'T | evaluate diffpatterns(status == "err", 3)')
+    rows = {
+        (r.pattern_column, r.value): (r.count_a, r.count_b)
+        for r in out.collect()
+    }
+    assert rows[("k", "x")] == (4, 2)
+    assert rows[("k&s", "x&p")] == (4, 0)
+    assert rows[("k&s&t", "x&p&~null~")] == (4, 0)   # null marked
+    assert rows[("k&s&t", "y&p&m")] == (0, 2)
+    assert rows[("t", None)] == (4, 0)               # single: raw null
+    assert ("k&s&t&status", "x&p&~null~&err") not in rows  # size cap
+    # pct/diff arithmetic matches the leg path
+    r4 = {(r.pattern_column, r.value): r for r in out.collect()}[
+        ("k&s", "x&p")]
+    assert r4.pct_a == 1.0 and r4.pct_b == 0.0 and r4.diff == 1.0
+    with pytest.raises(KqlError, match="8 input columns"):
+        wide = spark.createDataFrame(
+            [tuple("v" for _ in range(9))],
+            ", ".join(f"c{i} string" for i in range(9)))
+        kql(wide, 'T | evaluate diffpatterns(c0 == "v", 3)')
+
+
 def test_series_fill_const(spark):
     df = spark.createDataFrame([(1,)], "id int")
     r = kql(
@@ -2631,6 +2663,38 @@ def test_evaluate_basket_triples(spark):
     assert ("a", None, None, 7) in rows
     assert ("a", "x", None, 7) in rows
     assert (None, "x", "p", 5) in rows
+
+
+def test_evaluate_basket_arbitrary_size(spark):
+    # the FP-growth-shaped path: itemsets of size 4 (and every smaller
+    # subset) surface above the support floor; an infrequent ITEM never
+    # appears in any itemset (Apriori prune); null values group as
+    # items and render as NULL, same as the groupBy they replace
+    df = spark.createDataFrame(
+        [("a", "x", "p", "1")] * 4 + [("a", "x", "p", "2")] * 3
+        + [("b", "y", "q", None)] * 3,
+        "k string, s string, t string, u string",
+    )
+    rows = {
+        (r.k, r.s, r.t, r.u, r.support_count)
+        for r in kql(df, "T | evaluate basket(0.3)").collect()
+    }
+    assert ("a", "x", "p", "1", 4) in rows      # quadruple
+    assert ("a", "x", "p", "2", 3) in rows      # quadruple at the floor
+    assert ("a", "x", "p", None, 7) in rows     # triple (wildcard u)
+    assert ("b", "y", "q", None, 3) in rows     # null u grouped as item
+    assert not any(r[4] < 3 for r in rows)
+    # every item of every itemset is itself frequent (anti-monotone)
+    singles = {(r[0], r[1], r[2], r[3]) for r in rows
+               if sum(v is not None for v in r[:4]) == 1}
+    assert ("a", None, None, None) in singles
+    assert ("b", None, None, None) in singles
+    # infrequent threshold check: 12-column cap raises clearly
+    wide = spark.createDataFrame([tuple("v" for _ in range(13))],
+                                 ", ".join(f"c{i} string"
+                                           for i in range(13)))
+    with pytest.raises(KqlError, match="12 input columns"):
+        kql(wide, "T | evaluate basket(0.3)")
 
 
 def test_array_manipulation_fns(spark):
