@@ -2093,6 +2093,65 @@ def q_kql_scalar_suite6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_suite7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replace_regex (RE2 \\1 backrefs → Java $1, global), regex_quote,
+    isascii, make_timespan→format_timespan, base64_decode_toarray
+    (byte values), ipv4_compare (±prefix), column_ifexists (present +
+    missing), and @verbatim string literals — all in one pass over
+    events."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        'events'
+        ' | extend ip1 = strcat(tostring(user_id % 200), ".",'
+        ' tostring(event_id % 256), ".1.", tostring(event_id % 250)),'
+        ' ip2 = strcat(tostring(user_id % 200), ".",'
+        ' tostring(event_id % 256), ".1.0")'
+        ' | extend rr = replace_regex(event_type, @"([aeiou])", @"<\\1>"),'
+        ' rq = regex_quote(strcat(event_type, ".*")),'
+        ' ok = isascii(event_type),'
+        ' fts = format_timespan(make_timespan(event_id % 3,'
+        ' event_id % 24, event_id % 60, event_id % 60), "d.hh:mm:ss"),'
+        ' arr = base64_decode_toarray(base64_encode_tostring(event_type)),'
+        ' cmp24 = ipv4_compare(ip1, ip2, 24),'
+        ' cmp32 = ipv4_compare(ip1, ip2),'
+        ' cie = column_ifexists("event_type", "zz"),'
+        ' cie2 = column_ifexists("no_such_col", strcat(event_type, "!"))'
+        ' | summarize cnt = count(), d_rr = dcount(rr), mn_rq = min(rq),'
+        ' mx_fts = max(fts), s_n = sum(array_length(arr)),'
+        ' s_fb = sum(tolong(arr[0])), n24 = countif(cmp24 == 0),'
+        ' n32 = countif(cmp32 == 0), na = countif(ok), d2 = dcount(cie2)'
+        ' by cie'
+        ' | order by cie asc',
+    )
+
+
+def q_kql_agg_suite4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """covariance/covariancep/covarianceif (rounded 4dp before the
+    hash — float aggregates never compare raw cross-engine),
+    count_distinct/count_distinctif (exact), make_list_with_nulls
+    (length counts NULL entries; make_list drops them)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend g = user_id % 7,"
+        " x = value, y = event_id % 100,"
+        " s = iff(value < 5.0, event_type, string(null))"
+        " | summarize cov = round(covariance(x, y), 4),"
+        " covp = round(covariancep(x, y), 4),"
+        " ci = round(covarianceif(x, y, event_id % 2 == 0), 4),"
+        " cd = count_distinct(event_type),"
+        " cdi = count_distinctif(event_type, event_id % 3 == 0),"
+        " nln = array_length(make_list_with_nulls(s)),"
+        " nl = array_length(make_list(s)) by g"
+        " | order by g asc",
+    )
+
+
 def q_kql_row_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``row_window_session(ts, 0, 1h)`` — per-row session-start
     timestamps over per-user serialized order (lag nested in a running
@@ -3490,6 +3549,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_set_functions", "kql_percentilesw_array", "kql_bag_has_key",
     "kql_has_any_all", "kql_activity_counts", "kql_new_activity_metrics",
     "dedup_clusters_star", "text_tfidf_keywords",
+    "kql_scalar_suite7", "kql_agg_suite4",
 )
 
 
@@ -3626,6 +3686,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_mv_expand_itemindex": q_kql_mv_expand_itemindex,
         "kql_row_window_session": q_kql_row_window_session,
         "kql_scalar_suite6": q_kql_scalar_suite6,
+        "kql_scalar_suite7": q_kql_scalar_suite7,
+        "kql_agg_suite4": q_kql_agg_suite4,
         "kql_pack_all": q_kql_pack_all,
         "kql_arg_max_star": q_kql_arg_max_star,
         "kql_set_functions": q_kql_set_functions,
@@ -4889,6 +4951,54 @@ GROUP BY 1
             "MIN(fb) AS mnf, MAX(fb) AS mxf, "
             "CAST(COUNT(*) AS BIGINT) AS nu "
             "FROM f GROUP BY t ORDER BY f0"
+        ),
+        "kql_scalar_suite7": (
+            "WITH b AS (SELECT event_type AS et, event_id % 250 AS o4, "
+            "event_id AS eid, "
+            "regexp_replace(event_type, '([aeiou])', '<\\1>', 'g') "
+            "AS rr, "
+            "regexp_replace(event_type || '.*', "
+            "'([.^$*+?()\\[\\]{}|\\\\])', '\\\\\\1', 'g') AS rq, "
+            "NOT regexp_matches(event_type, '[^\\x00-\\x7f]') AS ok, "
+            "printf('%d.%02d:%02d:%02d', "
+            "CAST((eid % 3) * 86400 + (eid % 24) * 3600 "
+            "+ (eid % 60) * 60 + eid % 60 AS BIGINT) // 86400, "
+            "(CAST((eid % 3) * 86400 + (eid % 24) * 3600 "
+            "+ (eid % 60) * 60 + eid % 60 AS BIGINT) // 3600) % 24, "
+            "(CAST((eid % 3) * 86400 + (eid % 24) * 3600 "
+            "+ (eid % 60) * 60 + eid % 60 AS BIGINT) // 60) % 60, "
+            "CAST((eid % 3) * 86400 + (eid % 24) * 3600 "
+            "+ (eid % 60) * 60 + eid % 60 AS BIGINT) % 60) AS fts, "
+            "octet_length(encode(event_type)) AS n_bytes, "
+            "ascii(substr(event_type, 1, 1)) AS fb "
+            "FROM events) "
+            "SELECT et AS cie, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(COUNT(DISTINCT rr) AS BIGINT) AS d_rr, "
+            "MIN(rq) AS mn_rq, MAX(fts) AS mx_fts, "
+            "CAST(SUM(n_bytes) AS BIGINT) AS s_n, "
+            "CAST(SUM(fb) AS BIGINT) AS s_fb, "
+            "CAST(COUNT(*) AS BIGINT) AS n24, "
+            "CAST(SUM(CASE WHEN o4 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n32, "
+            "CAST(COUNT(*) AS BIGINT) AS na, "
+            "CAST(1 AS BIGINT) AS d2 "
+            "FROM b GROUP BY et ORDER BY cie"
+        ),
+        "kql_agg_suite4": (
+            "SELECT user_id % 7 AS g, "
+            "round(covar_samp(value, event_id % 100), 4) AS cov, "
+            "round(covar_pop(value, event_id % 100), 4) AS covp, "
+            "round(covar_samp("
+            "CASE WHEN event_id % 2 = 0 THEN value END, "
+            "CASE WHEN event_id % 2 = 0 THEN event_id % 100 END), 4) "
+            "AS ci, "
+            "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS cd, "
+            "CAST(COUNT(DISTINCT CASE WHEN event_id % 3 = 0 "
+            "THEN event_type END) AS BIGINT) AS cdi, "
+            "CAST(COUNT(*) AS INTEGER) AS nln, "
+            "CAST(COUNT(CASE WHEN value < 5.0 THEN 1 END) AS INTEGER) "
+            "AS nl "
+            "FROM events GROUP BY 1 ORDER BY g"
         ),
         "kql_row_window_session": (
             "WITH l AS (SELECT user_id, CASE WHEN epoch(ts) - "

@@ -90,6 +90,7 @@ _TOKEN_RE = re.compile(
   | (?P<datetime>datetime\(\s*[^)]*\))
   | (?P<timespan>\d+(?:\.\d+)?(?:ms|d|h|m|s)\b)
   | (?P<number>0[xX][0-9a-fA-F]+|\d+\.\d+|\d+)
+  | (?P<vstring>@"[^"]*"|@'[^']*')              # verbatim (no escapes)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<op>=~|!~|==|!=|<=|>=|\.\.|<|>|\+|-|\*|/|%|=|\(|\)|\[|\]|\{|\}|,|:|;|\.)
   | (?P<bang_ident>![a-zA-Z_][a-zA-Z0-9_]*~?)  # !in, !in~, !contains…
@@ -114,6 +115,14 @@ def tokenize(s: str) -> list[Tok]:
         i = m.end()
         kind = m.lastgroup
         if kind == "ws":
+            continue
+        if kind == "vstring":
+            # Kusto verbatim string @"…" — backslashes are literal.
+            # Normalize to an ordinary escaped string token so every
+            # downstream consumer (_unquote included) works unchanged.
+            body = m.group()[2:-1]
+            esc = body.replace("\\", "\\\\").replace('"', '\\"')
+            out.append(Tok("string", '"' + esc + '"'))
             continue
         out.append(Tok(kind, m.group()))
     out.append(Tok("eof", ""))
@@ -1011,6 +1020,20 @@ def _orderable_type(dt) -> bool:
     return True
 
 
+def _b64_to_bytes(s: Column) -> Column:
+    """base64 string → array<long> of byte values. Byte-safe (non-UTF8
+    payloads included) via the hex detour: unbase64 → hex string → one
+    long per 2-hex-char pair. Narrow transform, no shuffle."""
+    hx = F.hex(F.unbase64(s))
+    body = F.transform(
+        F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+        lambda i: F.conv(F.substring(hx, i * 2 - 1, 2), 16, 10)
+        .cast("bigint"))
+    # sequence(1, 0) counts DOWN — empty input needs the explicit branch
+    return F.when(F.length(hx) == 0,
+                  F.array().cast("array<bigint>")).otherwise(body)
+
+
 _FUNC_MAP_SIMPLE = {
     # text (text_scalar_expression.rs:7-22)
     "strlen": lambda a: F.length(a[0]),
@@ -1136,6 +1159,28 @@ _FUNC_MAP_SIMPLE = {
     ).cast("timestamp_ntz"),
     "base64_encode_tostring": lambda a: F.base64(a[0].cast("binary")),
     "base64_decode_tostring": lambda a: F.unbase64(a[0]).cast("string"),
+    # base64 ↔ dynamic byte-array pair (scalarfunctions.md). The array
+    # form goes through the hex rendering so non-UTF8 bytes survive:
+    # binary → hex pairs → long per byte (and back). Pure codegen.
+    "base64_decode_toarray": lambda a: _b64_to_bytes(a[0]),
+    "base64_encode_fromarray": lambda a: F.base64(F.unhex(F.array_join(
+        F.transform(a[0], lambda b: F.lpad(F.hex(b.cast("bigint")
+                                                 % 256), 2, "0")),
+        ""))),
+    "isascii": lambda a: ~a[0].rlike("[^\\x00-\\x7f]"),
+    # regex_quote: backslash-escape every regex metacharacter (Kusto
+    # returns a pattern matching the literal string). $1 backref with a
+    # literal backslash prefix in the rewrite.
+    "regex_quote": lambda a: F.regexp_replace(
+        a[0], r"([.^$*+?()\[\]{}|\\])", r"\\$1"),
+    # ipv4_compare(a, b[, prefix]) — sign of the numeric difference
+    # under the shared prefix mask; NULL when either side is malformed
+    "ipv4_compare": lambda a: F.signum(
+        (_parse_ipv4_masked(a[0], (a[2] if len(a) > 2 else F.lit(32))
+                            .cast("int"))
+         - _parse_ipv4_masked(a[1], (a[2] if len(a) > 2 else F.lit(32))
+                              .cast("int"))).cast("double")
+    ).cast("bigint"),
     "strcmp": lambda a: F.when(a[0] == a[1], F.lit(0))
     .when(a[0] < a[1], F.lit(-1))
     .when(a[0] > a[1], F.lit(1))
@@ -1478,6 +1523,29 @@ _AGG_MAP = {
     # percentilew(x, weight, p) — exact weighted percentile: smallest x
     # whose cumulative weight reaches p% of the group's total weight
     "percentilew": lambda a: _percentilew(a[0], a[1], a[2]),
+    # covariance family (aggregates.md): sample/population covariance
+    # of two numeric expressions; the *if forms NULL out rows failing
+    # the predicate (covar_* skips pairs with any NULL side — same as
+    # Kusto, which ignores rows where either operand is null)
+    "covariance": lambda a: F.covar_samp(a[0].cast("double"),
+                                         a[1].cast("double")),
+    "covariancep": lambda a: F.covar_pop(a[0].cast("double"),
+                                         a[1].cast("double")),
+    "covarianceif": lambda a: F.covar_samp(
+        F.when(a[2], a[0]).cast("double"),
+        F.when(a[2], a[1]).cast("double")),
+    "covariancepif": lambda a: F.covar_pop(
+        F.when(a[2], a[0]).cast("double"),
+        F.when(a[2], a[1]).cast("double")),
+    # count_distinct / count_distinctif — Kusto's EXACT distinct-count
+    # pair (dcount is the HLL estimate there; here bare dcount is
+    # already exact for oracle hashability, so these are true aliases)
+    "count_distinct": lambda a: F.countDistinct(a[0]),
+    "count_distinctif": lambda a: F.countDistinct(F.when(a[1], a[0])),
+    # make_list_with_nulls — collect_list drops NULLs, so ferry each
+    # value inside a (non-null) struct and unwrap after collection
+    "make_list_with_nulls": lambda a: F.transform(
+        F.collect_list(F.struct(a[0].alias("v"))), lambda s: s["v"]),
 }
 
 
@@ -1536,6 +1604,23 @@ def _pack_all_col(df: DataFrame) -> Column:
     return F.parse_json(F.to_json(F.struct(
         *[F.col(c).alias(c) for c in df.columns
           if not c.startswith(_TWIN_PREFIX)])))
+
+
+def _column_ifexists_col(df: DataFrame, expr: str, pe) -> "Column | None":
+    """``column_ifexists('name', default)`` — the named column when the
+    relation has it, else the default expression. Like pack_all() this
+    needs the stage's column list, so it is substituted at the
+    extend/project layer; returns None when expr is not that form."""
+    m = re.fullmatch(
+        r"column_ifexists\s*\(\s*(?:[\"']([^\"']+)[\"']"
+        r"|([A-Za-z_]\w*))\s*,\s*(.+)\)\s*",
+        expr.strip(), re.S)
+    if not m:
+        return None
+    name = m.group(1) or m.group(2)
+    if name in df.columns:
+        return F.col(name)
+    return pe(m.group(3))
 
 
 # Hidden sibling columns holding the map<string,variant> twin of a bag
@@ -2191,6 +2276,37 @@ class ExprParser:
                 F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(secs)),
                 src,
             )
+        if lname == "make_timespan":
+            # make_timespan([day,] hour, minute[, second]) — Kusto's
+            # three arities map 1:1 onto make_dt_interval
+            if len(args) == 2:
+                d, h, m2, s = (F.lit(0), args[0].col, args[1].col,
+                               F.lit(0.0))
+            elif len(args) == 3:
+                d, h, m2, s = (F.lit(0), args[0].col, args[1].col,
+                               args[2].col)
+            elif len(args) == 4:
+                d, h, m2, s = (a.col for a in args)
+            else:
+                raise KqlError("make_timespan needs 2-4 arguments")
+            return KE(F.make_dt_interval(
+                d.cast("int"), h.cast("int"), m2.cast("int"),
+                s.cast("double")))
+        if lname == "replace_regex":
+            # replace_regex(source, pattern, rewrite) — Kusto rewrites
+            # use RE2 \1 backrefs; Java uses $1. Translate literal
+            # rewrites (protecting literal $); column rewrites pass
+            # through untranslated.
+            if len(args) != 3:
+                raise KqlError(
+                    "replace_regex needs (source, pattern, rewrite)")
+            rw = args[2]
+            if rw.is_lit and isinstance(rw.lit, str):
+                java = rw.lit.replace("$", "\\$")
+                java = re.sub(r"\\(\d)", r"$\1", java)
+                return KE(F.regexp_replace(
+                    args[0].col, args[1].col, F.lit(java)))
+            return KE(F.regexp_replace(args[0].col, args[1].col, rw.col))
         if lname == "datetime_part":
             # datetime_part('part', d) — extract a named date part
             if len(args) != 2:
@@ -3994,6 +4110,10 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 if re.fullmatch(r"pack_all\s*\(\s*\)", expr.strip()):
                     ke = None
                     cols[name] = _pack_all_col(df)
+                elif (cie := _column_ifexists_col(df, expr, pe)) \
+                        is not None:
+                    ke = None
+                    cols[name] = cie
                 else:
                     ke = pek(expr)
                     cols[name] = ke.col
@@ -4013,8 +4133,12 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
         elif op == "project":
             sel = []
             for name, expr in _parse_assignments(rest):
-                c = _pack_all_col(df) if re.fullmatch(
-                    r"pack_all\s*\(\s*\)", expr.strip()) else pe(expr)
+                if re.fullmatch(r"pack_all\s*\(\s*\)", expr.strip()):
+                    c = _pack_all_col(df)
+                else:
+                    c = _column_ifexists_col(df, expr, pe)
+                    if c is None:
+                        c = pe(expr)
                 sel.append(c.alias(name) if name else c)
             df = df.select(*sel)
             bag_twins.clear()  # select() already excluded the twins

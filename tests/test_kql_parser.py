@@ -3249,3 +3249,106 @@ def test_array_split_property_vs_python(spark):
     }
     for i, arr, idxs in cases:
         assert got[i] == ref(arr, idxs), (i, arr, idxs, got[i])
+
+
+def test_verbatim_strings(spark):
+    """@"…" verbatim literals: backslashes are literal characters, no
+    escape processing (Kusto string literals doc). The lexer normalizes
+    them to ordinary escaped tokens, so they work anywhere a string
+    does — including regex args, where they remove the double-escaping
+    burden."""
+    df = spark.createDataFrame([("a.b", r"c:\dir")], "s string, p string")
+    r = kql(df, r'T | project m = extract(@"(\w+)\.(\w+)", 2, s),'
+                r' lit = @"x\ny", eq = iff(p == @"c:\dir", 1, 0)'
+    ).collect()[0]
+    assert r.m == "b"
+    assert r.lit == "x\\ny"  # two chars backslash-n, not a newline
+    assert r.eq == 1
+
+
+def test_replace_regex_and_regex_quote(spark):
+    df = spark.createDataFrame([("ab12cd34",)], "s string")
+    r = kql(df, r'T | project a = replace_regex(s, @"\d+", "#"),'
+                r' b = replace_regex(s, @"(\d+)", @"<\1>"),'
+                r' c = regex_quote("a.b*c|d"),'
+                r' d = replace_regex("x$y", @"\$", "_")').collect()[0]
+    assert r.a == "ab#cd#"
+    assert r.b == "ab<12>cd<34>"
+    assert r.c == r"a\.b\*c\|d"
+    assert r.d == "x_y"
+
+
+def test_make_timespan_and_isascii(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, 'T | project a = tostring(make_timespan(1, 30)),'
+                ' b = tostring(make_timespan(2, 1, 30, 15.5)),'
+                ' c = isascii("hello"), d = isascii("héllo"),'
+                ' e = isascii("")').collect()[0]
+    assert "01:30:00" in r.a
+    assert "01:30:15.5" in r.b and r.b.startswith("INTERVAL '2 ")
+    assert r.c is True and r.d is False and r.e is True
+
+
+def test_base64_array_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("hello",), ("",), (None,)], "s string")
+    rows = kql(
+        df,
+        "T | extend b = base64_encode_tostring(s)"
+        " | extend a = base64_decode_toarray(b)"
+        " | project s, a, rt = base64_encode_fromarray(a)",
+    ).collect()
+    got = {r.s: (r.a, r.rt) for r in rows}
+    assert got["hello"][0] == [104, 101, 108, 108, 111]
+    assert got["hello"][1] == "aGVsbG8="
+    assert got[""][0] == []
+    assert got[None] == (None, None)
+    # non-UTF8 byte values survive the array round-trip
+    r = kql(df.limit(1), 'T | project a = base64_decode_toarray("/w==")'
+    ).collect()[0]
+    assert r.a == [255]
+
+
+def test_ipv4_compare(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, 'T | project a = ipv4_compare("192.168.1.5", "192.168.1.99"),'
+                ' b = ipv4_compare("192.168.1.5", "192.168.1.99", 24),'
+                ' c = ipv4_compare("10.0.0.2", "10.0.0.1"),'
+                ' d = ipv4_compare("1.2.3.4", "1.2.3.4"),'
+                ' e = ipv4_compare("bogus", "1.2.3.4")').collect()[0]
+    assert (r.a, r.b, r.c, r.d, r.e) == (-1, 0, 1, 0, None)
+
+
+def test_covariance_family(spark):
+    df = spark.createDataFrame(
+        [(1, 3.0, 5.0), (2, 4.0, 1.0), (3, 5.0, 9.0)],
+        "id long, x double, y double")
+    r = kql(df, "T | summarize cov = covariance(x, y),"
+                " covp = covariancep(x, y),"
+                " ci = covarianceif(x, y, id < 3),"
+                " cpi = covariancepif(x, y, id < 3)").collect()[0]
+    assert abs(r.cov - 2.0) < 1e-12
+    assert abs(r.covp - 4.0 / 3.0) < 1e-12
+    assert abs(r.ci - (-2.0)) < 1e-12
+    assert abs(r.cpi - (-1.0)) < 1e-12
+
+
+def test_count_distinct_and_list_with_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "a")], "id long, s string")
+    r = kql(df, "T | summarize cd = count_distinct(s),"
+                " cdi = count_distinctif(s, id > 1),"
+                " ln = make_list_with_nulls(s),"
+                " l = make_list(s)").collect()[0]
+    assert r.cd == 2 and r.cdi == 2
+    assert sorted(r.l) == ["a", "a", "b"]          # NULL dropped
+    assert len(r.ln) == 4 and None in r.ln         # NULL kept
+
+
+def test_column_ifexists(spark):
+    df = spark.createDataFrame([(7, "x")], "k long, s string")
+    r = kql(df, 'T | extend a = column_ifexists("k", 0),'
+                ' b = column_ifexists("nope", k * 2)'
+                ' | project a, b,'
+                ' c = column_ifexists(s, "fallback")').collect()[0]
+    assert r.a == 7 and r.b == 14 and r.c == "x"
