@@ -2128,6 +2128,39 @@ def q_kql_scalar_suite7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_ipv6_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 quartet over CONSTRUCTED addresses (compressed ``::`` forms
+    + bare-IPv4 mapped forms built from numeric columns), so the DuckDB
+    oracle derives every expected canonical string with printf integer
+    math — the same generator-derived ground-truth pattern as
+    kql_ipv4_scalars. Covers parse_ipv6, parse_ipv6_mask(/32),
+    ipv6_compare (all three signs), ipv6_is_match(/120 with inline
+    suffix)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend g1 = user_id % 65536, g8 = event_id % 65536,"
+        " o2 = event_id % 256, o4 = event_id % 250,"
+        " oth = (event_id * 7 + 13) % 65536"
+        " | extend ip_c = strcat(tohex(g1), '::', tohex(g8)),"
+        " ip_v4 = strcat('10.', tostring(o2), '.0.', tostring(o4))"
+        " | extend c1 = parse_ipv6(ip_c), m1 = parse_ipv6_mask(ip_c, 32),"
+        " c2 = parse_ipv6(ip_v4),"
+        " cmp = ipv6_compare(ip_c, strcat(tohex(g1), '::1')),"
+        " im = ipv6_is_match(strcat(ip_c, '/120'),"
+        " strcat(tohex(g1), '::', tohex(oth)), 128)"
+        " | summarize n = count(), d_c1 = dcount(c1), mn_c1 = min(c1),"
+        " mx_m1 = max(m1), d_c2 = dcount(c2), mn_c2 = min(c2),"
+        " nlt = countif(cmp == -1), neq = countif(cmp == 0),"
+        " ngt = countif(cmp == 1), nm = countif(im)"
+        " by event_type"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_agg_suite4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """covariance/covariancep/covarianceif (rounded 4dp before the
     hash — float aggregates never compare raw cross-engine),
@@ -3549,7 +3582,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_set_functions", "kql_percentilesw_array", "kql_bag_has_key",
     "kql_has_any_all", "kql_activity_counts", "kql_new_activity_metrics",
     "dedup_clusters_star", "text_tfidf_keywords",
-    "kql_scalar_suite7", "kql_agg_suite4",
+    "kql_scalar_suite7", "kql_agg_suite4", "kql_ipv6_scalars",
 )
 
 
@@ -3688,6 +3721,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite6": q_kql_scalar_suite6,
         "kql_scalar_suite7": q_kql_scalar_suite7,
         "kql_agg_suite4": q_kql_agg_suite4,
+        "kql_ipv6_scalars": q_kql_ipv6_scalars,
         "kql_pack_all": q_kql_pack_all,
         "kql_arg_max_star": q_kql_arg_max_star,
         "kql_set_functions": q_kql_set_functions,
@@ -4983,6 +5017,36 @@ GROUP BY 1
             "CAST(COUNT(*) AS BIGINT) AS na, "
             "CAST(1 AS BIGINT) AS d2 "
             "FROM b GROUP BY et ORDER BY cie"
+        ),
+        "kql_ipv6_scalars": (
+            "WITH b AS (SELECT event_type, "
+            "user_id % 65536 AS g1, event_id % 65536 AS g8, "
+            "event_id % 256 AS o2, event_id % 250 AS o4, "
+            "(event_id * 7 + 13) % 65536 AS oth FROM events), "
+            "c AS (SELECT event_type, "
+            "printf('%04x:0000:0000:0000:0000:0000:0000:%04x', g1, g8) "
+            "AS c1, "
+            "printf('%04x:0000:0000:0000:0000:0000:0000:0000', g1) "
+            "AS m1, "
+            "printf('0000:0000:0000:0000:0000:ffff:%04x:%04x', "
+            "2560 + o2, o4) AS c2, "
+            "CASE WHEN g8 < 1 THEN -1 WHEN g8 = 1 THEN 0 ELSE 1 END "
+            "AS cmp, "
+            "CASE WHEN g8 // 256 = oth // 256 THEN 1 ELSE 0 END AS im "
+            "FROM b) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(DISTINCT c1) AS BIGINT) AS d_c1, "
+            "MIN(c1) AS mn_c1, MAX(m1) AS mx_m1, "
+            "CAST(COUNT(DISTINCT c2) AS BIGINT) AS d_c2, "
+            "MIN(c2) AS mn_c2, "
+            "CAST(SUM(CASE WHEN cmp = -1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS nlt, "
+            "CAST(SUM(CASE WHEN cmp = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS neq, "
+            "CAST(SUM(CASE WHEN cmp = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS ngt, "
+            "CAST(SUM(im) AS BIGINT) AS nm "
+            "FROM c GROUP BY event_type ORDER BY event_type"
         ),
         "kql_agg_suite4": (
             "SELECT user_id % 7 AS g, "

@@ -3352,3 +3352,73 @@ def test_column_ifexists(spark):
                 ' | project a, b,'
                 ' c = column_ifexists(s, "fallback")').collect()[0]
     assert r.a == 7 and r.b == 14 and r.c == "x"
+
+
+def test_ipv6_parse_property(spark):
+    """parse_ipv6 vs Python's ipaddress module over generated forms:
+    every valid text form (full, compressed at random positions,
+    IPv4-embedded, bare IPv4) plus mangled invalids — one Spark job."""
+    import ipaddress
+    import random
+
+    rng = random.Random(42)
+    cases = []
+    for _ in range(120):
+        groups = [rng.randrange(65536) for _ in range(8)]
+        addr = ipaddress.IPv6Address(
+            int.from_bytes(
+                b"".join(g.to_bytes(2, "big") for g in groups), "big"))
+        style = rng.randrange(4)
+        if style == 0:
+            cases.append(addr.exploded)
+        elif style == 1:
+            cases.append(addr.compressed)
+        elif style == 2:
+            cases.append(addr.exploded.upper())
+        else:
+            # random zero-run compression via a zeroed middle
+            z = [g if i < 2 or i > 5 else 0
+                 for i, g in enumerate(groups)]
+            a2 = ipaddress.IPv6Address(int.from_bytes(
+                b"".join(g.to_bytes(2, "big") for g in z), "big"))
+            cases.append(a2.compressed)
+    for _ in range(30):
+        cases.append(
+            f"{rng.randrange(256)}.{rng.randrange(256)}"
+            f".{rng.randrange(256)}.{rng.randrange(256)}")
+    cases += ["1:::2", "xyz", "1:2:3:4:5:6:7:8:9", "12345::1",
+              ":::", "1.2.3.4.5", "::1::", "abcd:ef"]
+
+    def expected(s):
+        try:
+            a = ipaddress.ip_address(s)
+        except ValueError:
+            return None
+        if a.version == 4:
+            a = ipaddress.IPv6Address("::ffff:" + s)
+        return a.exploded.lower()
+
+    df = spark.createDataFrame([(c,) for c in set(cases)], "ip string")
+    got = {r.ip: r.c for r in kql(
+        df, "T | project ip, c = parse_ipv6(ip)").collect()}
+    for s in set(cases):
+        assert got[s] == expected(s), (s, got[s], expected(s))
+
+
+def test_ipv6_compare_and_match(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, 'T | project'
+            ' a = ipv6_compare("2001:db8::1", "2001:db8::2"),'
+            ' b = ipv6_compare("2001:db8::2", "2001:db8::1"),'
+            ' c = ipv6_compare("2001:db8::1", "2001:0db8::0001"),'
+            ' d = ipv6_compare("2001:db8::1", "2001:db8:0:0:1::", 64),'
+            ' e = ipv6_compare("192.168.1.1", "::ffff:c0a8:0101"),'
+            ' f = ipv6_compare("bogus", "::1")').collect()[0]
+    assert (r.a, r.b, r.c, r.d, r.e) == (-1, 1, 0, 0, 0)
+    assert r.f is None
+    m = kql(df, 'T | project'
+            ' a = ipv6_is_match("2001:db8::5/64", "2001:db8::99"),'
+            ' b = ipv6_is_match("2001:db8::5", "2001:db9::5", 48),'
+            ' c = ipv6_is_match("::ffff:1.2.3.4", "1.2.3.4"),'
+            ' d = ipv6_is_match("fe80::1", "fe80::2")').collect()[0]
+    assert (m.a, m.b, m.c, m.d) == (True, False, True, False)
