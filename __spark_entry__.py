@@ -2161,6 +2161,83 @@ def q_kql_ipv6_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_top_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`top-hitters N of c by expr` — heavy hitters. The engine computes
+    this exactly (map-side-combinable hash agg + TakeOrderedAndProject,
+    no global sort — see kql_parser top-hitters branch); output column
+    names keep Kusto's approximate_* spelling so queries port."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend k = tostring(user_id % 97)"
+        " | top-hitters 12 of k by event_id % 1000",
+    )
+
+
+def q_kql_scalar_suite8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 scalar batch: hash_md5/hash_sha256, string_size,
+    unixtime_{milli,micro,nano}seconds_todatetime (the nano path is
+    decimal-exact), format_ipv4_mask, ipv4_is_in_any_range, isutf8,
+    dynamic_to_json∘todynamic (sorted-key canonicalization), new_guid
+    (gated as an exact-distinctness invariant — the value itself is
+    random), and series_sin/cos/atan through element access."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend ip = strcat('10.', tostring(user_id % 256), '.',"
+        " tostring(event_id % 256), '.7')"
+        " | extend h2 = hash_md5(event_type), h3 = hash_sha256(event_type),"
+        " ss = string_size(event_type),"
+        " t1 = unixtime_milliseconds_todatetime(1500000000000 + event_id),"
+        " t2 = unixtime_microseconds_todatetime(1500000000000000"
+        " + event_id * 7),"
+        " t3 = unixtime_nanoseconds_todatetime(1500000000000000000"
+        " + event_id * 1013),"
+        " fm = format_ipv4_mask(ip, 20),"
+        " anyr = ipv4_is_in_any_range(ip, '10.8.0.0/13', '10.128.0.0/9'),"
+        " u8 = isutf8(event_type), g = new_guid(),"
+        " sj = dynamic_to_json(todynamic(strcat('{\"b\":',"
+        " tostring(event_id % 5), ',\"a\":1}'))),"
+        " tr = series_sin(pack_array((event_id % 7) / 7.0))"
+        " | extend s0 = round(todouble(tr[0]), 4)"
+        " | summarize n = count(), mh2 = min(h2), mh3 = max(h3),"
+        " sss = sum(ss), mt1 = max(t1), mt2 = max(t2), mt3 = min(t3),"
+        " dfm = count_distinct(fm), nr = countif(anyr),"
+        " nu = countif(u8), dg = count_distinct(g), msj = max(sj),"
+        " ssin = round(sum(s0), 2)"
+        " by event_type"
+        " | order by event_type asc",
+    )
+
+
+def q_kql_math_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gamma/loggamma (Lanczos g=7 + reflection) vs DuckDB's native
+    gamma/lgamma: per-row round to 4dp (cross-engine float discipline),
+    sums re-rounded to 2dp. Arguments avoid the poles by construction
+    (offset 0.05 / eighth-steps)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend x = (event_id % 50) / 10.0 + 0.05,"
+        " y = (event_id % 300) / 10.0 + 0.05,"
+        " xn = -((event_id % 40) / 8.0) - 0.0625"
+        " | extend g = round(gamma(x), 4), lg = round(loggamma(y), 4),"
+        " gn = round(gamma(xn), 4)"
+        " | summarize n = count(), sg = round(sum(g), 2),"
+        " slg = round(sum(lg), 2), sgn = round(sum(gn), 2)"
+        " by event_type"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_agg_suite4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """covariance/covariancep/covarianceif (rounded 4dp before the
     hash — float aggregates never compare raw cross-engine),
@@ -3583,6 +3660,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_has_any_all", "kql_activity_counts", "kql_new_activity_metrics",
     "dedup_clusters_star", "text_tfidf_keywords",
     "kql_scalar_suite7", "kql_agg_suite4", "kql_ipv6_scalars",
+    "kql_top_hitters", "kql_scalar_suite8", "kql_math_gamma",
 )
 
 
@@ -3722,6 +3800,9 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite7": q_kql_scalar_suite7,
         "kql_agg_suite4": q_kql_agg_suite4,
         "kql_ipv6_scalars": q_kql_ipv6_scalars,
+        "kql_top_hitters": q_kql_top_hitters,
+        "kql_scalar_suite8": q_kql_scalar_suite8,
+        "kql_math_gamma": q_kql_math_gamma,
         "kql_pack_all": q_kql_pack_all,
         "kql_arg_max_star": q_kql_arg_max_star,
         "kql_set_functions": q_kql_set_functions,
@@ -5047,6 +5128,51 @@ GROUP BY 1
             "AS ngt, "
             "CAST(SUM(im) AS BIGINT) AS nm "
             "FROM c GROUP BY event_type ORDER BY event_type"
+        ),
+        "kql_top_hitters": (
+            "SELECT CAST(user_id % 97 AS VARCHAR) AS k, "
+            "CAST(SUM(event_id % 1000) AS BIGINT) "
+            "AS approximate_sum_event_id_1000 "
+            "FROM events GROUP BY 1 "
+            "ORDER BY 2 DESC, 1 ASC LIMIT 12"
+        ),
+        "kql_scalar_suite8": (
+            "WITH b AS (SELECT event_type, event_id, "
+            "user_id % 256 AS a2, event_id % 256 AS a3 FROM events), "
+            "c AS (SELECT event_type, "
+            "md5(event_type) AS h2, sha256(event_type) AS h3, "
+            "strlen(event_type) AS ss, "
+            "epoch_ms(1500000000000 + event_id) AS t1, "
+            "make_timestamp(1500000000000000 + event_id * 7) AS t2, "
+            "make_timestamp((1500000000000000000 + event_id * 1013) "
+            "// 1000) AS t3, "
+            "printf('10.%d.%d.0/20', a2, a3 // 16 * 16) AS fm, "
+            "(a2 BETWEEN 8 AND 15) OR (a2 >= 128) AS anyr, "
+            "printf('{\"a\":1,\"b\":%d}', event_id % 5) AS sj, "
+            "round(sin((event_id % 7) / 7.0), 4) AS s0 "
+            "FROM b) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "MIN(h2) AS mh2, MAX(h3) AS mh3, "
+            "CAST(SUM(ss) AS BIGINT) AS sss, "
+            "MAX(t1) AS mt1, MAX(t2) AS mt2, MIN(t3) AS mt3, "
+            "CAST(COUNT(DISTINCT fm) AS BIGINT) AS dfm, "
+            "CAST(SUM(CASE WHEN anyr THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS nr, "
+            "CAST(COUNT(*) AS BIGINT) AS nu, "
+            "CAST(COUNT(*) AS BIGINT) AS dg, "
+            "MAX(sj) AS msj, round(SUM(s0), 2) AS ssin "
+            "FROM c GROUP BY event_type ORDER BY event_type"
+        ),
+        "kql_math_gamma": (
+            "WITH b AS (SELECT event_type, "
+            "round(gamma((event_id % 50) / 10.0 + 0.05), 4) AS g, "
+            "round(lgamma((event_id % 300) / 10.0 + 0.05), 4) AS lg, "
+            "round(gamma(-((event_id % 40) / 8.0) - 0.0625), 4) AS gn "
+            "FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "round(SUM(g), 2) AS sg, round(SUM(lg), 2) AS slg, "
+            "round(SUM(gn), 2) AS sgn "
+            "FROM b GROUP BY event_type ORDER BY event_type"
         ),
         "kql_agg_suite4": (
             "SELECT user_id % 7 AS g, "

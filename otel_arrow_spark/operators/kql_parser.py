@@ -69,8 +69,10 @@ object identity (which could both leak and misclassify reused ids).
 from __future__ import annotations
 
 import itertools
+import math
 import re
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1029,6 +1031,64 @@ def _let2(a: Column, b: Column, body) -> Column:
     return F.get(F.zip_with(F.array(a), F.array(b), body), 0)
 
 
+# Lanczos approximation of ln Γ (g = 7, n = 9) — ~1e-13 relative for
+# x > 0.5; the standard public coefficients (Numerical Recipes / Boost)
+_LANCZOS = (
+    676.5203681218851, -1259.1392167224028, 771.32342877765313,
+    -176.61502916214059, 12.507343278686905, -0.13857109526572012,
+    9.9843695780195716e-6, 1.5056327351493116e-7,
+)
+
+
+def _lgamma_pos(x: Column) -> Column:
+    """ln Γ(x) for x > 0.5 (callers route the rest through the
+    reflection formula). Pure arithmetic — codegen, zero shuffle."""
+    z = x - 1.0
+    a = F.lit(0.99999999999980993)
+    for i, c in enumerate(_LANCZOS, start=1):
+        a = a + F.lit(c) / (z + i)
+    t = z + 7.5
+    return (
+        F.lit(0.9189385332046727)  # ½·ln(2π)
+        + (z + 0.5) * F.log(t) - t + F.log(a))
+
+
+def _lgamma(x: Column) -> Column:
+    """Kusto loggamma — ln |Γ(x)| on the full real line. Reflection
+    ln|Γ(x)| = ln(π/|sin πx|) − ln Γ(1−x) below 0.5; NULL at the poles
+    (non-positive integers) where Kusto also errors."""
+    return _let(x.cast("double"), lambda v: F.when(
+        v > 0.5, _lgamma_pos(v)
+    ).when(
+        v != F.floor(v),
+        F.log(F.lit(math.pi) / F.abs(F.sin(F.lit(math.pi) * v)))
+        - _lgamma_pos(1.0 - v)))
+
+
+def _gamma(x: Column) -> Column:
+    """Kusto gamma — Γ(x); the reflection form carries the sign for
+    negative non-integers, NULL at the poles."""
+    return _let(x.cast("double"), lambda v: F.when(
+        v > 0.5, F.exp(_lgamma_pos(v))
+    ).when(
+        v != F.floor(v),
+        F.lit(math.pi)
+        / (F.sin(F.lit(math.pi) * v) * F.exp(_lgamma_pos(1.0 - v)))))
+
+
+def _erf(x: Column) -> Column:
+    """erf via Abramowitz–Stegun 7.1.26 (max abs error 1.5e-7 —
+    property-tested against Python's math.erf; no exact-match oracle
+    because neither DuckDB nor Spark exposes a reference erf)."""
+    return _let(x.cast("double"), lambda v: _let(
+        1.0 / (1.0 + 0.3275911 * F.abs(v)),
+        lambda t: F.signum(v) * (
+            1.0
+            - t * (0.254829592 + t * (-0.284496736 + t * (
+                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+            * F.exp(-(v * v)))))
+
+
 def _ipv6_group_vals(s: Column) -> Column:
     """16-bit group values (array<bigint>, length 8) of an IPv6 string
     in any RFC-4291 text form — full, ``::``-compressed, embedded-IPv4
@@ -1209,6 +1269,10 @@ _FUNC_MAP_SIMPLE = {
     "ceiling": lambda a: F.ceil(a[0]),
     "abs": lambda a: F.abs(a[0]),
     "exp": lambda a: F.exp(a[0]),
+    "gamma": lambda a: _gamma(a[0]),
+    "loggamma": lambda a: _lgamma(a[0]),
+    "erf": lambda a: _erf(a[0]),
+    "erfc": lambda a: 1.0 - _erf(a[0]),
     "log": lambda a: F.log(a[0]),
     "sqrt": lambda a: F.sqrt(a[0]),
     "pow": lambda a: F.pow(a[0], a[1]),
@@ -1293,6 +1357,15 @@ _FUNC_MAP_SIMPLE = {
     ),
     "unixtime_seconds_todatetime": lambda a: F.timestamp_seconds(
         a[0]
+    ).cast("timestamp_ntz"),
+    "unixtime_milliseconds_todatetime": lambda a: F.timestamp_millis(
+        a[0].cast("bigint")).cast("timestamp_ntz"),
+    "unixtime_microseconds_todatetime": lambda a: F.timestamp_micros(
+        a[0].cast("bigint")).cast("timestamp_ntz"),
+    # ns → µs via decimal division: a double round-trip would lose
+    # precision above 2^53 ns (~104 days), so divide exactly
+    "unixtime_nanoseconds_todatetime": lambda a: F.timestamp_micros(
+        F.floor(a[0].cast("decimal(38,0)") / 1000).cast("bigint")
     ).cast("timestamp_ntz"),
     "base64_encode_tostring": lambda a: F.base64(a[0].cast("binary")),
     "base64_decode_tostring": lambda a: F.unbase64(a[0]).cast("string"),
@@ -1418,6 +1491,20 @@ _FUNC_MAP_SIMPLE = {
         a[0], lambda x: F.floor(x.cast("double")).cast("double")),
     "series_ceiling": lambda a: F.transform(
         a[0], lambda x: F.ceil(x.cast("double")).cast("double")),
+    "series_sin": lambda a: F.transform(
+        a[0], lambda x: F.sin(x.cast("double"))),
+    "series_cos": lambda a: F.transform(
+        a[0], lambda x: F.cos(x.cast("double"))),
+    "series_tan": lambda a: F.transform(
+        a[0], lambda x: F.tan(x.cast("double"))),
+    "series_asin": lambda a: F.transform(
+        a[0], lambda x: F.when(x.cast("double").between(-1, 1),
+                               F.asin(x.cast("double")))),
+    "series_acos": lambda a: F.transform(
+        a[0], lambda x: F.when(x.cast("double").between(-1, 1),
+                               F.acos(x.cast("double")))),
+    "series_atan": lambda a: F.transform(
+        a[0], lambda x: F.atan(x.cast("double"))),
     "series_pow": lambda a: F.zip_with(
         a[0], a[1], lambda x, y: F.pow(x.cast("double"), y)),
     "series_greater": lambda a: F.zip_with(a[0], a[1], lambda x, y: x > y),
@@ -1503,6 +1590,16 @@ _FUNC_MAP_SIMPLE = {
             F.try_element_at(F.split(a[0], "/"), F.lit(2))
             .try_cast("int"), F.lit(32))).cast("int"),
     "format_ipv4": lambda a: _format_ipv4(*a),
+    # CIDR rendering of the masked address (Kusto returns '' on bad
+    # input; this engine's error value is NULL, as documented for the
+    # whole ipv4 family)
+    "format_ipv4_mask": lambda a: F.concat(
+        _format_ipv4(a[0], a[1]), F.lit("/"),
+        F.when(a[1].try_cast("int").between(0, 32),
+               a[1].cast("int")).cast("string")),
+    "ipv4_is_in_any_range": lambda a: reduce(
+        lambda acc, r: acc | _ipv4_in_range(a[0], r),
+        a[2:], _ipv4_in_range(a[0], a[1])),
     # KQL array_index_of is 0-based, -1 when absent (array_position is
     # 1-based, 0 when absent)
     "array_index_of": lambda a: (
@@ -1553,6 +1650,25 @@ _FUNC_MAP_SIMPLE = {
     # misc
     "strlen_bytes": lambda a: F.octet_length(a[0]),
     "hash_sha256": lambda a: F.sha2(a[0], 256),
+    "hash_sha1": lambda a: F.sha1(a[0].cast("string")),
+    "hash_md5": lambda a: F.md5(a[0].cast("string")),
+    # hash_xxhash64 is Kusto's only hash with a PINNED algorithm —
+    # xxhash64 of the value bytes; Spark's builtin is the same family
+    # but hashes Spark's internal row encoding with seed 42, so values
+    # differ from Kusto's (engine-defined constant offset; distribution
+    # and determinism properties hold). hash_combine/hash_many likewise
+    # engine-defined mixes (Kusto documents no algorithm).
+    "hash_xxhash64": lambda a: (
+        F.xxhash64(a[0]) if len(a) == 1
+        else F.pmod(F.xxhash64(a[0]), a[1])),
+    "hash_many": lambda a: F.xxhash64(*a),
+    "hash_combine": lambda a: F.xxhash64(*a),
+    # string_size = UTF-8 payload bytes (Kusto's string size estimate)
+    "string_size": lambda a: F.octet_length(a[0]).cast("bigint"),
+    # Spark strings are validated UTF-8 by construction, so any
+    # non-null string IS utf8 (Kusto's isutf8 checks raw bytes)
+    "isutf8": lambda a: a[0].isNotNull(),
+    "new_guid": lambda a: F.uuid(),
     # URL codecs (Kusto url-encode/decode-function): url_encode is
     # form-encoding (space → '+', Java URLEncoder == Kusto), the
     # _component variant is RFC-3986 (space → %20; '+' in the input is
@@ -2697,10 +2813,21 @@ class ExprParser:
                     F.array_contains(keys, k), F.lit(False)))
             return KE(F.parse_json(F.to_json(m)), variant=True,
                       bag_map=m)
-        if lname == "parse_json":  # VARIANT result (kql.pest:198-203)
+        # todynamic/toobject are documented aliases of parse_json
+        if lname in ("parse_json", "todynamic", "toobject"):
             if len(args) != 1:
-                raise KqlError("parse_json needs (s)")
+                raise KqlError(f"{lname} needs (s)")
             return KE(F.parse_json(args[0].col), variant=True)
+        if lname == "dynamic_to_json":
+            # JSON text of a dynamic. Spark VARIANT stores object keys
+            # sorted, so the parse_json path matches Kusto's sorted-key
+            # canonicalization; the map-twin path renders storage order
+            # (documented subset)
+            if len(args) != 1:
+                raise KqlError("dynamic_to_json needs (d)")
+            if args[0].bag_map is not None:
+                return KE(F.to_json(args[0].bag_map))
+            return KE(F.to_json(args[0].col))
         if lname in ("bag_pack", "pack"):
             # bag_pack(k1, v1, k2, v2, …) → dynamic bag (variant), so
             # accessors/bag_keys/bag_unpack compose with the result

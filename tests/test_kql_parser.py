@@ -3422,3 +3422,88 @@ def test_ipv6_compare_and_match(spark):
             ' c = ipv6_is_match("::ffff:1.2.3.4", "1.2.3.4"),'
             ' d = ipv6_is_match("fe80::1", "fe80::2")').collect()[0]
     assert (m.a, m.b, m.c, m.d) == (True, False, True, False)
+
+
+def test_gamma_loggamma_erf_property(spark):
+    """gamma/loggamma/erf/erfc vs Python's math module over a generated
+    grid (positive reals, negative non-integers, half-integers) — one
+    Spark job. Lanczos is ~1e-13 relative; erf (A&S 7.1.26) 1.5e-7 abs."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    xs = ([rng.uniform(0.01, 30) for _ in range(40)]
+          + [rng.uniform(-10, -0.01) for _ in range(30)]
+          + [0.5, 1.0, 2.0, 10.5, -0.5, -1.5, -2.5, 1e-3])
+    xs = [x for x in xs if abs(x - round(x)) > 1e-6 or x > 0]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    rows = kql(df, "T | project x, g = gamma(x), lg = loggamma(x),"
+                   " e = erf(x), ec = erfc(x)").collect()
+    for r in rows:
+        if r.x > 0:
+            assert math.isclose(r.g, math.gamma(r.x), rel_tol=1e-9), r
+        else:
+            assert math.isclose(r.g, math.gamma(r.x), rel_tol=1e-7), r
+        assert math.isclose(r.lg, math.lgamma(r.x),
+                            rel_tol=1e-7, abs_tol=1e-9), r
+        assert abs(r.e - math.erf(r.x)) < 2e-7, r
+        assert abs(r.ec - math.erfc(r.x)) < 4e-7, r
+
+
+def test_gamma_poles_null(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, "T | project a = gamma(0), b = gamma(-3),"
+                " c = loggamma(-1), d = loggamma(0)").collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (None, None, None, None)
+
+
+def test_scalar_suite8_misc(spark):
+    import hashlib
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, 'T | project'
+            ' h1 = hash_sha1("abc"), h2 = hash_md5("abc"),'
+            ' ss = string_size("héllo"), u8 = isutf8("x"),'
+            ' un = isutf8(tostring(parse_json("null"))),'
+            ' t1 = unixtime_milliseconds_todatetime(1700000000123),'
+            ' t2 = unixtime_microseconds_todatetime(1700000000123456),'
+            ' t3 = unixtime_nanoseconds_todatetime(1700000000123456789),'
+            ' f1 = format_ipv4_mask("192.168.1.77", 24),'
+            ' f2 = format_ipv4_mask("10.0.0.1", 40),'
+            ' r1 = ipv4_is_in_any_range("10.1.2.3", "10.0.0.0/8", "192.168.0.0/16"),'
+            ' r2 = ipv4_is_in_any_range("11.1.2.3", "10.0.0.0/8", "192.168.0.0/16"),'
+            ' sj = dynamic_to_json(parse_json(\'{"b":1,"a":2}\')),'
+            ' td = tostring(todynamic("[1,2,3]"))').collect()[0]
+    assert r.h1 == hashlib.sha1(b"abc").hexdigest()
+    assert r.h2 == hashlib.md5(b"abc").hexdigest()
+    assert r.ss == 6 and r.u8
+    assert str(r.t1) == "2023-11-14 22:13:20.123000"
+    assert str(r.t2) == "2023-11-14 22:13:20.123456"
+    assert str(r.t3) == "2023-11-14 22:13:20.123456"
+    assert r.f1 == "192.168.1.0/24" and r.f2 is None
+    assert r.r1 is True and r.r2 is False
+    assert r.sj == '{"a":2,"b":1}' and r.td == "[1,2,3]"
+
+
+def test_series_trig(spark):
+    import math
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, "T | extend a = pack_array(0.0, 0.5, 1.0)"
+                " | project s = series_sin(a), c = series_cos(a),"
+                " t = series_tan(a), i = series_asin(pack_array(0.5, 2.0)),"
+                " o = series_acos(pack_array(1.0, -2.0)),"
+                " n = series_atan(a)").collect()[0]
+    for i, x in enumerate([0.0, 0.5, 1.0]):
+        assert math.isclose(r.s[i], math.sin(x), abs_tol=1e-12)
+        assert math.isclose(r.c[i], math.cos(x), abs_tol=1e-12)
+        assert math.isclose(r.t[i], math.tan(x), abs_tol=1e-12)
+        assert math.isclose(r.n[i], math.atan(x), abs_tol=1e-12)
+    assert math.isclose(r.i[0], math.asin(0.5)) and r.i[1] is None
+    assert math.isclose(r.o[0], 0.0, abs_tol=1e-12) and r.o[1] is None
+
+
+def test_new_guid_and_hash_many(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "i int")
+    r = kql(df, "T | extend g = new_guid(), h = hash_many(i, 'x')"
+                " | summarize n = count(), dg = count_distinct(g),"
+                " dh = count_distinct(h)").collect()[0]
+    assert r.n == r.dg == r.dh == 500
