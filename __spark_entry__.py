@@ -2238,6 +2238,154 @@ def q_kql_math_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_{length,mass,temperature,energy,speed,angle} — factor
+    tables in pure arithmetic (codegen, zero shuffle); the temperature
+    path is affine through kelvin. Inputs engineered so the affine
+    round-trip is exact at 6dp (9·j-step Fahrenheit grid)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend mi = (event_id % 500) / 10.0,"
+        " lb = (user_id % 200) / 4.0,"
+        " degf = 32.0 + 9.0 * ((event_id % 100) - 50),"
+        " kwh = (event_id % 30) / 3.0, kn = (user_id % 40) / 2.0,"
+        " deg = todouble(event_id % 360)"
+        " | extend km = round(convert_length(mi, 'Mile', 'Kilometer'), 6),"
+        " g = round(convert_mass(lb, 'Pound', 'Gram'), 6),"
+        " c = round(convert_temperature(degf, 'DegreeFahrenheit',"
+        " 'DegreeCelsius'), 6),"
+        " kj = round(convert_energy(kwh, 'KilowattHour', 'Kilojoule'), 6),"
+        " kmh = round(convert_speed(kn, 'Knot', 'KilometerPerHour'), 6),"
+        " rad = round(convert_angle(deg, 'Degree', 'Radian'), 6)"
+        " | summarize n = count(), skm = round(sum(km), 2),"
+        " sg = round(sum(g), 2), sc = round(sum(c), 2),"
+        " skj = round(sum(kj), 2), skmh = round(sum(kmh), 2),"
+        " srad = round(sum(rad), 2)"
+        " by event_type"
+        " | order by event_type asc",
+    )
+
+
+def q_kql_beta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """beta_cdf/beta_pdf (regularized incomplete beta — 2F1 series
+    inside ONE F.aggregate, so the 220 terms are a codegen loop, not an
+    expression tree). Oracle uses the exact binomial-sum closed form
+    for integer (a,b) — I_x(2,3), I_x(3,2), I_x(1,1) are plain
+    polynomials. welch_test rides the same kernel and is gated by
+    pytest against an independent continued-fraction reference."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend x = (event_id % 19 + 1) / 20.0 + 0.0037"
+        " | extend c23 = round(beta_cdf(x, 2.0, 3.0), 6),"
+        " c32 = round(beta_cdf(x, 3.0, 2.0), 6),"
+        " c11 = round(beta_cdf(x, 1.0, 1.0), 6),"
+        " p32 = round(beta_pdf(x, 3.0, 2.0), 6)"
+        " | summarize n = count(), s23 = round(sum(c23), 2),"
+        " s32 = round(sum(c32), 2), s11 = round(sum(c11), 2),"
+        " sp32 = round(sum(p32), 2)"
+        " by event_type"
+        " | order by event_type asc",
+    )
+
+
+def q_kql_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_point_to_geohash + geo_geohash_to_central_point — the
+    encode unrolls to fixed shift/mask arithmetic (accuracy literal),
+    the decode is one F.aggregate over the char sequence. The oracle
+    replays the SAME bit math in DuckDB (generated unrolled SQL), so
+    the base-32 strings AND cell centers are compared exactly."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend lon = (event_id % 3600) / 10.0 - 180.0 + 0.05,"
+        " lat = (user_id % 1700) / 10.0 - 85.0 + 0.05"
+        " | extend gh = geo_point_to_geohash(lon, lat, 5)"
+        " | extend c = geo_geohash_to_central_point(gh)"
+        " | extend cx = round(todouble(c.coordinates[0]), 6),"
+        " cy = round(todouble(c.coordinates[1]), 6)"
+        " | summarize n = count(), dgh = count_distinct(gh),"
+        " mg = min(gh), xg = max(gh),"
+        " scx = round(sum(cx), 2), scy = round(sum(cy), 2)"
+        " by event_type"
+        " | order by event_type asc",
+    )
+
+
+def q_kql_series_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series_fft over make-series bins — direct O(n²) DFT as pure
+    array arithmetic ({re,im} bag; n = 24 bins/row, so n² is trivial
+    and everything stays in whole-stage codegen). The oracle recomputes
+    the probed DFT bins as trig sums over the same binned counts
+    (X_0 = Σv, X_k = Σ v·e^(-2πikj/n)); the numpy cross-check and the
+    ifft round-trip live in pytest."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series v = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-02) step 1h"
+        " by event_type"
+        " | extend f = series_fft(v)"
+        " | project event_type, nb = array_length(v),"
+        " x0 = round(todouble(f.re[0]), 4) + 0.0,"
+        " i0 = round(todouble(f.im[0]), 6) + 0.0,"
+        " x1r = round(todouble(f.re[1]), 4) + 0.0,"
+        " x1i = round(todouble(f.im[1]), 4) + 0.0,"
+        " x12 = round(todouble(f.re[12]), 4) + 0.0,"
+        " i12 = round(todouble(f.im[12]), 6) + 0.0"
+        " | order by event_type asc",
+    )
+
+
+def q_kql_scalar_suite9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 scalar batch 2: extract_json (+typeof casts), cot,
+    todecimal, toguid validation, replace_strings fold, to_utf8 ∘
+    make_string round-trip, datetime_utc_to_local (January rows — one
+    fixed EST offset, no DST straddle), series_stats_dynamic fields."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend j = strcat('{\"a\":', tostring(event_id % 7),"
+        " ',\"b\":{\"c\":', tostring(user_id % 5), '}}')"
+        " | extend ea = extract_json('$.a', j, typeof(long)),"
+        " ec = extract_json('$.b.c', j, typeof(long)),"
+        " ct = round(cot(1.0 + (event_id % 5)), 6),"
+        " dec = round(todouble(todecimal(strcat(tostring(event_id % 100),"
+        " '.25'))), 2),"
+        " gd = toguid(iff(event_id % 2 == 0,"
+        " '0AC9328B-9C20-49fb-9A87-2A2D32ce9751', 'bad')),"
+        " rp = replace_strings(event_type, pack_array('a', 'e'),"
+        " pack_array('@', '3')),"
+        " mu = make_string(to_utf8(event_type)),"
+        " tz = datetime_utc_to_local(ts, 'America/New_York'),"
+        " sd = series_stats_dynamic(pack_array("
+        "todouble(event_id % 10), todouble(user_id % 7), 2.5))"
+        " | extend sda = round(todouble(sd.avg), 6),"
+        " sdm = todouble(sd.max)"
+        " | summarize n = count(), sea = sum(ea), sec = sum(ec),"
+        " sct = round(sum(ct), 2), sdec = round(sum(dec), 2),"
+        " ng = countif(isnotnull(gd)), mrp = max(rp), mmu = min(mu),"
+        " mtz = max(tz), ssda = round(sum(sda), 2), ssdm = sum(sdm)"
+        " by event_type"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_agg_suite4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """covariance/covariancep/covarianceif (rounded 4dp before the
     hash — float aggregates never compare raw cross-engine),
@@ -3661,7 +3809,50 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "dedup_clusters_star", "text_tfidf_keywords",
     "kql_scalar_suite7", "kql_agg_suite4", "kql_ipv6_scalars",
     "kql_top_hitters", "kql_scalar_suite8", "kql_math_gamma",
+    "kql_unit_convert", "kql_beta_stats", "kql_geohash",
+    "kql_series_fft", "kql_scalar_suite9",
 )
+
+
+def _geohash_oracle_cte() -> str:
+    """DuckDB twin of the engine's geohash encode at accuracy 5 —
+    the same interleaved shift/mask arithmetic, unrolled per char
+    (generated here so both sides share one bit layout)."""
+    alph = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lonbits, latbits = 13, 12
+    chars = []
+    for j in range(5):
+        parts = []
+        for u in range(5):
+            t = 5 * j + u
+            if t % 2 == 0:
+                src, bits = "loni", lonbits - 1 - t // 2
+            else:
+                src, bits = "lati", latbits - 1 - (t - 1) // 2
+            parts.append(f"(({src} >> {bits}) & 1) * {1 << (4 - u)}")
+        chars.append(
+            f"substr('{alph}', 1 + CAST({' + '.join(parts)} AS INT), 1)")
+    gh = " || ".join(chars)
+    return (
+        "WITH p AS (SELECT event_type, "
+        "(event_id % 3600) / 10.0 - 180.0 + 0.05 AS lon, "
+        "(user_id % 1700) / 10.0 - 85.0 + 0.05 AS lat FROM events), "
+        "b AS (SELECT event_type, "
+        f"LEAST(CAST(floor((lon + 180.0) / 360.0 * {float(2 ** lonbits)})"
+        f" AS BIGINT), {2 ** lonbits - 1}) AS loni, "
+        f"LEAST(CAST(floor((lat + 90.0) / 180.0 * {float(2 ** latbits)})"
+        f" AS BIGINT), {2 ** latbits - 1}) AS lati FROM p), "
+        f"g AS (SELECT event_type, {gh} AS gh, "
+        f"round((loni + 0.5) / {float(2 ** lonbits)} * 360.0 - 180.0, 6)"
+        " AS cx, "
+        f"round((lati + 0.5) / {float(2 ** latbits)} * 180.0 - 90.0, 6)"
+        " AS cy FROM b) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(DISTINCT gh) AS BIGINT) AS dgh, "
+        "MIN(gh) AS mg, MAX(gh) AS xg, "
+        "round(SUM(cx), 2) AS scx, round(SUM(cy), 2) AS scy "
+        "FROM g GROUP BY event_type ORDER BY event_type"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3803,6 +3994,11 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_top_hitters": q_kql_top_hitters,
         "kql_scalar_suite8": q_kql_scalar_suite8,
         "kql_math_gamma": q_kql_math_gamma,
+        "kql_unit_convert": q_kql_unit_convert,
+        "kql_beta_stats": q_kql_beta_stats,
+        "kql_geohash": q_kql_geohash,
+        "kql_series_fft": q_kql_series_fft,
+        "kql_scalar_suite9": q_kql_scalar_suite9,
         "kql_pack_all": q_kql_pack_all,
         "kql_arg_max_star": q_kql_arg_max_star,
         "kql_set_functions": q_kql_set_functions,
@@ -5172,6 +5368,90 @@ GROUP BY 1
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
             "round(SUM(g), 2) AS sg, round(SUM(lg), 2) AS slg, "
             "round(SUM(gn), 2) AS sgn "
+            "FROM b GROUP BY event_type ORDER BY event_type"
+        ),
+        "kql_unit_convert": (
+            # mirrors the engine's (value × f_from) / f_to float-op
+            # order, with the Python-evaluated factor literals
+            "WITH b AS (SELECT event_type, "
+            "(event_id % 500) / 10.0 AS mi, "
+            "(user_id % 200) / 4.0 AS lb, "
+            "32.0 + 9.0 * ((event_id % 100) - 50) AS degf, "
+            "(event_id % 30) / 3.0 AS kwh, "
+            "(user_id % 40) / 2.0 AS kn, "
+            "CAST(event_id % 360 AS DOUBLE) AS deg FROM events), "
+            "c AS (SELECT event_type, "
+            "round((mi * 1609.344) / 1000.0, 6) AS km, "
+            "round((lb * 0.45359237) / 0.001, 6) AS g, "
+            "round(((degf * (5.0/9.0)) + (459.67 * 5.0 / 9.0) "
+            "- 273.15) / 1.0, 6) AS c, "
+            "round((kwh * 3600000.0) / 1000.0, 6) AS kj, "
+            "round((kn * (1852.0/3600.0)) / (1.0/3.6), 6) AS kmh, "
+            "round((deg * 0.017453292519943295) / 1.0, 6) AS rad "
+            "FROM b) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "round(SUM(km), 2) AS skm, round(SUM(g), 2) AS sg, "
+            "round(SUM(c), 2) AS sc, round(SUM(kj), 2) AS skj, "
+            "round(SUM(kmh), 2) AS skmh, round(SUM(rad), 2) AS srad "
+            "FROM c GROUP BY event_type ORDER BY event_type"
+        ),
+        "kql_beta_stats": (
+            # exact binomial-sum closed forms for integer (a, b):
+            # I_x(2,3) = 6x²(1-x)² + 4x³(1-x) + x⁴; I_x(3,2) =
+            # 4x³(1-x) + x⁴; I_x(1,1) = x; pdf(3,2) = 12x²(1-x)
+            "WITH b AS (SELECT event_type, "
+            "(event_id % 19 + 1) / 20.0 + 0.0037 AS x FROM events), "
+            "c AS (SELECT event_type, "
+            "round(6*x*x*(1-x)*(1-x) + 4*x*x*x*(1-x) + x*x*x*x, 6)"
+            " AS c23, "
+            "round(4*x*x*x*(1-x) + x*x*x*x, 6) AS c32, "
+            "round(x, 6) AS c11, "
+            "round(12*x*x*(1-x), 6) AS p32 FROM b) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "round(SUM(c23), 2) AS s23, round(SUM(c32), 2) AS s32, "
+            "round(SUM(c11), 2) AS s11, round(SUM(p32), 2) AS sp32 "
+            "FROM c GROUP BY event_type ORDER BY event_type"
+        ),
+        "kql_geohash": _geohash_oracle_cte(),
+        "kql_series_fft": (
+            # probed DFT bins as trig sums over the sparse binned
+            # counts (zero bins contribute nothing); the full-spectrum
+            # cross-check vs numpy and the ifft round-trip are pytest
+            "WITH r AS (SELECT event_type, ts FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-02'), "
+            "b AS (SELECT event_type, "
+            "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 3600) "
+            "AS INT) AS i, COUNT(*) AS v FROM r GROUP BY 1, 2) "
+            "SELECT event_type, CAST(24 AS BIGINT) AS nb, "
+            "round(CAST(SUM(v) AS DOUBLE), 4) AS x0, 0.0 AS i0, "
+            "round(SUM(v * cos(((-6.283185307179586 / 24.0) * 1) * i))"
+            ", 4) AS x1r, "
+            "round(SUM(v * sin(((-6.283185307179586 / 24.0) * 1) * i))"
+            ", 4) AS x1i, "
+            "round(SUM(v * cos(((-6.283185307179586 / 24.0) * 12) * i))"
+            ", 4) AS x12, 0.0 AS i12 "
+            "FROM b GROUP BY event_type ORDER BY event_type"
+        ),
+        "kql_scalar_suite9": (
+            "WITH b AS (SELECT event_type, "
+            "event_id % 7 AS ea, user_id % 5 AS ec, "
+            "round(cot(1.0 + (event_id % 5)), 6) AS ct, "
+            "(event_id % 100) + 0.25 AS dec_, "
+            "(event_id % 2 = 0) AS ok, "
+            "replace(replace(event_type, 'a', '@'), 'e', '3') AS rp, "
+            "event_type AS mu, ts - INTERVAL 5 HOUR AS tz, "
+            "round(((0.0 + (event_id % 10)) + (user_id % 7) + 2.5) "
+            "/ 3.0, 6) AS sda, "
+            "GREATEST(CAST(event_id % 10 AS DOUBLE), "
+            "CAST(user_id % 7 AS DOUBLE), 2.5) AS sdm FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(ea) AS BIGINT) AS sea, "
+            "CAST(SUM(ec) AS BIGINT) AS sec, "
+            "round(SUM(ct), 2) AS sct, round(SUM(dec_), 2) AS sdec, "
+            "CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS ng, MAX(rp) AS mrp, MIN(mu) AS mmu, MAX(tz) AS mtz, "
+            "round(SUM(sda), 2) AS ssda, SUM(sdm) AS ssdm "
             "FROM b GROUP BY event_type ORDER BY event_type"
         ),
         "kql_agg_suite4": (

@@ -221,6 +221,12 @@ def _variant_get(c: KE, key) -> KE:
     return KE(F.try_variant_get(c.col, path, "variant"), variant=True)
 
 
+_TYPE_KEYWORDS = frozenset((
+    "long", "int", "real", "double", "bool", "boolean", "string",
+    "datetime", "timespan", "guid", "dynamic", "decimal",
+))
+
+
 def _lit_str(e: KE) -> str:
     """Recover a literal string argument (regex patterns, delimiters)."""
     if not isinstance(e.lit, str):
@@ -1089,6 +1095,311 @@ def _erf(x: Column) -> Column:
             * F.exp(-(v * v)))))
 
 
+def _betainc_series(a: Column, b: Column, x: Column) -> Column:
+    """Regularized incomplete beta I_x(a,b) by the hypergeometric
+    series x^a(1-x)^b·Γ(a+b)/(Γ(a)Γ(b)·a) · 2F1(1, a+b; a+1; x)
+    (Numerical Recipes 6.4.5's `bt`·series form). Valid and fast only
+    for x below the switch point (a+1)/(a+b+2) — `_betainc` routes the
+    rest through the symmetry I_x(a,b) = 1 − I_{1−x}(b,a). The series
+    runs inside ONE F.aggregate over a constant index sequence, so the
+    220 terms cost 220 codegen loop steps, not an exponential
+    expression tree (each term reuses the accumulator struct)."""
+    front = F.exp(
+        a * F.log(x) + b * F.log(1.0 - x)
+        + _lgamma_pos(a + b) - _lgamma_pos(a) - _lgamma_pos(b)
+        - F.log(a))
+    ser = F.aggregate(
+        F.sequence(F.lit(1), F.lit(220)),
+        F.struct(F.lit(1.0).alias("s"), F.lit(1.0).alias("t")),
+        lambda st, n: F.struct(
+            (st["s"] + st["t"] * (a + b + n - 1.0) / (a + n) * x
+             ).alias("s"),
+            (st["t"] * (a + b + n - 1.0) / (a + n) * x).alias("t")),
+        lambda st: st["s"])
+    return front * ser
+
+
+def _betainc(a: Column, b: Column, x: Column) -> Column:
+    """I_x(a,b) on the full [0,1] domain (a,b > 0; NULL otherwise)."""
+    return F.when(
+        (a > 0) & (b > 0) & x.isNotNull(),
+        F.when(x <= 0.0, F.lit(0.0))
+        .when(x >= 1.0, F.lit(1.0))
+        .when(x < (a + 1.0) / (a + b + 2.0), _betainc_series(a, b, x))
+        .otherwise(1.0 - _betainc_series(b, a, 1.0 - x)))
+
+
+def _welch_test(m1, v1, n1, m2, v2, n2) -> Column:
+    """Two-sided Welch's t-test p-value from the six summary stats
+    (Kusto welch_test — mean/variance/count per group). Student-t tail
+    via I_{ν/(ν+t²)}(ν/2, ½); ν by Welch–Satterthwaite."""
+    se1 = v1.cast("double") / n1.cast("double")
+    se2 = v2.cast("double") / n2.cast("double")
+    s = se1 + se2
+    t2 = (m1.cast("double") - m2.cast("double")) ** 2 / s
+    df = (s * s) / (se1 * se1 / (n1.cast("double") - 1.0)
+                    + se2 * se2 / (n2.cast("double") - 1.0))
+    return F.when(
+        (n1 > 1) & (n2 > 1) & (v1 >= 0) & (v2 >= 0) & (s > 0),
+        _betainc(df / 2.0, F.lit(0.5), df / (df + t2)))
+
+
+# unit-conversion factor tables (convert_* family, scalarfunctions.md):
+# value × factor[from] / factor[to] in a base unit. Unit names are the
+# documented Kusto enums (case-sensitive); unknown units yield NULL.
+_CONVERT_UNITS: dict[str, dict[str, float]] = {
+    "angle": {  # base: radian
+        "Radian": 1.0, "Degree": 3.141592653589793 / 180,
+        "Gradian": 3.141592653589793 / 200,
+        "Revolution": 2 * 3.141592653589793,
+        "Arcminute": 3.141592653589793 / 10800,
+        "Arcsecond": 3.141592653589793 / 648000,
+        "Centiradian": 1e-2, "Deciradian": 1e-1,
+        "Milliradian": 1e-3, "Microradian": 1e-6,
+        "Nanoradian": 1e-9,
+        "Microdegree": 3.141592653589793 / 180 * 1e-6,
+        "Millidegree": 3.141592653589793 / 180 * 1e-3,
+        "Nanodegree": 3.141592653589793 / 180 * 1e-9,
+        "NatoMil": 2 * 3.141592653589793 / 6400,
+    },
+    "energy": {  # base: joule
+        "Joule": 1.0, "Kilojoule": 1e3, "Megajoule": 1e6,
+        "Gigajoule": 1e9, "Millijoule": 1e-3,
+        "BritishThermalUnit": 1055.05585262, "Calorie": 4.184,
+        "Kilocalorie": 4184.0, "WattHour": 3600.0,
+        "KilowattHour": 3.6e6, "MegawattHour": 3.6e9,
+        "GigawattHour": 3.6e12, "ElectronVolt": 1.602176634e-19,
+        "Erg": 1e-7, "FootPound": 1.3558179483314004,
+        "ThermUs": 1.054804e8,
+    },
+    "force": {  # base: newton
+        "Newton": 1.0, "Kilonewton": 1e3, "Meganewton": 1e6,
+        "Micronewton": 1e-6, "Millinewton": 1e-3, "Decanewton": 10.0,
+        "KilogramForce": 9.80665, "TonneForce": 9806.65,
+        "PoundForce": 4.4482216152605,
+        "OunceForce": 0.27801385095378125, "Poundal": 0.138254954376,
+        "Dyn": 1e-5, "ShortTonForce": 8896.443230521,
+        "KiloPond": 9.80665,
+    },
+    "length": {  # base: meter
+        "Meter": 1.0, "Kilometer": 1e3, "Hectometer": 1e2,
+        "Decameter": 10.0, "Decimeter": 0.1, "Centimeter": 1e-2,
+        "Millimeter": 1e-3, "Micrometer": 1e-6, "Nanometer": 1e-9,
+        "Mile": 1609.344, "NauticalMile": 1852.0, "Yard": 0.9144,
+        "Foot": 0.3048, "Inch": 0.0254, "Mil": 2.54e-5,
+        "Microinch": 2.54e-8, "AstronomicalUnit": 1.495978707e11,
+        "LightYear": 9.4607304725808e15, "Parsec": 3.08567758128e16,
+        "Angstrom": 1e-10, "Fathom": 1.8288, "Hand": 0.1016,
+        "Chain": 20.1168, "UsSurveyFoot": 1200.0 / 3937.0,
+    },
+    "mass": {  # base: kilogram
+        "Kilogram": 1.0, "Gram": 1e-3, "Milligram": 1e-6,
+        "Microgram": 1e-9, "Nanogram": 1e-12, "Centigram": 1e-5,
+        "Decigram": 1e-4, "Decagram": 1e-2, "Hectogram": 0.1,
+        "Tonne": 1e3, "Pound": 0.45359237, "Ounce": 0.028349523125,
+        "Stone": 6.35029318, "ShortTon": 907.18474,
+        "LongTon": 1016.0469088, "Grain": 6.479891e-5,
+        "Slug": 14.59390294,
+    },
+    "speed": {  # base: meter/second
+        "MeterPerSecond": 1.0, "KilometerPerHour": 1.0 / 3.6,
+        "MilePerHour": 0.44704, "Knot": 1852.0 / 3600.0,
+        "FootPerSecond": 0.3048, "CentimeterPerSecond": 1e-2,
+        "MillimeterPerSecond": 1e-3, "KilometerPerSecond": 1e3,
+        "MeterPerMinute": 1.0 / 60.0,
+        "KilometerPerMinute": 1000.0 / 60.0,
+        "InchPerSecond": 0.0254, "YardPerSecond": 0.9144,
+    },
+    "volume": {  # base: cubic meter
+        "CubicMeter": 1.0, "Liter": 1e-3, "Milliliter": 1e-6,
+        "Centiliter": 1e-5, "Deciliter": 1e-4, "Hectoliter": 0.1,
+        "CubicKilometer": 1e9, "CubicCentimeter": 1e-6,
+        "CubicMillimeter": 1e-9, "CubicFoot": 0.028316846592,
+        "CubicInch": 1.6387064e-5, "CubicYard": 0.764554857984,
+        "CubicMile": 4168181825.440579584,
+        "UsGallon": 0.003785411784, "UsQuart": 0.000946352946,
+        "UsPint": 0.000473176473, "UsOunce": 2.95735295625e-5,
+        "ImperialGallon": 0.00454609, "ImperialPint": 0.00056826125,
+        "ImperialOunce": 2.84130625e-5,
+        "UsTablespoon": 1.478676478125e-5,
+        "UsTeaspoon": 4.92892159375e-6, "MetricCup": 2.5e-4,
+        "UsCustomaryCup": 2.365882365e-4,
+    },
+}
+
+
+def _convert_unit(kind: str, value: Column, frm: Column,
+                  to: Column) -> Column:
+    """convert_<kind>(value, from, to) — factor-table linear
+    conversion; temperature is affine and handled separately."""
+    table = _CONVERT_UNITS[kind]
+    pairs: list[Column] = []
+    for k, v in table.items():
+        pairs += [F.lit(k), F.lit(float(v))]
+    m = F.create_map(*pairs)
+    return (value.cast("double")
+            * F.try_element_at(m, frm.cast("string"))
+            / F.try_element_at(m, to.cast("string")))
+
+
+# temperature: kelvin = value·slope + offset per unit
+_TEMPERATURE_UNITS: dict[str, tuple[float, float]] = {
+    "Kelvin": (1.0, 0.0),
+    "DegreeCelsius": (1.0, 273.15),
+    "DegreeFahrenheit": (5.0 / 9.0, 459.67 * 5.0 / 9.0),
+    "DegreeRankine": (5.0 / 9.0, 0.0),
+    "DegreeDelisle": (-2.0 / 3.0, 373.15),
+    "DegreeNewton": (100.0 / 33.0, 273.15),
+    "DegreeReaumur": (5.0 / 4.0, 273.15),
+    "DegreeRoemer": (40.0 / 21.0, 273.15 - 7.5 * 40.0 / 21.0),
+    "MillidegreeCelsius": (1e-3, 273.15),
+}
+
+
+def _convert_temperature(value: Column, frm: Column,
+                         to: Column) -> Column:
+    sl, of = [], []
+    for k, (s, o) in _TEMPERATURE_UNITS.items():
+        sl += [F.lit(k), F.lit(s)]
+        of += [F.lit(k), F.lit(o)]
+    ms, mo = F.create_map(*sl), F.create_map(*of)
+    f, t = frm.cast("string"), to.cast("string")
+    kelvin = (value.cast("double") * F.try_element_at(ms, f)
+              + F.try_element_at(mo, f))
+    return ((kelvin - F.try_element_at(mo, t))
+            / F.try_element_at(ms, t))
+
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_encode(lon: Column, lat: Column, acc: int) -> Column:
+    """geo_point_to_geohash — standard base-32 geohash (bit-interleave
+    lon-first). Accuracy is a literal 1..18 (Kusto's bound); the whole
+    encode unrolls to fixed shift/mask arithmetic at parse time —
+    codegen only, no Python, no lookup joins."""
+    total = 5 * acc
+    lonbits = (total + 1) // 2
+    latbits = total // 2
+    loni = F.least(
+        F.floor((lon.cast("double") + 180.0) / 360.0
+                * F.lit(float(2 ** lonbits))).cast("bigint"),
+        F.lit(2 ** lonbits - 1))
+    lati = F.least(
+        F.floor((lat.cast("double") + 90.0) / 180.0
+                * F.lit(float(2 ** latbits))).cast("bigint"),
+        F.lit(2 ** latbits - 1))
+    alph = F.array(*[F.lit(c) for c in _GEOHASH_B32])
+    chars = []
+    for j in range(acc):
+        val: Column | None = None
+        for u in range(5):
+            t = 5 * j + u  # global interleaved-stream bit index
+            if t % 2 == 0:  # even stream positions carry longitude
+                bit = F.shiftright(
+                    loni, lonbits - 1 - t // 2).bitwiseAND(F.lit(1))
+            else:
+                bit = F.shiftright(
+                    lati, latbits - 1 - (t - 1) // 2
+                ).bitwiseAND(F.lit(1))
+            contrib = bit * F.lit(1 << (4 - u))
+            val = contrib if val is None else val + contrib
+        chars.append(F.get(alph, val.cast("int")))
+    return F.when(
+        lon.cast("double").between(-180.0, 180.0)
+        & lat.cast("double").between(-90.0, 90.0),
+        F.concat(*chars))
+
+
+def _geohash_decode(gh: Column) -> Column:
+    """geo_geohash_to_central_point — cell-center GeoJSON Point bag.
+    Runtime-length decode: one F.aggregate over the character index
+    sequence, carrying (lonIdx, latIdx, lonbits, latbits). Even
+    characters contribute 3 lon + 2 lat bits, odd the reverse."""
+    s = F.lower(gh.cast("string"))
+    idx = F.sequence(F.lit(0), F.length(s) - 1)
+
+    def step(st: Column, j: Column) -> Column:
+        v = (F.position(F.substring(s, j + 1, F.lit(1)),
+                        F.lit(_GEOHASH_B32)) - 1).cast("bigint")
+        b = [F.shiftright(v, 4 - u).bitwiseAND(F.lit(1))
+             for u in range(5)]
+        even = j % 2 == 0
+        lon_add = F.when(even, b[0] * 4 + b[2] * 2 + b[4]) \
+            .otherwise(b[1] * 2 + b[3])
+        lat_add = F.when(even, b[1] * 2 + b[3]) \
+            .otherwise(b[0] * 4 + b[2] * 2 + b[4])
+        nlon = F.when(even, F.lit(3)).otherwise(F.lit(2))
+        nlat = F.when(even, F.lit(2)).otherwise(F.lit(3))
+        return F.struct(
+            (st["lon"] * F.when(even, 8).otherwise(4) + lon_add
+             ).alias("lon"),
+            (st["lat"] * F.when(even, 4).otherwise(8) + lat_add
+             ).alias("lat"),
+            (st["nlon"] + nlon).alias("nlon"),
+            (st["nlat"] + nlat).alias("nlat"),
+            # any invalid character poisons the whole hash
+            (st["ok"] & (v >= 0)).alias("ok"))
+
+    dec = F.aggregate(
+        idx,
+        F.struct(F.lit(0).cast("bigint").alias("lon"),
+                 F.lit(0).cast("bigint").alias("lat"),
+                 F.lit(0).alias("nlon"), F.lit(0).alias("nlat"),
+                 F.lit(True).alias("ok")),
+        step,
+        lambda st: F.when(
+            st["ok"] & (st["nlon"] > 0),
+            F.struct(
+                ((st["lon"].cast("double") + 0.5)
+                 / F.pow(F.lit(2.0), st["nlon"]) * 360.0 - 180.0
+                 ).alias("x"),
+                ((st["lat"].cast("double") + 0.5)
+                 / F.pow(F.lit(2.0), st["nlat"]) * 180.0 - 90.0
+                 ).alias("y"))))
+    bag = F.when(dec.isNotNull(), F.struct(
+        F.lit("Point").alias("type"),
+        F.array(dec["x"], dec["y"]).alias("coordinates")))
+    return F.parse_json(F.to_json(bag))
+
+
+def _series_dft(re_in: Column, im_in: Column, sign: float,
+                scale_by_n: bool) -> Column:
+    """Direct O(n²) DFT as pure array arithmetic (series_fft /
+    series_ifft). Series here are short windowed vectors (make-series
+    bins), so n² stays tiny per row and everything remains in
+    whole-stage codegen — no Python seam, no shuffle. Returns a
+    {re:[…], im:[…]} bag (this engine's shape for Kusto's two-output
+    multi-assign, like series_fit_2lines_dynamic)."""
+    n = F.size(re_in)
+    tau = F.lit(sign * 2.0 * math.pi) / n.cast("double")
+
+    def comp(part: str) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: F.aggregate(
+                F.zip_with(
+                    re_in, im_in, lambda r, i: F.struct(
+                        r.cast("double").alias("r"),
+                        F.coalesce(i.cast("double"),
+                                   F.lit(0.0)).alias("i"))),
+                F.struct(F.lit(0.0).alias("s"),
+                         F.lit(0).alias("j")),
+                lambda st, e: F.struct(
+                    (st["s"] + (
+                        e["r"] * F.cos(tau * k * st["j"])
+                        - e["i"] * F.sin(tau * k * st["j"])
+                        if part == "re" else
+                        e["r"] * F.sin(tau * k * st["j"])
+                        + e["i"] * F.cos(tau * k * st["j"])
+                    )).alias("s"),
+                    (st["j"] + 1).alias("j")),
+                lambda st: st["s"] / (n.cast("double")
+                                      if scale_by_n else F.lit(1.0))))
+    bag = F.struct(comp("re").alias("re"), comp("im").alias("im"))
+    return F.parse_json(F.to_json(bag))
+
+
 def _ipv6_group_vals(s: Column) -> Column:
     """16-bit group values (array<bigint>, length 8) of an IPv6 string
     in any RFC-4291 text form — full, ``::``-compressed, embedded-IPv4
@@ -1669,6 +1980,73 @@ _FUNC_MAP_SIMPLE = {
     # non-null string IS utf8 (Kusto's isutf8 checks raw bytes)
     "isutf8": lambda a: a[0].isNotNull(),
     "new_guid": lambda a: F.uuid(),
+    "cot": lambda a: 1.0 / F.tan(a[0].cast("double")),
+    # statistics trio (regularized incomplete beta backbone — see
+    # _betainc): beta_cdf/beta_pdf take Kusto's (x, alpha, beta)
+    "beta_cdf": lambda a: _betainc(
+        a[1].cast("double"), a[2].cast("double"), a[0].cast("double")),
+    "beta_pdf": lambda a: F.when(
+        (a[1].cast("double") > 0) & (a[2].cast("double") > 0),
+        F.when(
+            a[0].cast("double").between(1e-300, 1 - 1e-16),
+            F.exp(
+                (a[1].cast("double") - 1.0)
+                * F.log(a[0].cast("double"))
+                + (a[2].cast("double") - 1.0)
+                * F.log(1.0 - a[0].cast("double"))
+                + _lgamma_pos(a[1].cast("double")
+                              + a[2].cast("double"))
+                - _lgamma_pos(a[1].cast("double"))
+                - _lgamma_pos(a[2].cast("double")))
+        ).when(a[0].cast("double").between(0.0, 1.0), F.lit(0.0))),
+    "welch_test": lambda a: _welch_test(*a),
+    # unit conversions (factor tables above; unknown unit → NULL)
+    "convert_angle": lambda a: _convert_unit("angle", *a),
+    "convert_energy": lambda a: _convert_unit("energy", *a),
+    "convert_force": lambda a: _convert_unit("force", *a),
+    "convert_length": lambda a: _convert_unit("length", *a),
+    "convert_mass": lambda a: _convert_unit("mass", *a),
+    "convert_speed": lambda a: _convert_unit("speed", *a),
+    "convert_volume": lambda a: _convert_unit("volume", *a),
+    "convert_temperature": lambda a: _convert_temperature(*a),
+    # Kusto decimal is a 128-bit base-10 type; decimal(38,14) covers
+    # ±1e24 with 14 fractional digits — the practical envelope of the
+    # reference's numeric tests (documented subset)
+    "todecimal": lambda a: a[0].try_cast("decimal(38,14)"),
+    # toguid validates + canonicalizes (lowercase, hyphenated form
+    # only); anything else is the typed null, like the to*() family
+    "toguid": lambda a: F.when(
+        a[0].cast("string").rlike(
+            r"^[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}$"),
+        F.lower(a[0].cast("string"))),
+    # replace_strings(text, lookups, rewrites) — sequential fold;
+    # a null/missing rewrite leaves the text unchanged (Kusto skips
+    # invalid pairs rather than nulling the row)
+    "replace_strings": lambda a: F.aggregate(
+        F.zip_with(a[1], a[2], lambda l, r: F.struct(
+            l.cast("string").alias("l"), r.cast("string").alias("r"))),
+        a[0].cast("string"),
+        lambda acc, e: F.when(
+            e["l"].isNotNull() & e["r"].isNotNull(),
+            F.replace(acc, e["l"], e["r"])).otherwise(acc)),
+    # rand() ∈ [0,1); rand(n) draws uniformly from {0, 1, …, n-1}
+    # (nondeterministic — gate by invariants, never by value)
+    "rand": lambda a: (
+        F.rand() if not a
+        else F.floor(F.rand() * a[0].cast("double")).cast("double")),
+    # engine-defined rough byte estimate (Kusto documents no formula):
+    # the JSON rendering's UTF-8 payload of the argument tuple
+    "estimate_data_size": lambda a: F.octet_length(
+        F.to_json(F.struct(*a))).cast("bigint"),
+    # wall-clock shifts between UTC and an IANA zone; timestamps are
+    # timestamp_ntz wall times labeled UTC throughout this engine, so
+    # the shift is (from|to)_utc_timestamp on the raw wall time
+    "datetime_utc_to_local": lambda a: F.from_utc_timestamp(
+        a[0].cast("timestamp_ntz").cast("string").cast("timestamp"),
+        a[1]).cast("string").cast("timestamp_ntz"),
+    "datetime_local_to_utc": lambda a: F.to_utc_timestamp(
+        a[0].cast("timestamp_ntz").cast("string").cast("timestamp"),
+        a[1]).cast("string").cast("timestamp_ntz"),
     # URL codecs (Kusto url-encode/decode-function): url_encode is
     # form-encoding (space → '+', Java URLEncoder == Kusto), the
     # _component variant is RFC-3986 (space → %20; '+' in the input is
@@ -2284,6 +2662,17 @@ class ExprParser:
 
     def _call(self, name: str) -> KE:
         self.expect("(")
+        if (name.lower() == "typeof"
+                and self.peek().text.lower() in _TYPE_KEYWORDS
+                and self.toks[self.pos + 1].text == ")"):
+            # `typeof(long)` as a TYPE LITERAL (the extract_json /
+            # column_ifexists sugar) — a bare type keyword inside
+            # typeof() is a type name, not a column ref (a column
+            # actually named `long` would need tostring() first;
+            # documented)
+            kw = self.next().text.lower()
+            self.expect(")")
+            return KE(F.lit(kw), kw)
         args: list[KE] = []
         if self.peek().text != ")":
             args.append(self._or())
@@ -2491,7 +2880,7 @@ class ExprParser:
                     p, r"\.([^./\\]+)$", 1).alias("Extension"),
                 F.lit("").alias("AlternateDataStreamName"),
             ))), variant=True)
-        if lname == "unicode_codepoints_from_string":
+        if lname in ("unicode_codepoints_from_string", "to_utf8"):
             # per-character codepoint array — one transform over a
             # character-index sequence; F.ascii returns the full
             # codepoint of the first character (BMP + astral — Spark
@@ -2507,14 +2896,105 @@ class ExprParser:
                     lambda i: F.ascii(
                         F.substring(s, i, F.lit(1))).cast("bigint")),
             ).otherwise(F.array().cast("array<bigint>")))
-        if lname == "unicode_codepoints_to_string":
+        if lname in ("unicode_codepoints_to_string", "make_string"):
+            # make_string is the documented inverse of to_utf8 —
+            # codepoints → string. The multi-arg form takes scalar
+            # codepoints (make_string(72, 105)); the 1-arg form takes
+            # the codepoint array.
+            if not args:
+                raise KqlError(f"{lname} needs (arr) or (cp, cp, …)")
+            arr = (args[0].col if len(args) == 1
+                   else F.array(*[a.col for a in args]))
+            return KE(F.array_join(
+                F.transform(arr, lambda c: F.char(c.cast("int"))),
+                ""))
+        if lname == "geo_point_to_geohash":
+            # geo_point_to_geohash(longitude, latitude[, accuracy])
+            if len(args) not in (2, 3):
+                raise KqlError(
+                    "geo_point_to_geohash needs (lon, lat[, acc])")
+            acc = _lit_int(args[2]) if len(args) > 2 else 5
+            if not 1 <= acc <= 18:
+                raise KqlError("geohash accuracy must be 1..18")
+            return KE(_geohash_encode(args[0].col, args[1].col, acc))
+        if lname == "geo_geohash_to_central_point":
             if len(args) != 1:
                 raise KqlError(
-                    "unicode_codepoints_to_string needs (arr)")
-            return KE(F.array_join(
-                F.transform(
-                    args[0].col, lambda c: F.char(c.cast("int"))),
-                ""))
+                    "geo_geohash_to_central_point needs (geohash)")
+            return KE(_geohash_decode(args[0].col), variant=True)
+        if lname in ("series_fft", "series_ifft"):
+            # series_fft(re [, im]) — {re, im} bag (this engine's
+            # two-output shape; Kusto multi-assigns). Direct DFT —
+            # see _series_dft.
+            if len(args) not in (1, 2):
+                raise KqlError(f"{lname} needs (re[, im])")
+
+            def _num_arr(ke: KE) -> Column:
+                # dynamic (VARIANT) series re-enter array land via the
+                # JSON text (todynamic(tostring(f.re)) round-trips)
+                c = ke.col
+                if ke.variant:
+                    c = F.from_json(c.cast("string"), "array<double>")
+                return F.transform(c, lambda v: v.cast("double"))
+
+            re_in = _num_arr(args[0])
+            im_in = (_num_arr(args[1]) if len(args) == 2
+                     else F.transform(re_in, lambda _: F.lit(0.0)))
+            inv = lname == "series_ifft"
+            return KE(_series_dft(
+                re_in, im_in, 1.0 if inv else -1.0, inv),
+                variant=True)
+        if lname == "series_stats_dynamic":
+            # one bag with the full series_stats tuple (min/max with
+            # first-occurrence indices, avg, stdev, variance, sum,
+            # len) — pure array arithmetic, rendered to dynamic once
+            if len(args) != 1:
+                raise KqlError("series_stats_dynamic needs (arr)")
+            xs = F.transform(args[0].col, lambda v: v.cast("double"))
+            n = F.size(xs).cast("double")
+            s1 = F.aggregate(
+                xs, F.lit(0.0), lambda acc, v: acc + v)
+            s2 = F.aggregate(
+                xs, F.lit(0.0), lambda acc, v: acc + v * v)
+            var = F.when(
+                F.size(xs) > 1, (s2 - s1 * s1 / n) / (n - 1.0))
+            bag = F.struct(
+                F.array_min(xs).alias("min"),
+                (F.array_position(xs, F.array_min(xs)) - 1)
+                .cast("bigint").alias("min_idx"),
+                F.array_max(xs).alias("max"),
+                (F.array_position(xs, F.array_max(xs)) - 1)
+                .cast("bigint").alias("max_idx"),
+                (s1 / n).alias("avg"),
+                F.sqrt(var).alias("stdev"),
+                var.alias("variance"),
+                s1.alias("sum"),
+                F.size(xs).cast("bigint").alias("len"))
+            return KE(F.parse_json(F.to_json(bag)), variant=True)
+        if lname in ("extract_json", "extractjson"):
+            # extract_json(path, source) — JSONPath subset ($.a.b[0],
+            # the Hive get_json_object dialect == Kusto's documented
+            # subset). The path must be a literal (it is in Kusto too:
+            # the engine compiles it). Optional typeof third arg is
+            # honored for long/real/bool/string (Kusto's sugar for a
+            # cast on the extracted text).
+            if len(args) not in (2, 3):
+                raise KqlError(
+                    f"{lname} needs (path, source[, typeof])")
+            got = F.get_json_object(
+                args[1].col.cast("string"), _lit_str(args[0]))
+            if len(args) == 3:
+                ty = _lit_str(args[2]).strip().lower()
+                casts = {"long": "bigint", "int": "int",
+                         "real": "double", "double": "double",
+                         "bool": "boolean", "boolean": "boolean",
+                         "string": None, "datetime": "timestamp_ntz"}
+                if ty not in casts:
+                    raise KqlError(
+                        f"{lname}: unsupported typeof({ty})")
+                if casts[ty]:
+                    got = got.try_cast(casts[ty])
+            return KE(got)
         if lname == "capture":
             # capture(s, pattern[, group]) — single-capture twin of
             # extract (text exec `text_scalar_expressions.rs` Capture)

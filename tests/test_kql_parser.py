@@ -3507,3 +3507,272 @@ def test_new_guid_and_hash_many(spark):
                 " | summarize n = count(), dg = count_distinct(g),"
                 " dh = count_distinct(h)").collect()[0]
     assert r.n == r.dg == r.dh == 500
+
+
+def test_round5_misc_scalars(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, 'T | project'
+            ' c = round(cot(1.0), 6), d = todecimal("2.5") * 2,'
+            ' g1 = toguid("0AC9328B-9C20-49fb-9A87-2A2D32ce9751"),'
+            ' g2 = toguid("not-a-guid"),'
+            ' ej = extract_json("$.a.b", \'{"a":{"b":7}}\'),'
+            ' ejl = extract_json("$.a.b", \'{"a":{"b":7}}\', typeof(long)),'
+            ' ejr = extract_json("$.x", \'{"x":2.5}\', typeof(real)),'
+            ' rs = replace_strings("A-B-C",'
+            ' pack_array("-", "B"), pack_array("_", "x")),'
+            ' rn = replace_strings("keep",'
+            ' pack_array("e"), pack_array(tostring(parse_json("null")))),'
+            ' u = to_utf8("hé"), m1 = make_string(72, 105),'
+            ' m2 = make_string(to_utf8("héllo"))').collect()[0]
+    import math
+    assert math.isclose(r.c, round(1 / math.tan(1.0), 6))
+    assert float(r.d) == 5.0
+    assert r.g1 == "0ac9328b-9c20-49fb-9a87-2a2d32ce9751" and r.g2 is None
+    assert r.ej == "7" and r.ejl == 7 and r.ejr == 2.5
+    assert r.rs == "A_x_C"
+    assert r.rn == "keep"  # null rewrite pair skipped, not nulled
+    assert list(r.u) == [104, 233]
+    assert r.m1 == "Hi" and r.m2 == "héllo"
+
+
+def test_round5_datetime_tz(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, 'T | project'
+            ' a = datetime_utc_to_local(datetime(2024-06-15 12:00:00),'
+            ' "America/New_York"),'
+            ' b = datetime_local_to_utc(datetime(2024-06-15 08:00:00),'
+            ' "America/New_York"),'
+            ' c = datetime_utc_to_local(datetime(2024-01-15 12:00:00),'
+            ' "America/New_York"),'
+            ' d = datetime_utc_to_local(datetime(2024-06-15 12:00:00),'
+            ' "Asia/Kolkata")').collect()[0]
+    assert str(r.a) == "2024-06-15 08:00:00"    # EDT
+    assert str(r.b) == "2024-06-15 12:00:00"
+    assert str(r.c) == "2024-01-15 07:00:00"    # EST (winter)
+    assert str(r.d) == "2024-06-15 17:30:00"    # half-hour zone
+
+
+def test_round5_rand_and_estimate(spark):
+    df = spark.createDataFrame([(i,) for i in range(300)], "i int")
+    r = kql(df, "T | extend r1 = rand(), r2 = rand(10)"
+                " | summarize n = count(),"
+                " ok1 = countif(r1 >= 0.0 and r1 < 1.0),"
+                " ok2 = countif(r2 >= 0.0 and r2 <= 9.0),"
+                " whole = countif(r2 == floor(r2, 1)),"
+                " d1 = count_distinct(r1),"
+                " ed = min(estimate_data_size(i))").collect()[0]
+    assert r.n == r.ok1 == r.ok2 == r.whole == 300
+    assert r.d1 > 290 and r.ed > 0
+
+
+def test_series_stats_dynamic(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, "T | extend s = series_stats_dynamic("
+                "pack_array(3.0, 1.0, 4.0, 1.0, 5.0))"
+                " | project mn = todouble(s.min), mni = tolong(s.min_idx),"
+                " mx = todouble(s.max), mxi = tolong(s.max_idx),"
+                " av = todouble(s.avg), sm = todouble(s.sum),"
+                " ln = tolong(s.len), vr = todouble(s.variance)"
+                ).collect()[0]
+    import statistics
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0]
+    assert (r.mn, r.mni, r.mx, r.mxi) == (1.0, 1, 5.0, 4)
+    assert r.av == sum(xs) / 5 and r.sm == sum(xs) and r.ln == 5
+    import math
+    assert math.isclose(r.vr, statistics.variance(xs))
+
+
+def _betainc_cf_ref(a, b, x):
+    """Independent reference: NR continued fraction (different
+    algorithm family from the engine's 2F1 series)."""
+    import math
+    if x <= 0:
+        return 0.0
+    if x >= 1:
+        return 1.0
+    lbeta = (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+             + a * math.log(x) + b * math.log(1 - x))
+
+    def cf(a, b, x):
+        fpmin = 1e-300
+        qab, qap, qam = a + b, a + 1, a - 1
+        c, d = 1.0, 1 - qab * x / qap
+        if abs(d) < fpmin:
+            d = fpmin
+        d = 1 / d
+        h = d
+        for m in range(1, 200):
+            m2 = 2 * m
+            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+            d = 1 + aa * d
+            if abs(d) < fpmin:
+                d = fpmin
+            c = 1 + aa / c
+            if abs(c) < fpmin:
+                c = fpmin
+            d = 1 / d
+            h *= d * c
+            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+            d = 1 + aa * d
+            if abs(d) < fpmin:
+                d = fpmin
+            c = 1 + aa / c
+            if abs(c) < fpmin:
+                c = fpmin
+            d = 1 / d
+            dl = d * c
+            h *= dl
+            if abs(dl - 1) < 3e-16:
+                break
+        return h
+
+    if x < (a + 1) / (a + b + 2):
+        return math.exp(lbeta) * cf(a, b, x) / a
+    return 1 - math.exp(
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + b * math.log(1 - x) + a * math.log(x)) * cf(b, a, 1 - x) / b
+
+
+def test_beta_cdf_vs_reference(spark):
+    import math
+    import random
+    rng = random.Random(11)
+    cases = [(rng.uniform(0.02, 0.98), rng.uniform(0.2, 20),
+              rng.uniform(0.2, 20)) for _ in range(60)]
+    cases += [(0.5, 2.0, 2.0), (0.25, 2.0, 3.0), (0.0, 3.0, 4.0),
+              (1.0, 3.0, 4.0), (0.999, 0.5, 0.5), (0.001, 0.5, 0.5)]
+    df = spark.createDataFrame(cases, "x double, a double, b double")
+    rows = kql(df, "T | project x, a, b, c = beta_cdf(x, a, b),"
+                   " p = beta_pdf(x, a, b)").collect()
+    for r in rows:
+        want = _betainc_cf_ref(r.a, r.b, r.x)
+        assert math.isclose(r.c, want, rel_tol=1e-9, abs_tol=1e-12), r
+        if 0 < r.x < 1:
+            wpdf = math.exp(
+                (r.a - 1) * math.log(r.x) + (r.b - 1) * math.log(1 - r.x)
+                + math.lgamma(r.a + r.b) - math.lgamma(r.a)
+                - math.lgamma(r.b))
+            assert math.isclose(r.p, wpdf, rel_tol=1e-9), r
+
+
+def test_welch_test(spark):
+    import math
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, "T | project"
+            " p0 = welch_test(5.0, 4.0, 30, 5.0, 4.0, 30),"
+            " p1 = welch_test(10.0, 4.0, 50, 8.0, 9.0, 40),"
+            " p2 = welch_test(10.0, 4.0, 50, 9.9, 9.0, 40),"
+            " bad = welch_test(1.0, 1.0, 1, 2.0, 1.0, 5)").collect()[0]
+    assert r.p0 == 1.0
+    # reference p for (10,4,50) vs (8,9,40) via the independent betainc
+    se = 4 / 50 + 9 / 40
+    t2 = 4 / se
+    df_w = se ** 2 / ((4 / 50) ** 2 / 49 + (9 / 40) ** 2 / 39)
+    want = _betainc_cf_ref(df_w / 2, 0.5, df_w / (df_w + t2))
+    assert math.isclose(r.p1, want, rel_tol=1e-9)
+    assert r.p1 < 0.01 < r.p2 < 1.0  # big gap significant, small not
+    assert r.bad is None  # n=1 → no variance df
+
+
+def test_convert_units(spark):
+    import math
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, 'T | project'
+            ' a = convert_angle(180.0, "Degree", "Radian"),'
+            ' l = convert_length(1.0, "Mile", "Kilometer"),'
+            ' l2 = convert_length(10000.0, "Meter", "NauticalMile"),'
+            ' m = convert_mass(1.0, "Pound", "Gram"),'
+            ' s = convert_speed(1.0, "Knot", "KilometerPerHour"),'
+            ' e = convert_energy(1.0, "KilowattHour", "Kilojoule"),'
+            ' f = convert_force(1.0, "PoundForce", "Newton"),'
+            ' v = convert_volume(1.0, "UsGallon", "Liter"),'
+            ' t1 = convert_temperature(32.0, "DegreeFahrenheit",'
+            ' "DegreeCelsius"),'
+            ' t2 = convert_temperature(100.0, "DegreeCelsius", "Kelvin"),'
+            ' u = convert_length(1.0, "Cubit", "Meter")').collect()[0]
+    assert math.isclose(r.a, math.pi)
+    assert math.isclose(r.l, 1.609344)
+    assert math.isclose(r.l2, 10000 / 1852)
+    assert math.isclose(r.m, 453.59237)
+    assert math.isclose(r.s, 1.852)
+    assert math.isclose(r.e, 3600.0)
+    assert math.isclose(r.f, 4.4482216152605)
+    assert math.isclose(r.v, 3.785411784)
+    assert abs(r.t1) < 1e-12 and math.isclose(r.t2, 373.15)
+    assert r.u is None
+
+
+def test_series_fft_vs_numpy(spark):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    xs = rng.uniform(-5, 5, 16).round(4).tolist()
+    arr = ", ".join(str(v) for v in xs)
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, f"T | extend x = pack_array({arr})"
+            " | extend f = series_fft(x)"
+            " | extend g = series_ifft(todynamic(tostring(f.re)),"
+            " todynamic(tostring(f.im)))"
+            " | project re = f.re, im = f.im, rt = g.re").collect()[0]
+    import json
+    got_re = json.loads(str(r.re))
+    got_im = json.loads(str(r.im))
+    want = np.fft.fft(np.array(xs))
+    assert np.allclose(got_re, want.real, atol=1e-9)
+    assert np.allclose(got_im, want.imag, atol=1e-9)
+    assert np.allclose(json.loads(str(r.rt)), xs, atol=1e-9)
+
+
+def _geohash_ref(lon, lat, p):
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo, la = [-180.0, 180.0], [-90.0, 90.0]
+    even, bit, ch, out = True, 0, 0, ""
+    while len(out) < p:
+        if even:
+            mid = (lo[0] + lo[1]) / 2
+            if lon >= mid:
+                ch, lo[0] = ch * 2 + 1, mid
+            else:
+                ch, lo[1] = ch * 2, mid
+        else:
+            mid = (la[0] + la[1]) / 2
+            if lat >= mid:
+                ch, la[0] = ch * 2 + 1, mid
+            else:
+                ch, la[1] = ch * 2, mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out += b32[ch]
+            bit, ch = 0, 0
+    return out
+
+
+def test_geohash_vs_reference(spark):
+    import random
+    rng = random.Random(5)
+    pts = [(rng.uniform(-180, 180), rng.uniform(-90, 90))
+           for _ in range(50)] + [(0.0, 0.0), (-180.0, -90.0),
+                                  (179.999, 89.999), (180.0, 90.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    rows = kql(df, "T | project lon, lat,"
+                   " g5 = geo_point_to_geohash(lon, lat),"
+                   " g9 = geo_point_to_geohash(lon, lat, 9),"
+                   " cx = todouble(geo_geohash_to_central_point("
+                   "geo_point_to_geohash(lon, lat, 9)).coordinates[0]),"
+                   " cy = todouble(geo_geohash_to_central_point("
+                   "geo_point_to_geohash(lon, lat, 9)).coordinates[1])"
+               ).collect()
+    for r in rows:
+        assert r.g5 == _geohash_ref(r.lon, r.lat, 5), r
+        assert r.g9 == _geohash_ref(r.lon, r.lat, 9), r
+        # 9-char cell: ±2.4e-5 lon, ±1.2e-5 lat around the center
+        assert abs(r.cx - r.lon) < 360 / 2 ** 22, r
+        assert abs(r.cy - r.lat) < 180 / 2 ** 22, r
+
+
+def test_geohash_invalid(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, 'T | project a = geo_point_to_geohash(200.0, 10.0),'
+                ' b = tostring(geo_geohash_to_central_point("a!"))'
+            ).collect()[0]
+    assert r.a is None and r.b is None
