@@ -2386,6 +2386,27 @@ def q_kql_scalar_suite9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tdigest/merge_tdigest ∘ percentile_tdigest/rank_tdigest — the
+    engine's digest is lossless (exact percentile replaces the sketch,
+    a strict superset of t-digest's accuracy contract), so the oracle
+    is quantile_cont / an exact conditional average."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | summarize n = count(),"
+        " p50 = round(percentile_tdigest(tdigest(value), 50), 6),"
+        " p90 = round(percentile_tdigest(merge_tdigest(tdigest(value)),"
+        " 90), 6),"
+        " rk = round(rank_tdigest(tdigest(value), 50.0), 6)"
+        " by event_type"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_agg_suite4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """covariance/covariancep/covarianceif (rounded 4dp before the
     hash — float aggregates never compare raw cross-engine),
@@ -3810,7 +3831,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_scalar_suite7", "kql_agg_suite4", "kql_ipv6_scalars",
     "kql_top_hitters", "kql_scalar_suite8", "kql_math_gamma",
     "kql_unit_convert", "kql_beta_stats", "kql_geohash",
-    "kql_series_fft", "kql_scalar_suite9",
+    "kql_series_fft", "kql_scalar_suite9", "kql_tdigest",
 )
 
 
@@ -3999,6 +4020,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_geohash": q_kql_geohash,
         "kql_series_fft": q_kql_series_fft,
         "kql_scalar_suite9": q_kql_scalar_suite9,
+        "kql_tdigest": q_kql_tdigest,
         "kql_pack_all": q_kql_pack_all,
         "kql_arg_max_star": q_kql_arg_max_star,
         "kql_set_functions": q_kql_set_functions,
@@ -5453,6 +5475,14 @@ GROUP BY 1
             "AS ng, MAX(rp) AS mrp, MIN(mu) AS mmu, MAX(tz) AS mtz, "
             "round(SUM(sda), 2) AS ssda, SUM(sdm) AS ssdm "
             "FROM b GROUP BY event_type ORDER BY event_type"
+        ),
+        "kql_tdigest": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.9), 6) AS p90, "
+            "round(AVG(CASE WHEN value IS NULL THEN NULL "
+            "WHEN value <= 50.0 THEN 100.0 ELSE 0.0 END), 6) AS rk "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "kql_agg_suite4": (
             "SELECT user_id % 7 AS g, "

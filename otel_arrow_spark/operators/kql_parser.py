@@ -3106,6 +3106,38 @@ class ExprParser:
                 raise KqlError("percentile needs (x, p)")
             return KE(F.percentile_approx(args[0].col,
                                           _lit_int(args[1]) / 100.0))
+        if lname in ("tdigest", "merge_tdigest", "tdigest_merge"):
+            # tdigest sketches compose ONLY inside
+            # percentile_tdigest/rank_tdigest in the same aggregate —
+            # this engine's "digest" is lossless (Catalyst's exact
+            # percentile replaces the sketch), so the composed result
+            # is the exact percentile, a strict superset of t-digest's
+            # accuracy contract. A bare tdigest() column (opaque
+            # intermediate blob) is not exposed.
+            if len(args) != 1:
+                raise KqlError(f"{lname} needs (expr)")
+            return KE(args[0].col, lit="__tdigest__")
+        if lname == "percentile_tdigest":
+            if (len(args) != 2 or args[0].lit != "__tdigest__"
+                    or not isinstance(args[1].lit, (int, float))):
+                raise KqlError(
+                    "percentile_tdigest must compose as "
+                    "percentile_tdigest(tdigest(x), p) within one "
+                    "summarize (engine subset — the digest is "
+                    "lossless, so this is the exact percentile)")
+            return KE(F.percentile(
+                args[0].col.cast("double"),
+                F.lit(float(args[1].lit) / 100.0)))
+        if lname == "rank_tdigest":
+            # relative rank of v in the digested values, as [0, 100]
+            if len(args) != 2 or args[0].lit != "__tdigest__":
+                raise KqlError(
+                    "rank_tdigest must compose as "
+                    "rank_tdigest(tdigest(x), v)")
+            col, v = args[0].col, args[1].col
+            return KE(F.avg(
+                F.when(col.isNotNull() & (col <= v), 100.0)
+                .when(col.isNotNull(), 0.0)))
         if lname == "percentiles_array":
             return _percentiles_array(args)
         if lname == "percentilesw_array":

@@ -3776,3 +3776,20 @@ def test_geohash_invalid(spark):
                 ' b = tostring(geo_geohash_to_central_point("a!"))'
             ).collect()[0]
     assert r.a is None and r.b is None
+
+
+def test_tdigest_composition(spark):
+    df = spark.createDataFrame(
+        [(i % 3, float(v)) for i, v in enumerate(range(1, 101))]
+        + [(0, None)], "g int, v double")
+    r = kql(df, "T | summarize p50 = percentile_tdigest(tdigest(v), 50),"
+                " p90 = percentile_tdigest(merge_tdigest(tdigest(v)), 90),"
+                " rk = rank_tdigest(tdigest(v), 25.0)").collect()[0]
+    import statistics
+    assert r.p50 == statistics.quantiles(range(1, 101), n=2)[0] == 50.5
+    assert abs(r.p90 - 90.1) < 1e-9
+    assert abs(r.rk - 25.0) < 1e-9  # 25 of 100 non-null values <= 25
+
+    import pytest
+    with pytest.raises(Exception, match="percentile_tdigest"):
+        kql(df, "T | summarize p = percentile_tdigest(v, 50)")
