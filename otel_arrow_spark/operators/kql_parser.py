@@ -1108,14 +1108,17 @@ def _betainc_series(a: Column, b: Column, x: Column) -> Column:
         a * F.log(x) + b * F.log(1.0 - x)
         + _lgamma_pos(a + b) - _lgamma_pos(a) - _lgamma_pos(b)
         - F.log(a))
+    # Horner form of the partial sum — fold the term ratios r_n =
+    # (a+b+n-1)/(a+n)·x from the tail: acc = 1 + r_n·acc. One scalar
+    # accumulator, no per-step struct (higher-order functions evaluate
+    # interpreted per element, so step cost dominates; this is ~3×
+    # the two-field struct fold). 128 terms: worst-case ratio at the
+    # series/reflection switch is < 0.72, and 0.72¹²⁸ ≈ 5e-19 —
+    # below double epsilon of the leading term.
     ser = F.aggregate(
-        F.sequence(F.lit(1), F.lit(220)),
-        F.struct(F.lit(1.0).alias("s"), F.lit(1.0).alias("t")),
-        lambda st, n: F.struct(
-            (st["s"] + st["t"] * (a + b + n - 1.0) / (a + n) * x
-             ).alias("s"),
-            (st["t"] * (a + b + n - 1.0) / (a + n) * x).alias("t")),
-        lambda st: st["s"])
+        F.sequence(F.lit(128), F.lit(1), F.lit(-1)),
+        F.lit(1.0),
+        lambda acc, n: 1.0 + (a + b + n - 1.0) / (a + n) * x * acc)
     return front * ser
 
 
