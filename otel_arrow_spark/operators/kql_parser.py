@@ -59,6 +59,22 @@ graph family (``make-graph``/``graph-match``/``graph-shortest-paths``/
 each compiled to the same declarative Catalyst plan shapes as the core
 surface.
 
+Round-5 scalar round-out: ``gamma``/``loggamma`` (Lanczos g=7 +
+reflection), ``erf``/``erfc``, ``beta_cdf``/``beta_pdf``/``welch_test``
+(regularized incomplete beta — Horner-folded 2F1 series inside one
+``F.aggregate``), the ``convert_*`` unit-conversion family,
+``geo_point_to_geohash``/``geo_geohash_to_central_point``,
+``series_fft``/``series_ifft`` (direct DFT, {re,im} bag),
+``series_stats_dynamic``, series trig, the hash round-out
+(``hash_md5/sha1/xxhash64/many/combine``), ``extract_json`` with
+``typeof()`` type literals, ``replace_strings``, ``to_utf8``/
+``make_string``, ``datetime_utc_to_local``/``datetime_local_to_utc``,
+``unixtime_{milli,micro,nano}seconds_todatetime``, ``todecimal``/
+``toguid``/``cot``/``rand``/``new_guid``/``isutf8``/``string_size``,
+``format_ipv4_mask``/``ipv4_is_in_any_range``, ``dynamic_to_json``,
+and the tdigest family as a lossless-digest composition subset
+(``percentile_tdigest(tdigest(x), p)`` → exact percentile).
+
 Implementation note: every parse result is a ``KE`` node — a Catalyst
 Column plus, when the expression is a literal, its Python value. Literal
 arguments (regex patterns, delimiters, bin widths, accessor keys) travel
