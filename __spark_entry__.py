@@ -2306,6 +2306,47 @@ def q_kql_beta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_guid_beta_inv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """beta_inv (40-step bisection on the incomplete-beta fold; |x̂−x*|
+    ≤ 2⁻⁴¹ in x-space, so 6-dp rounding is exact) plus the mixed-endian
+    GUID ↔ base64 pair (base64_encode_fromguid/base64_decode_toguid —
+    .NET Guid.ToByteArray order). Oracle: closed-form inverses for the
+    integer curves (I⁻¹ for Beta(1,1)/(2,1)/(1,2)/(3,1)/(1,3) are
+    p, √p, 1−√(1−p), ∛p, 1−∛(1−p)) and the byte-order swap replayed as
+    substr surgery + to_base64(from_hex(…)) in DuckDB.
+
+    Scale shape: the (event_type, p) domain is deduplicated FIRST, so
+    the 40×128-step bisection runs once per distinct argument (95
+    groups), never once per row — weighted sums recover totals."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend p = (event_id % 19 + 1) / 20.0 + 0.0037"
+        " | summarize cnt = count(),"
+        " h = min(hash_sha256(tostring(event_id))) by event_type, p"
+        " | extend g = strcat(substring(h, 0, 8), '-',"
+        " substring(h, 8, 4), '-', substring(h, 12, 4), '-',"
+        " substring(h, 16, 4), '-', substring(h, 20, 12))"
+        " | extend enc = base64_encode_fromguid(g)"
+        " | extend dec = base64_decode_toguid(enc)"
+        " | extend i11 = round(beta_inv(p, 1.0, 1.0), 6),"
+        " i21 = round(beta_inv(p, 2.0, 1.0), 6),"
+        " i12 = round(beta_inv(p, 1.0, 2.0), 6),"
+        " i31 = round(beta_inv(p, 3.0, 1.0), 6),"
+        " i13 = round(beta_inv(p, 1.0, 3.0), 6)"
+        " | summarize n = sum(cnt), ok = sum(iff(dec == g, cnt, 0)),"
+        " dge = dcount(enc), menc = min(enc),"
+        " s11 = round(sum(i11 * cnt), 2), s21 = round(sum(i21 * cnt), 2),"
+        " s12 = round(sum(i12 * cnt), 2), s31 = round(sum(i31 * cnt), 2),"
+        " s13 = round(sum(i13 * cnt), 2)"
+        " by event_type"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """geo_point_to_geohash + geo_geohash_to_central_point — the
     encode unrolls to fixed shift/mask arithmetic (accuracy literal),
@@ -3842,6 +3883,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_top_hitters", "kql_scalar_suite8", "kql_math_gamma",
     "kql_unit_convert", "kql_beta_stats", "kql_geohash",
     "kql_series_fft", "kql_scalar_suite9", "kql_tdigest",
+    "kql_guid_beta_inv",
 )
 
 
@@ -4027,6 +4069,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_math_gamma": q_kql_math_gamma,
         "kql_unit_convert": q_kql_unit_convert,
         "kql_beta_stats": q_kql_beta_stats,
+        "kql_guid_beta_inv": q_kql_guid_beta_inv,
         "kql_geohash": q_kql_geohash,
         "kql_series_fft": q_kql_series_fft,
         "kql_scalar_suite9": q_kql_scalar_suite9,
@@ -5447,6 +5490,37 @@ GROUP BY 1
             "round(SUM(c11 * cnt), 2) AS s11, "
             "round(SUM(p32 * cnt), 2) AS sp32 "
             "FROM c GROUP BY event_type ORDER BY event_type"
+        ),
+        "kql_guid_beta_inv": (
+            # closed-form inverse betas for the integer curves; the
+            # .NET mixed-endian byte order replayed as substr surgery
+            "WITH d AS (SELECT event_type, "
+            "(event_id % 19 + 1) / 20.0 + 0.0037 AS p, "
+            "COUNT(*) AS cnt, "
+            "MIN(sha256(CAST(event_id AS VARCHAR))) AS h "
+            "FROM events GROUP BY 1, 2), "
+            "g AS (SELECT *, substr(h,1,8) || '-' || substr(h,9,4) "
+            "|| '-' || substr(h,13,4) || '-' || substr(h,17,4) "
+            "|| '-' || substr(h,21,12) AS gu, "
+            "to_base64(from_hex("
+            "substr(h,7,2) || substr(h,5,2) || substr(h,3,2) "
+            "|| substr(h,1,2) || substr(h,11,2) || substr(h,9,2) "
+            "|| substr(h,15,2) || substr(h,13,2) || substr(h,17,16)"
+            ")) AS enc, "
+            "round(p, 6) AS i11, round(sqrt(p), 6) AS i21, "
+            "round(1 - sqrt(1 - p), 6) AS i12, "
+            "round(pow(p, 1.0/3), 6) AS i31, "
+            "round(1 - pow(1 - p, 1.0/3), 6) AS i13 FROM d) "
+            "SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n, "
+            "CAST(SUM(cnt) AS BIGINT) AS ok, "
+            "CAST(COUNT(DISTINCT enc) AS BIGINT) AS dge, "
+            "MIN(enc) AS menc, "
+            "round(SUM(i11 * cnt), 2) AS s11, "
+            "round(SUM(i21 * cnt), 2) AS s21, "
+            "round(SUM(i12 * cnt), 2) AS s12, "
+            "round(SUM(i31 * cnt), 2) AS s31, "
+            "round(SUM(i13 * cnt), 2) AS s13 "
+            "FROM g GROUP BY event_type ORDER BY event_type"
         ),
         "kql_geohash": _geohash_oracle_cte(),
         "kql_series_fft": (

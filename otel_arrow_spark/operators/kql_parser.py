@@ -1163,6 +1163,59 @@ def _welch_test(m1, v1, n1, m2, v2, n2) -> Column:
         _betainc(df / 2.0, F.lit(0.5), df / (df + t2)))
 
 
+def _beta_inv(p: Column, a: Column, b: Column) -> Column:
+    """Inverse regularized incomplete beta: the x with I_x(a,b) = p
+    (Kusto beta_inv). 40 bisection steps on the monotone `_betainc`
+    inside ONE F.aggregate — interval shrinks to 2⁻⁴⁰ ≈ 9e-13, below
+    any 6-dp comparison. Bisection over Newton because it needs no
+    pdf-derivative guard rails at the domain edges; each step embeds
+    one `_betainc` call, so cost is ~40×128 interpreted fold steps
+    per element — dedupe the (p,a,b) domain before calling this in a
+    hot path (same discipline as the beta_cdf gate query)."""
+    x = F.aggregate(
+        F.sequence(F.lit(1), F.lit(40)),
+        F.struct(F.lit(0.0).alias("lo"), F.lit(1.0).alias("hi")),
+        lambda acc, n: F.struct(
+            F.when(_betainc(a, b, (acc["lo"] + acc["hi"]) / 2.0) <= p,
+                   (acc["lo"] + acc["hi"]) / 2.0)
+            .otherwise(acc["lo"]).alias("lo"),
+            F.when(_betainc(a, b, (acc["lo"] + acc["hi"]) / 2.0) <= p,
+                   acc["hi"])
+            .otherwise((acc["lo"] + acc["hi"]) / 2.0).alias("hi")),
+        lambda acc: (acc["lo"] + acc["hi"]) / 2.0)
+    return F.when(
+        (a > 0) & (b > 0) & p.isNotNull(),
+        F.when(p <= 0.0, F.lit(0.0))
+        .when(p >= 1.0, F.lit(1.0))
+        .otherwise(x))
+
+
+# .NET/Kusto GUIDs serialize mixed-endian (RFC 4122 text, but the
+# first three fields little-endian in the 16-byte form —
+# Guid.ToByteArray). These reorder between the canonical hex text and
+# the byte-array hex so base64_encode_fromguid/base64_decode_toguid
+# match Kusto bit-for-bit.
+def _guid_hex_to_bytes_hex(g: Column) -> Column:
+    h = F.lower(F.replace(g, F.lit("-"), F.lit("")))
+    return F.concat(
+        F.substring(h, 7, 2), F.substring(h, 5, 2),
+        F.substring(h, 3, 2), F.substring(h, 1, 2),
+        F.substring(h, 11, 2), F.substring(h, 9, 2),
+        F.substring(h, 15, 2), F.substring(h, 13, 2),
+        F.substring(h, 17, 16))
+
+
+def _bytes_hex_to_guid(h: Column) -> Column:
+    return F.concat_ws(
+        "-",
+        F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2),
+                 F.substring(h, 3, 2), F.substring(h, 1, 2)),
+        F.concat(F.substring(h, 11, 2), F.substring(h, 9, 2)),
+        F.concat(F.substring(h, 15, 2), F.substring(h, 13, 2)),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12))
+
+
 # unit-conversion factor tables (convert_* family, scalarfunctions.md):
 # value × factor[from] / factor[to] in a base unit. Unit names are the
 # documented Kusto enums (case-sensitive); unknown units yield NULL.
@@ -2019,6 +2072,19 @@ _FUNC_MAP_SIMPLE = {
                 - _lgamma_pos(a[2].cast("double")))
         ).when(a[0].cast("double").between(0.0, 1.0), F.lit(0.0))),
     "welch_test": lambda a: _welch_test(*a),
+    # beta_inv takes Kusto's (probability, alpha, beta)
+    "beta_inv": lambda a: _beta_inv(
+        a[0].cast("double"), a[1].cast("double"), a[2].cast("double")),
+    # GUID ↔ base64 of the .NET mixed-endian 16-byte form; invalid
+    # input → typed null (same contract as toguid)
+    "base64_encode_fromguid": lambda a: F.when(
+        a[0].cast("string").rlike(
+            r"^[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}$"),
+        F.base64(F.unhex(_guid_hex_to_bytes_hex(a[0].cast("string"))))),
+    "base64_decode_toguid": lambda a: F.when(
+        F.octet_length(F.unbase64(a[0].cast("string"))) == 16,
+        _bytes_hex_to_guid(F.lower(F.hex(F.unbase64(
+            a[0].cast("string")))))),
     # unit conversions (factor tables above; unknown unit → NULL)
     "convert_angle": lambda a: _convert_unit("angle", *a),
     "convert_energy": lambda a: _convert_unit("energy", *a),
@@ -3359,7 +3425,7 @@ class ExprParser:
             if args[0].bag_map is not None:
                 return KE(F.to_json(args[0].bag_map))
             return KE(F.to_json(args[0].col))
-        if lname in ("bag_pack", "pack"):
+        if lname in ("bag_pack", "pack", "pack_dictionary"):
             # bag_pack(k1, v1, k2, v2, …) → dynamic bag (variant), so
             # accessors/bag_keys/bag_unpack compose with the result
             if len(args) < 2 or len(args) % 2:

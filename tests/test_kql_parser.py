@@ -3655,6 +3655,52 @@ def test_beta_cdf_vs_reference(spark):
             assert math.isclose(r.p, wpdf, rel_tol=1e-9), r
 
 
+def test_beta_inv_round_trip(spark):
+    import math
+    import random
+    rng = random.Random(13)
+    cases = [(rng.uniform(0.01, 0.99), rng.uniform(0.3, 15),
+              rng.uniform(0.3, 15)) for _ in range(40)]
+    cases += [(0.0, 2.0, 3.0), (1.0, 2.0, 3.0), (0.5, 1.0, 1.0)]
+    df = spark.createDataFrame(cases, "p double, a double, b double")
+    rows = kql(df, "T | project p, a, b, x = beta_inv(p, a, b)").collect()
+    for r in rows:
+        # bisection converges in x-space: |x̂ − x*| ≤ 2⁻⁴¹
+        want = _betainc_cf_ref(r.a, r.b, r.x) if 0 < r.x < 1 else r.x
+        assert math.isclose(want, r.p, abs_tol=1e-8), r
+    # closed forms: Beta(1,1) → identity, Beta(2,1) → √p
+    r = kql(df.limit(1), "T | project i = beta_inv(0.49, 1.0, 1.0),"
+            " s = beta_inv(0.49, 2.0, 1.0),"
+            " bad = beta_inv(0.5, -1.0, 2.0)").collect()[0]
+    assert math.isclose(r.i, 0.49, abs_tol=1e-10)
+    assert math.isclose(r.s, 0.7, abs_tol=1e-10)
+    assert r.bad is None
+
+
+def test_base64_guid_pair(spark):
+    df = spark.createDataFrame([(1,)], "i int")
+    r = kql(df, "T | extend g = '3f2504e0-4f89-11d3-9a0c-0305e82c3301'"
+            " | project enc = base64_encode_fromguid(g),"
+            " rt = base64_decode_toguid(base64_encode_fromguid(g)),"
+            " up = base64_encode_fromguid("
+            "'3F2504E0-4F89-11D3-9A0C-0305E82C3301'),"
+            " bad = base64_encode_fromguid('not-a-guid'),"
+            " short = base64_decode_toguid('YWJj')").collect()[0]
+    # known .NET vector: Guid.ToByteArray is mixed-endian
+    assert r.enc == "4AQlP4lP0xGaDAMF6CwzAQ=="
+    assert r.rt == "3f2504e0-4f89-11d3-9a0c-0305e82c3301"
+    assert r.up == r.enc  # case-insensitive input, canonical output
+    assert r.bad is None and r.short is None
+
+
+def test_pack_dictionary_alias(spark):
+    df = spark.createDataFrame([(1, "a")], "i int, s string")
+    r = kql(df, "T | project d = tostring(pack_dictionary('k', i,"
+            " 'v', s)), b = tostring(bag_pack('k', i, 'v', s))"
+            ).collect()[0]
+    assert r.d == r.b
+
+
 def test_welch_test(spark):
     import math
     df = spark.createDataFrame([(1,)], "i int")
