@@ -2347,6 +2347,109 @@ def q_kql_guid_beta_inv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_suite10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 scalar batch 3: the has_ipv4 text-scan family
+    (token-delimited + octet-validated — the constructed rows carry a
+    valid/invalid first octet, an embedded non-token copy, and a
+    3-part decoy so all three rules are exercised), plain acos/asin,
+    and the stdevif/varianceif conditional aggregates."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend o1 = event_id % 300"
+        " | extend ip = strcat(tostring(o1), '.',"
+        " tostring(user_id % 256), '.0.', tostring(event_id % 100))"
+        " | extend txt = strcat('src=', ip, ' via ', ip,"
+        "'x tail 1.2.3')"
+        " | extend h1 = has_ipv4(txt, ip),"
+        " h2 = has_ipv4(txt, '8.8.8.8'),"
+        " hp = has_ipv4_prefix(txt, strcat(tostring(o1), '.')),"
+        " ha = has_any_ipv4(txt, '9.9.9.9', ip),"
+        " ac = round(acos((event_id % 200 - 100) / 100.0), 6),"
+        " asn = round(asin((event_id % 200 - 100) / 100.0), 6)"
+        " | summarize n = count(), ch1 = countif(h1),"
+        " ch2 = countif(h2), chp = countif(hp), cha = countif(ha),"
+        " sac = round(sum(ac), 2), sas = round(sum(asn), 2),"
+        " sv = round(stdevif(value, event_id % 2 == 0), 4),"
+        " vv = round(varianceif(value, event_id % 3 == 0), 4)"
+        " by event_type"
+        " | order by event_type asc",
+    )
+
+
+def q_kql_useragent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_user_agent family/major-version subset — six real-world
+    UA strings chosen per row (Chrome/Edge/Firefox/Safari-iOS/
+    Opera-mac/IE), parsed and rolled up by (browser family, major
+    version, OS family). The oracle maps the template index straight
+    to the expected triple, so every regex branch is value-checked."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend k = event_id % 6"
+        " | extend ua = case("
+        "k == 0, 'Mozilla/5.0 (Windows NT 10.0; Win64; x64)"
+        " AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0"
+        " Safari/537.36',"
+        "k == 1, 'Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36"
+        " (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36"
+        " Edg/124.0.2478.51',"
+        "k == 2, 'Mozilla/5.0 (X11; Linux x86_64; rv:125.0)"
+        " Gecko/20100101 Firefox/125.0',"
+        "k == 3, 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like"
+        " Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko)"
+        " Version/17.4 Mobile/15E148 Safari/604.1',"
+        "k == 4, 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"
+        " AppleWebKit/537.36 (KHTML, like Gecko) Chrome/123.0.0.0"
+        " Safari/537.36 OPR/109.0.0.0',"
+        "'Mozilla/5.0 (compatible; MSIE 10.0; Windows NT 6.1;"
+        " Trident/6.0)')"
+        " | extend p = parse_user_agent(ua, 'browser')"
+        " | extend fam = tostring(p.Browser.Family),"
+        " ver = tostring(p.Browser.MajorVersion),"
+        " osf = tostring(p.OperatingSystem.Family)"
+        " | summarize n = count() by fam, ver, osf"
+        " | order by fam asc, ver asc, osf asc",
+    )
+
+
+def q_kql_compress_roundtrip(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """zlib/gzip ↔ base64 codec quartet: per-document round-trip
+    (decompress ∘ compress == identity), a fixed-ciphertext decode
+    (the literal is zlib('otel arrow spark') computed offline), and
+    malformed-input null degradation. The Arrow-batched pandas seam
+    is the engine's third sanctioned one (no deflate in Catalyst) —
+    allowlisted in tests/test_plan_guard.py; per-value pure compute,
+    zero shuffle added."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        "documents"
+        " | extend zc = zlib_compress_to_base64_string(text),"
+        " gz = gzip_compress_to_base64_string(text)"
+        " | extend zd = zlib_decompress_from_base64_string(zc),"
+        " gd = gzip_decompress_from_base64_string(gz),"
+        " lit = zlib_decompress_from_base64_string("
+        "'eJzLL0nNUUgsKsovVyguSCzKBgA02QZB'),"
+        " bad = gzip_decompress_from_base64_string('%%%not-b64')"
+        " | summarize n = count(), z_ok = countif(zd == text),"
+        " g_ok = countif(gd == text),"
+        " n_lit = countif(lit == 'otel arrow spark'),"
+        " n_bad = countif(isnull(bad)),"
+        " z_nonempty = countif(strlen(zc) > 0)"
+        " by source"
+        " | order by source asc",
+    )
+
+
 def q_kql_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """geo_point_to_geohash + geo_geohash_to_central_point — the
     encode unrolls to fixed shift/mask arithmetic (accuracy literal),
@@ -3888,6 +3991,8 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_set_functions", "kql_percentilesw_array", "kql_bag_has_key",
     "kql_has_any_all", "kql_activity_counts", "kql_new_activity_metrics",
     "dedup_clusters_star", "text_tfidf_keywords",
+    # r5 late additions (scalar batch 10, UA parser, codec quartet)
+    "kql_scalar_suite10", "kql_useragent", "kql_compress_roundtrip",
 )
 
 
@@ -4074,6 +4179,9 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_unit_convert": q_kql_unit_convert,
         "kql_beta_stats": q_kql_beta_stats,
         "kql_guid_beta_inv": q_kql_guid_beta_inv,
+        "kql_scalar_suite10": q_kql_scalar_suite10,
+        "kql_useragent": q_kql_useragent,
+        "kql_compress_roundtrip": q_kql_compress_roundtrip,
         "kql_geohash": q_kql_geohash,
         "kql_series_fft": q_kql_series_fft,
         "kql_scalar_suite9": q_kql_scalar_suite9,
@@ -5525,6 +5633,57 @@ GROUP BY 1
             "round(SUM(i31 * cnt), 2) AS s31, "
             "round(SUM(i13 * cnt), 2) AS s13 "
             "FROM g GROUP BY event_type ORDER BY event_type"
+        ),
+        "kql_scalar_suite10": (
+            # has_ipv4 truths derive from row construction: the only
+            # valid token is ip itself (first octet event_id%300 must
+            # be ≤255); the second copy is embedded (followed by 'x')
+            # and the '1.2.3' decoy has 3 parts — neither matches
+            "WITH b AS (SELECT event_type, value, event_id, "
+            "(event_id % 300 <= 255) AS valid, "
+            "round(acos((event_id % 200 - 100) / 100.0), 6) AS ac, "
+            "round(asin((event_id % 200 - 100) / 100.0), 6) AS asn "
+            "FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS ch1, CAST(0 AS BIGINT) AS ch2, "
+            "CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS chp, "
+            "CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS cha, "
+            "round(SUM(ac), 2) AS sac, round(SUM(asn), 2) AS sas, "
+            "round(stddev_samp(CASE WHEN event_id % 2 = 0 "
+            "THEN value END), 4) AS sv, "
+            "round(var_samp(CASE WHEN event_id % 3 = 0 "
+            "THEN value END), 4) AS vv "
+            "FROM b GROUP BY event_type ORDER BY event_type"
+        ),
+        "kql_useragent": (
+            # template index → expected (family, major, os) triple
+            "WITH m AS (SELECT event_id % 6 AS k FROM events), "
+            "t AS (SELECT k, "
+            "CASE k WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Edge' "
+            "WHEN 2 THEN 'Firefox' WHEN 3 THEN 'Safari' "
+            "WHEN 4 THEN 'Opera' ELSE 'Internet Explorer' END AS fam, "
+            "CASE k WHEN 0 THEN '124' WHEN 1 THEN '124' "
+            "WHEN 2 THEN '125' WHEN 3 THEN '17' WHEN 4 THEN '109' "
+            "ELSE '10' END AS ver, "
+            "CASE k WHEN 2 THEN 'Linux' WHEN 3 THEN 'iOS' "
+            "WHEN 4 THEN 'macOS' ELSE 'Windows' END AS osf FROM m) "
+            "SELECT fam, ver, osf, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM t GROUP BY 1, 2, 3 ORDER BY fam, ver, osf"
+        ),
+        "kql_compress_roundtrip": (
+            # round-trip identities: every non-null text compresses
+            # and decompresses back to itself; the fixed literal
+            # always decodes; malformed base64 is always NULL
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(text) AS BIGINT) AS z_ok, "
+            "CAST(COUNT(text) AS BIGINT) AS g_ok, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lit, "
+            "CAST(COUNT(*) AS BIGINT) AS n_bad, "
+            "CAST(COUNT(text) AS BIGINT) AS z_nonempty "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         "kql_geohash": _geohash_oracle_cte(),
         "kql_series_fft": (

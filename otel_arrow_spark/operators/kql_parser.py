@@ -84,14 +84,19 @@ object identity (which could both leak and misclassify reused ids).
 
 from __future__ import annotations
 
+import base64
+import gzip
 import itertools
 import math
 import re
+import zlib
 from dataclasses import dataclass
 from functools import reduce
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class KqlError(ValueError):
@@ -435,6 +440,77 @@ def _ipv4_in_range(ip: Column, cidr: Column) -> Column:
         F.floor(_ip2long(ip) / scale)
         == F.floor(_ip2long(F.try_element_at(net, F.lit(1))) / scale)
     )
+
+
+# has_ipv4 family: an address counts only as a whole token — not
+# embedded in a longer dotted/alphanumeric run (Kusto's "properly
+# delimited" rule) — so candidate extraction guards both ends with
+# single-char lookarounds (fixed width, Java-regex safe).
+_IPV4_TOKEN_RE = (
+    r"(?<![0-9A-Za-z.])((?:\d{1,3}\.){3}\d{1,3})(?![0-9A-Za-z.])"
+)
+
+
+def _ipv4_tokens(text: Column) -> Column:
+    """All properly-delimited, octet-valid IPv4 tokens in ``text``.
+
+    Kusto's ``has_ipv4``/``has_ipv4_prefix``/``has_any_ipv4`` scan
+    free text for IPv4 literals; a match requires token delimiting
+    AND every octet in 0-255. One ``regexp_extract_all`` plus an
+    all-octets filter — pure codegen, linear in the text bytes.
+    """
+    cands = F.regexp_extract_all(
+        text.cast("string"), F.lit(_IPV4_TOKEN_RE), 1)
+    return F.filter(
+        cands,
+        lambda t: F.forall(F.split(t, r"\."),
+                           lambda o: o.cast("int") <= 255),
+    )
+
+
+def _b64_codec_udf(fn):
+    """Arrow-batched pandas_udf wrapping a bytes→str codec.
+
+    The zlib/gzip ↔ base64 quartet (Kusto's
+    ``*_compress_to_base64_string`` / ``*_decompress_from_base64_
+    string``) has no Spark builtin (no deflate in Catalyst), so this
+    is the repo's third sanctioned Python seam next to the multimodal
+    codec and the `scan` state machine: per-value pure compute, Arrow
+    batch transfer, no shuffle and no state — it scales exactly like
+    a JVM projection, just with the codec running in the Python
+    worker. Malformed input returns NULL instead of failing the job
+    (Kusto degrades the same way).
+    """
+    def apply(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return fn(v)
+            except Exception:
+                return None
+        return s.map(one)
+
+    # a DataType instance (not a DDL string) — string return types
+    # parse via the active session, which need not exist at import
+    return F.pandas_udf(apply, T.StringType())
+
+
+# gzip pins mtime=0 so output is deterministic across runs/executors
+# (Python's default stamps wall-clock into the member header).
+_zlib_compress_b64 = _b64_codec_udf(
+    lambda v: base64.b64encode(
+        zlib.compress(str(v).encode("utf-8"), 6)).decode("ascii"))
+_zlib_decompress_b64 = _b64_codec_udf(
+    lambda v: zlib.decompress(
+        base64.b64decode(str(v), validate=True)).decode("utf-8"))
+_gzip_compress_b64 = _b64_codec_udf(
+    lambda v: base64.b64encode(
+        gzip.compress(str(v).encode("utf-8"), 6, mtime=0)
+    ).decode("ascii"))
+_gzip_decompress_b64 = _b64_codec_udf(
+    lambda v: gzip.decompress(
+        base64.b64decode(str(v), validate=True)).decode("utf-8"))
 
 
 def _series_sum(arr: Column) -> Column:
@@ -1680,7 +1756,32 @@ _FUNC_MAP_SIMPLE = {
     "sin": lambda a: F.sin(a[0]),
     "tan": lambda a: F.tan(a[0]),
     "atan": lambda a: F.atan(a[0]),
+    "acos": lambda a: F.acos(a[0]),
+    "asin": lambda a: F.asin(a[0]),
     "atan2": lambda a: F.atan2(a[0], a[1]),
+    # has_ipv4 family — token-delimited, octet-validated text scan
+    # (see _ipv4_tokens); has_any_ipv4 takes the candidates as
+    # trailing scalar args (the dynamic-array form is the same
+    # fold spelled by the caller)
+    "has_ipv4": lambda a: F.exists(
+        _ipv4_tokens(a[0]), lambda t: t == a[1].cast("string")),
+    "has_ipv4_prefix": lambda a: F.exists(
+        _ipv4_tokens(a[0]),
+        lambda t: F.startswith(t, a[1].cast("string"))),
+    "has_any_ipv4": lambda a: F.exists(
+        _ipv4_tokens(a[0]),
+        lambda t: reduce(lambda acc, ip: acc | (t == ip.cast("string")),
+                         a[2:], t == a[1].cast("string"))),
+    # zlib/gzip ↔ base64 codec quartet (Arrow-batched seam, see
+    # _b64_codec_udf)
+    "zlib_compress_to_base64_string": lambda a:
+        _zlib_compress_b64(a[0].cast("string")),
+    "zlib_decompress_from_base64_string": lambda a:
+        _zlib_decompress_b64(a[0].cast("string")),
+    "gzip_compress_to_base64_string": lambda a:
+        _gzip_compress_b64(a[0].cast("string")),
+    "gzip_decompress_from_base64_string": lambda a:
+        _gzip_decompress_b64(a[0].cast("string")),
     "degrees": lambda a: F.degrees(a[0]),
     "radians": lambda a: F.radians(a[0]),
     "isnan": lambda a: F.isnan(a[0].cast("double")),
@@ -2207,6 +2308,8 @@ _AGG_MAP = {
     "arg_min": lambda a: F.min_by(a[1], a[0]),
     "stdev": lambda a: F.stddev_samp(a[0]),
     "variance": lambda a: F.var_samp(a[0]),
+    "stdevif": lambda a: F.stddev_samp(F.when(a[1], a[0])),
+    "varianceif": lambda a: F.var_samp(F.when(a[1], a[0])),
     "stdevp": lambda a: F.stddev_pop(a[0]),
     "variancep": lambda a: F.var_pop(a[0]),
     # bitwise aggregate family — the lineage checksum pattern
@@ -2893,6 +2996,55 @@ class ExprParser:
                         F.substring(f, F.lit(2), F.length(f) - 2),
                         F.lit('""'), F.lit('"')),
                 ).otherwise(f)))
+        if lname == "parse_user_agent":
+            # parse_user_agent(ua[, look_for]) → dynamic
+            # {Browser: {Family, MajorVersion},
+            #  OperatingSystem: {Family}}.
+            # Family/major-version SUBSET of Kusto's UA parser: Kusto
+            # ships the full uap-core regex corpus (thousands of
+            # patterns); this engine covers the major engine families
+            # (Edge/Opera/Chrome/Firefox/Safari/IE; Windows/Android/
+            # iOS/macOS/Linux) with ordered rlike chains — Edge and
+            # Opera before Chrome (their UAs embed `Chrome/`), iOS
+            # before macOS (iPad UAs embed `Mac OS X`), Android before
+            # Linux. Everything stays regexp codegen; unknown agents
+            # yield null fields, like Kusto's "Other" family. The
+            # optional look_for argument is accepted and ignored —
+            # both sections are always emitted (documented deviation).
+            if not args or len(args) > 2:
+                raise KqlError(
+                    "parse_user_agent needs (ua[, look_for])")
+            ua = args[0].col.cast("string")
+            fams = [
+                ("Edge", r"Edg(?:e|A|iOS)?/", r"Edg(?:e|A|iOS)?/(\d+)"),
+                ("Opera", r"OPR/|Opera[/ ]",
+                 r"(?:OPR|Opera)[/ ](\d+)"),
+                ("Chrome", r"Chrome/", r"Chrome/(\d+)"),
+                ("Firefox", r"Firefox/", r"Firefox/(\d+)"),
+                ("Safari", r"Version/\d+[^,]*Safari",
+                 r"Version/(\d+)"),
+                ("Internet Explorer", r"MSIE |Trident/",
+                 r"(?:MSIE |Trident/.*rv:)(\d+)"),
+            ]
+            b_fam, b_ver = F.lit(None).cast("string"), F.lit(None)
+            for fam, probe, verpat in reversed(fams):
+                hit = ua.rlike(probe)
+                b_fam = F.when(hit, F.lit(fam)).otherwise(b_fam)
+                b_ver = F.when(
+                    hit, F.nullif(F.regexp_extract(ua, verpat, 1),
+                                  F.lit(""))).otherwise(b_ver)
+            os_fam = (
+                F.when(ua.rlike(r"Windows NT"), "Windows")
+                .when(ua.rlike(r"Android"), "Android")
+                .when(ua.rlike(r"iPhone|iPad|iPod"), "iOS")
+                .when(ua.rlike(r"Mac OS X"), "macOS")
+                .when(ua.rlike(r"Linux"), "Linux"))
+            m = F.struct(
+                F.struct(b_fam.alias("Family"),
+                         b_ver.alias("MajorVersion")).alias("Browser"),
+                F.struct(os_fam.alias("Family"))
+                .alias("OperatingSystem"))
+            return KE(F.parse_json(F.to_json(m)), variant=True)
         if lname == "bag_zip":
             # bag_zip(keys, values) → dynamic bag; keys beyond the
             # value array get null values, surplus values are ignored

@@ -3839,3 +3839,101 @@ def test_tdigest_composition(spark):
     import pytest
     with pytest.raises(Exception, match="percentile_tdigest"):
         kql(df, "T | summarize p = percentile_tdigest(v, 50)")
+
+
+def test_has_ipv4_family_token_rules(spark):
+    df = spark.createDataFrame(
+        [("a 10.0.0.7 b", "ok"),
+         ("x10.0.0.7 b", "embedded-left"),
+         ("a 10.0.0.7b", "embedded-right"),
+         ("a 10.0.0.7.8 b", "five-part-run"),
+         ("a 999.0.0.7 b", "bad-octet"),
+         ("a 10.0.0 b", "three-part"),
+         (None, "null")],
+        "t string, tag string")
+    rows = kql(
+        df,
+        "T | project tag, h = has_ipv4(t, '10.0.0.7'),"
+        " hp = has_ipv4_prefix(t, '10.0.'),"
+        " ha = has_any_ipv4(t, '1.2.3.4', '10.0.0.7')",
+    ).collect()
+    got = {r.tag: (r.h, r.hp, r.ha) for r in rows}
+    assert got["ok"] == (True, True, True)
+    # an address embedded in a longer token never matches (Kusto's
+    # properly-delimited rule), nor does a 5-part dotted run
+    for tag in ("embedded-left", "embedded-right", "five-part-run"):
+        assert got[tag] == (False, False, False), tag
+    assert got["bad-octet"] == (False, False, False)
+    assert got["three-part"] == (False, False, False)
+    assert got["null"] == (None, None, None) or got["null"] == (
+        False, False, False)
+
+
+def test_parse_user_agent_families(spark):
+    uas = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+         " (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36",
+         "Chrome", "124", "Windows"),
+        ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML,"
+         " like Gecko) Chrome/124.0.0.0 Safari/537.36 Edg/124.0.1",
+         "Edge", "124", "Windows"),
+        ("Mozilla/5.0 (X11; Linux x86_64; rv:125.0) Gecko/20100101"
+         " Firefox/125.0", "Firefox", "125", "Linux"),
+        ("Mozilla/5.0 (iPad; CPU OS 17_4 like Mac OS X)"
+         " AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4"
+         " Mobile/15E148 Safari/604.1", "Safari", "17", "iOS"),
+        ("Mozilla/5.0 (Linux; Android 14; Pixel 8)"
+         " AppleWebKit/537.36 (KHTML, like Gecko) Chrome/123.0.0.0"
+         " Mobile Safari/537.36", "Chrome", "123", "Android"),
+        ("Mozilla/5.0 (Windows NT 10.0; WOW64; Trident/7.0; rv:11.0)"
+         " like Gecko", "Internet Explorer", "11", "Windows"),
+        ("curl/8.5.0", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, *_ in uas], "ua string")
+    rows = kql(
+        df,
+        "T | extend p = parse_user_agent(ua)"
+        " | project ua, fam = tostring(p.Browser.Family),"
+        " ver = tostring(p.Browser.MajorVersion),"
+        " osf = tostring(p.OperatingSystem.Family)",
+    ).collect()
+    got = {r.ua: (r.fam, r.ver, r.osf) for r in rows}
+    for ua, fam, ver, osf in uas:
+        assert got[ua] == (fam, ver, osf), ua
+
+
+def test_compress_codecs_roundtrip_and_degradation(spark):
+    df = spark.createDataFrame(
+        [("héllo wörld ünïcode",), ("",), (None,)], "t string")
+    rows = kql(
+        df,
+        "T | extend zc = zlib_compress_to_base64_string(t),"
+        " gc = gzip_compress_to_base64_string(t)"
+        " | project t, zd = zlib_decompress_from_base64_string(zc),"
+        " gd = gzip_decompress_from_base64_string(gc),"
+        " bad1 = zlib_decompress_from_base64_string('!!!'),"
+        " bad2 = gzip_decompress_from_base64_string('AAAA'),"
+        " lit = zlib_decompress_from_base64_string("
+        "'eJzLL0nNUUgsKsovVyguSCzKBgA02QZB')",
+    ).collect()
+    for r in rows:
+        # decompress ∘ compress == identity (unicode-safe); nulls
+        # propagate; malformed/non-deflate input degrades to NULL
+        assert r.zd == r.t and r.gd == r.t
+        assert r.bad1 is None and r.bad2 is None
+        assert r.lit == "otel arrow spark"
+
+
+def test_stdevif_varianceif(spark):
+    import statistics
+    vals = [float(v) for v in range(10)]
+    df = spark.createDataFrame(
+        [(v, int(v) % 2 == 0) for v in vals], "v double, p boolean")
+    r = kql(df, "T | summarize s = stdevif(v, p),"
+                " va = varianceif(v, p),"
+                " sn = stdevif(v, v < 0)").collect()[0]
+    evens = [v for v in vals if int(v) % 2 == 0]
+    assert abs(r.s - statistics.stdev(evens)) < 1e-9
+    assert abs(r.va - statistics.variance(evens)) < 1e-9
+    assert r.sn is None  # empty predicate set, like stdev of no rows

@@ -74,6 +74,12 @@ def test_gated_queries_are_jvm_side(plans):
         # assignments and state-referencing predicates are inherently
         # prefix-dependent (see test_scan_declare_property_vs_reference)
         "kql_text_scan_declare",
+        # the zlib/gzip ↔ base64 codec quartet: Catalyst has no
+        # deflate expression, so the codec runs as an Arrow-batched
+        # pandas_udf (kql_parser._b64_codec_udf) — per-value pure
+        # compute, no shuffle/state; degradation + round-trip are
+        # value-gated by the DuckDB oracle
+        "kql_compress_roundtrip",
     }
     python_ops = ("ArrowEvalPython", "FlatMapGroupsInPandas",
                   "MapInPandas", "BatchEvalPython")
