@@ -1872,6 +1872,18 @@ _FUNC_MAP_SIMPLE = {
     # form plus bare IPv4 (mapped), all pure codegen
     "parse_ipv6": lambda a: _parse_ipv6_masked(a[0], F.lit(128)),
     "parse_ipv6_mask": lambda a: _parse_ipv6_masked(a[0], a[1]),
+    # ipv6_is_in_range(ip, 'cidr') — membership per the range's
+    # suffix; an inline suffix on the ip narrows further (min rule,
+    # identical to ipv6_is_match with the 128 default), so the range
+    # pair IS the match pair. *_any_range folds over the tail args.
+    "ipv6_is_in_range": lambda a: _ipv6_is_match(
+        a[0].cast("string"), a[1].cast("string"), F.lit(128)),
+    "ipv6_is_in_any_range": lambda a: reduce(
+        lambda acc, r: acc | _ipv6_is_match(
+            a[0].cast("string"), r.cast("string"), F.lit(128)),
+        a[2:],
+        _ipv6_is_match(a[0].cast("string"), a[1].cast("string"),
+                       F.lit(128))),
     "ipv6_compare": lambda a: _ipv6_cmp(
         a[0], a[1], a[2] if len(a) > 2 else F.lit(128)),
     "ipv6_is_match": lambda a: _ipv6_is_match(
@@ -5181,12 +5193,22 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 renames[name] = expr.strip()
             df = ops.project_rename(df, **renames)
         elif op == "summarize":
-            # `hint.shufflekey=…` / `hint.strategy=shuffle` / `hint.
-            # num_partitions=…` are Kusto physical-strategy hints:
-            # Catalyst+AQE already picks the shuffle strategy (that is
-            # the point of declaring the plan), so hints are accepted
-            # for query compatibility and dropped.
-            rest = re.sub(r"^(?:hint\.\w+\s*=\s*[\w.]+\s+)+", "", rest)
+            # `hint.shufflekey=k` (+`hint.num_partitions=N`) is
+            # APPLIED: pre-partition the input on k so the aggregate
+            # reuses that Exchange (Kusto's high-cardinality summarize
+            # hint — the skew-spread shape). `hint.strategy=shuffle`
+            # alone is accepted and dropped: Catalyst+AQE already
+            # picks the shuffle strategy from the declared plan.
+            mh = re.match(r"^(?:hint\.\w+\s*=\s*[\w.]+\s+)+", rest)
+            if mh:
+                shints = dict(re.findall(
+                    r"hint\.(\w+)\s*=\s*([\w.]+)", mh.group(0)))
+                rest = rest[mh.end():]
+                if "shufflekey" in shints:
+                    parts = ([int(shints["num_partitions"])]
+                             if "num_partitions" in shints else [])
+                    df = df.repartition(
+                        *parts, F.col(shints["shufflekey"]))
             if " by " in rest:
                 agg_part, by_part = rest.split(" by ", 1)
                 by_items = _parse_assignments(by_part)
@@ -5643,24 +5665,54 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             # output column (KQL shows the key once), `$left/$right`
             # pairs keep both sides. Colliding non-key right columns are
             # renamed `name1`, the KQL dedup convention.
-            # strategy hints (hint.strategy=broadcast|shuffle, hint.
-            # shufflekey=…) accepted-and-dropped — Catalyst/AQE chooses
-            # (broadcast under threshold, skew-split otherwise)
-            rest = re.sub(r"(?:hint\.\w+\s*=\s*[\w.]+\s+)+", "", rest)
+            # strategy hints are APPLIED, not just tolerated:
+            # hint.strategy=broadcast pins a BroadcastHashJoin on the
+            # parenthesized side (the dimension/enrich shape, above
+            # AQE's size threshold too); =shuffle pins shuffle-hash;
+            # hint.shufflekey=k (+hint.num_partitions=N) pre-partitions
+            # both sides on k so the join reuses one Exchange. Hints
+            # Catalyst can't honor for the join type are ignored, same
+            # as Kusto treats them as optimizer suggestions. Only
+            # header hints are consumed — a subquery's own hints
+            # belong to the subquery.
+            hints: dict[str, str] = {}
+
+            def _eat_hints(s: str) -> str:
+                mh = re.match(r"^(?:hint\.\w+\s*=\s*[\w.]+\s+)+", s)
+                if not mh:
+                    return s
+                hints.update(re.findall(
+                    r"hint\.(\w+)\s*=\s*([\w.]+)", mh.group(0)))
+                return s[mh.end():]
+
+            rest = _eat_hints(rest)
+            mk = re.match(r"^kind\s*=\s*([a-z]+)\s+", rest)
+            kind = mk.group(1) if mk else "innerunique"  # KQL default
+            if mk:
+                rest = _eat_hints(rest[mk.end():])
             m2 = re.match(
-                r"^(?:kind\s*=\s*([a-z]+)\s+)?"
-                r"(\(.*\)|[A-Za-z_][A-Za-z0-9_]*)\s+on\s+(.+)$",
+                r"^(\(.*\)|[A-Za-z_][A-Za-z0-9_]*)\s+on\s+(.+)$",
                 rest, re.S,
             )
             if not m2:
                 raise KqlError("join needs `join [kind=k] (source) on keys`")
-            kind = m2.group(1) or "innerunique"  # the KQL default
             if kind not in _JOIN_KINDS:
                 raise KqlError(f"unsupported join kind {kind!r}")
-            right = _parse_source(m2.group(2), tables, bindings)
+            right = _parse_source(m2.group(1), tables, bindings)
+            strat = hints.get("strategy")
+            if strat == "broadcast":
+                right = right.hint("broadcast")
+            elif strat == "shuffle":
+                right = right.hint("shuffle_hash")
+            sk = hints.get("shufflekey")
+            if sk:
+                parts = ([int(hints["num_partitions"])]
+                         if "num_partitions" in hints else [])
+                df = df.repartition(*parts, F.col(sk))
+                right = right.repartition(*parts, F.col(sk))
             keys: list[str] = []
             pairs: list[tuple[str, str]] = []
-            for item in _split_commas(m2.group(3)):
+            for item in _split_commas(m2.group(2)):
                 item = item.strip()
                 mm = re.fullmatch(
                     r"\$left\.([A-Za-z_][A-Za-z0-9_]*)\s*==\s*"

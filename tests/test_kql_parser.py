@@ -1230,7 +1230,7 @@ def test_facet_and_render(spark):
         kql(df, "T | render")
 
 
-def test_strategy_hints_accepted(spark):
+def test_strategy_hints_applied(spark):
     df = spark.createDataFrame(
         [("a", 1), ("a", 2), ("b", 3)], "k string, v int")
     out = kql(
@@ -1239,12 +1239,59 @@ def test_strategy_hints_accepted(spark):
         " n = count() by k",
     )
     assert {(r.k, r.n) for r in out.collect()} == {("a", 2), ("b", 1)}
+    # shufflekey pre-partitions on k: the plan carries a user-requested
+    # hash repartition on k that the aggregate's Exchange reuses
+    assert "hashpartitioning(k" in (
+        out._jdf.queryExecution().optimizedPlan().toString()
+        + out._jdf.queryExecution().executedPlan().toString()
+    )
     out2 = kql(
         df,
         "T | as R | join kind=inner hint.strategy=broadcast (R) on k"
         " | summarize m = count() by k",
     )
     assert {(r.k, r.m) for r in out2.collect()} == {("a", 4), ("b", 1)}
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan2
+    # shuffle strategy pins a ShuffledHashJoin even where broadcast
+    # would win on size
+    out3 = kql(
+        df,
+        "T | as R | join kind=inner hint.strategy=shuffle (R) on k"
+        " | summarize m = count() by k",
+    )
+    assert {(r.k, r.m) for r in out3.collect()} == {("a", 4), ("b", 1)}
+    assert "ShuffledHashJoin" in (
+        out3._jdf.queryExecution().executedPlan().toString())
+    # shufflekey on join pre-partitions BOTH sides on the key
+    out4 = kql(
+        df,
+        "T | as R | join kind=inner hint.shufflekey=k (R) on k"
+        " | summarize m = count() by k",
+    )
+    assert {(r.k, r.m) for r in out4.collect()} == {("a", 4), ("b", 1)}
+
+
+def test_ipv6_is_in_range(spark):
+    df = spark.createDataFrame(
+        [("a1::1", "a1::/112", True),        # same /112 prefix
+         ("a1::1", "a1:b::/112", False),     # differs inside the prefix
+         ("1::5", "1::/16", True),           # first group matches /16
+         ("2::5", "1::/16", False),
+         ("::ffff:10.0.0.7", "::ffff:a00:0/120", True),  # v4-mapped
+         ("a1::1", None, None)],
+        "ip string, rng string, want boolean")
+    out = {(r.ip, r.rng): r.got for r in kql(
+        df, "T | extend got = ipv6_is_in_range(ip, rng)").collect()}
+    for r in df.collect():
+        assert out[(r.ip, r.rng)] == r.want, (r.ip, r.rng)
+    # any_range: true if ANY range matches; here 2nd range catches it
+    out2 = kql(
+        df,
+        "T | where ip == 'a1::1' and isnotempty(rng)"
+        " | extend got = ipv6_is_in_any_range(ip, 'ff::/16', 'a1::/16')",
+    ).collect()
+    assert all(r.got for r in out2) and len(out2) == 2
 
 
 def test_parse_where_filters_unmatched(spark):
