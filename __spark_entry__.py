@@ -1113,11 +1113,13 @@ def q_kql_text_scan_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ordered event stream: step predicates as Catalyst booleans
     (JVM), the O(n) state machine as ONE `applyInPandas` per
     `serialize by` group (Arrow both ways). Counts matched rows per
-    (event_type, step) so the output is small and stable. No SQL oracle:
-    scan's prefix-dependent state is the one tabular op that is not
-    SQL-expressible — the driver records the rows-only check; exact
-    per-row semantics are pinned by tests/test_kql_parser.py::
-    test_scan_operator."""
+    (event_type, step) so the output is small and stable. General
+    `scan` is not SQL-expressible, but THIS program's single-active-
+    sequence machine (advance on next-step match, re-match current,
+    reset after the last step) is a finite-state transducer, so the
+    oracle replays it as a DuckDB recursive-CTE prefix machine — same
+    pattern as kql_text_scan_declare. Exact per-row semantics are also
+    pinned by tests/test_kql_parser.py::test_scan_operator."""
     from otel_arrow_spark.operators.kql_parser import kql
 
     (events,) = _tables(spark, sf_dir, "events")
@@ -2447,6 +2449,46 @@ def q_kql_compress_roundtrip(spark: SparkSession, sf_dir: str
         " z_nonempty = countif(strlen(zc) > 0)"
         " by source"
         " | order by source asc",
+    )
+
+
+def q_kql_scalar_suite11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 scalar batch 11: the RFC-3492 punycode quartet (ASCII
+    inputs encode to `s + '-'` — oracle-derivable; the non-ASCII path
+    is gated as an encode∘decode round-trip plus a fixed literal
+    pair), parse_xml (constructed XML, attribute + child access),
+    has_any_index (term semantics), assert (always-true invariant),
+    percentrank_tdigest (exact under the lossless-digest subset) and
+    anyif over a group-constant expression (deterministic)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend p1 = punycode_from_string(event_type),"
+        " rt = punycode_to_string(punycode_from_string("
+        "strcat(event_type, 'é'))),"
+        " dm = punycode_domain_from_string("
+        "strcat(event_type, '.example.com')),"
+        " fixed = punycode_to_string('Mnchen-3ya'),"
+        " xml = parse_xml(strcat('<r a=\"', tostring(event_id % 7),"
+        " '\"><b>', event_type, '</b></r>')),"
+        " hi = has_any_index(strcat('alpha ', event_type, ' omega'),"
+        " pack_array('zzzz', event_type)),"
+        " ok = assert(event_id >= 0, 'ids are non-negative')"
+        " | extend xa = tolong(xml.r['@a']), xb = tostring(xml.r.b)"
+        " | summarize n = count(),"
+        " n_p1 = countif(p1 == strcat(event_type, '-')),"
+        " n_rt = countif(rt == strcat(event_type, 'é')),"
+        " n_dm = countif(dm == strcat(event_type, '.example.com')),"
+        " n_fixed = countif(fixed == 'München'),"
+        " s_xa = sum(xa), n_xb = countif(xb == event_type),"
+        " n_hi = countif(hi == 1), n_ok = countif(ok),"
+        " pr = round(percentrank_tdigest(tdigest(value), 150.0), 4),"
+        " av = anyif(substring(event_type, 0, 2), isnotempty(event_type))"
+        " by event_type"
+        " | order by event_type asc",
     )
 
 
@@ -4039,7 +4081,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     # ipv6 ranges, applied join/summarize hints) — also brand-new,
     # so they lead too, ahead of the judge-green r4 tail
     "kql_scalar_suite10", "kql_useragent", "kql_compress_roundtrip",
-    "kql_ipv6_ranges", "kql_join_hints",
+    "kql_ipv6_ranges", "kql_join_hints", "kql_scalar_suite11",
     # r4 registry tail — judge-green in r4, never driver-sampled
     "kql_series_anomalies", "kql_series_fir", "kql_series_iir",
     "kql_series_fit2", "dedup_substring_spans", "kql_basket3",
@@ -4252,6 +4294,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_compress_roundtrip": q_kql_compress_roundtrip,
         "kql_ipv6_ranges": q_kql_ipv6_ranges,
         "kql_join_hints": q_kql_join_hints,
+        "kql_scalar_suite11": q_kql_scalar_suite11,
         "kql_geohash": q_kql_geohash,
         "kql_series_fft": q_kql_series_fft,
         "kql_scalar_suite9": q_kql_scalar_suite9,
@@ -4846,6 +4889,36 @@ GROUP BY 1, 2, 3, 4, 5
         # first purchase once spend >= 100, then reset) unrolls into a
         # recursive CTE advancing every user one event per iteration
         # (max events/user iterations — bounded at oracle scale).
+        "kql_text_scan_matches": """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+),
+m AS (
+  -- the engine's scan machine verbatim: states A (inactive),
+  -- C (at s_click), V (at s_view); advance on next-step match,
+  -- re-match current step, reset after s_buy (last step)
+  SELECT user_id, 0 AS rn, 'A' AS st, CAST(NULL AS VARCHAR) AS emit
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  UNION ALL
+  SELECT e.user_id, e.rn,
+    CASE WHEN m.st = 'A' AND e.event_type = 'click' THEN 'C'
+         WHEN m.st = 'C' AND e.event_type = 'view' THEN 'V'
+         WHEN m.st = 'V' AND e.event_type = 'purchase' THEN 'A'
+         ELSE m.st END,
+    CASE WHEN m.st = 'A' AND e.event_type = 'click' THEN 's_click'
+         WHEN m.st = 'C' AND e.event_type = 'click' THEN 's_click'
+         WHEN m.st = 'C' AND e.event_type = 'view' THEN 's_view'
+         WHEN m.st = 'V' AND e.event_type = 'view' THEN 's_view'
+         WHEN m.st = 'V' AND e.event_type = 'purchase' THEN 's_buy'
+         ELSE NULL END
+  FROM m JOIN ev e ON e.user_id = m.user_id AND e.rn = m.rn + 1
+)
+SELECT emit AS step, CAST(COUNT(*) AS BIGINT) AS n
+FROM m WHERE emit IS NOT NULL GROUP BY 1
+""",
         "kql_text_scan_declare": """
 WITH RECURSIVE ev AS (
   SELECT user_id, event_type, value,
@@ -5754,6 +5827,26 @@ GROUP BY 1
             "CAST(COUNT(*) AS BIGINT) AS n_bad, "
             "CAST(COUNT(text) AS BIGINT) AS z_nonempty "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "kql_scalar_suite11": (
+            # ASCII punycode is `s || '-'`, the round-trip / domain /
+            # fixed-literal checks always hold, constructed XML always
+            # parses, the group key always term-matches at index 1
+            "WITH b AS (SELECT event_type, event_id % 7 AS xa, value "
+            "FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(*) AS BIGINT) AS n_p1, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rt, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dm, "
+            "CAST(COUNT(*) AS BIGINT) AS n_fixed, "
+            "CAST(SUM(xa) AS BIGINT) AS s_xa, "
+            "CAST(COUNT(*) AS BIGINT) AS n_xb, "
+            "CAST(COUNT(*) AS BIGINT) AS n_hi, "
+            "CAST(COUNT(*) AS BIGINT) AS n_ok, "
+            "round(100.0 * SUM(CASE WHEN value <= 150 THEN 1 ELSE 0 "
+            "END) / COUNT(value), 4) AS pr, "
+            "substr(MIN(event_type), 1, 2) AS av "
+            "FROM b GROUP BY event_type ORDER BY event_type"
         ),
         "kql_ipv6_ranges": (
             # membership derived from the generator integers: ip is

@@ -73,7 +73,13 @@ reflection), ``erf``/``erfc``, ``beta_cdf``/``beta_pdf``/``welch_test``
 ``toguid``/``cot``/``rand``/``new_guid``/``isutf8``/``string_size``,
 ``format_ipv4_mask``/``ipv4_is_in_any_range``, ``dynamic_to_json``,
 and the tdigest family as a lossless-digest composition subset
-(``percentile_tdigest(tdigest(x), p)`` → exact percentile).
+(``percentile_tdigest(tdigest(x), p)`` → exact percentile, incl.
+``rank_tdigest``/``percentrank_tdigest``). Late round-5 batch: the
+RFC-3492 ``punycode_{from,to}_string`` / ``punycode_domain_*`` quartet
+and ``parse_xml`` (both via the sanctioned Arrow-batched codec seam),
+``has_any_index``, ``assert``, ``anyif``, ``ipv6_is_in_range``/
+``ipv6_is_in_any_range``, and APPLIED ``hint.strategy``/
+``hint.shufflekey`` on ``join``/``summarize``.
 
 Implementation note: every parse result is a ``KE`` node — a Catalyst
 Column plus, when the expression is a literal, its Python value. Literal
@@ -232,9 +238,16 @@ def _variant_get(c: KE, key) -> KE:
         if c.bag_map is not None:
             return KE(F.try_element_at(c.bag_map, F.lit(key)),
                       variant=True)
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+            path = f"$.{key}"
+        elif "'" not in key:
+            # non-identifier keys (parse_xml's '@attr'/'#text', dotted
+            # attribute names) via the bracket-quoted path form
+            path = f"$['{key}']"
+        elif '"' not in key:
+            path = f'$["{key}"]'
+        else:
             raise KqlError(f"unsupported variant key {key!r}")
-        path = f"$.{key}"
     elif not isinstance(key, bool) and isinstance(key, (int, float)):
         path = f"$[{int(key)}]"
     else:
@@ -511,6 +524,96 @@ _gzip_compress_b64 = _b64_codec_udf(
 _gzip_decompress_b64 = _b64_codec_udf(
     lambda v: gzip.decompress(
         base64.b64decode(str(v), validate=True)).decode("utf-8"))
+
+
+def _punycode_encode(v) -> str:
+    """RFC 3492 raw punycode (Python's 'punycode' codec — the same
+    algorithm Kusto's punycode_from_string implements). Kusto returns
+    an EMPTY string when encoding fails, not null."""
+    try:
+        return str(v).encode("punycode").decode("ascii")
+    except Exception:
+        return ""
+
+
+def _punycode_decode(v) -> str:
+    try:
+        return str(v).encode("ascii").decode("punycode")
+    except Exception:
+        return ""
+
+
+def _puny_domain_encode(v) -> str:
+    """IDN encode per label: ASCII labels pass through, non-ASCII
+    labels become xn--<punycode> (Kusto punycode_domain_from_string;
+    empty string on failure)."""
+    try:
+        out = []
+        for label in str(v).split("."):
+            if label.isascii():
+                out.append(label)
+            else:
+                out.append(
+                    "xn--" + label.encode("punycode").decode("ascii"))
+        return ".".join(out)
+    except Exception:
+        return ""
+
+
+def _puny_domain_decode(v) -> str:
+    try:
+        out = []
+        for label in str(v).split("."):
+            if label.lower().startswith("xn--"):
+                out.append(label[4:].encode("ascii").decode("punycode"))
+            else:
+                out.append(label)
+        return ".".join(out)
+    except Exception:
+        return ""
+
+
+_punycode_from_string = _b64_codec_udf(_punycode_encode)
+_punycode_to_string = _b64_codec_udf(_punycode_decode)
+_punycode_domain_from_string = _b64_codec_udf(_puny_domain_encode)
+_punycode_domain_to_string = _b64_codec_udf(_puny_domain_decode)
+
+
+def _xml_elem_to_obj(elem):
+    """Kusto parse_xml convention: attributes keyed '@name', child
+    elements by tag (repeated tags collapse to a list), bare text as
+    the value itself, mixed content under '#text'."""
+    d: dict = {"@" + k: v for k, v in elem.attrib.items()}
+    children = list(elem)
+    # mixed content: leading text plus each child's tail (ElementTree
+    # hangs trailing text off the preceding sibling, not the parent)
+    parts = [elem.text or ""] + [c.tail or "" for c in children]
+    text = "".join(p.strip() for p in parts)
+    if not children and not d:
+        return text if text else None
+    for c in children:
+        o = _xml_elem_to_obj(c)
+        if c.tag in d:
+            prev = d[c.tag]
+            d[c.tag] = prev + [o] if isinstance(prev, list) else [prev, o]
+        else:
+            d[c.tag] = o
+    if text:
+        d["#text"] = text
+    return d
+
+
+def _parse_xml_to_json(v) -> str:
+    import json as _json
+    import xml.etree.ElementTree as _ET
+
+    root = _ET.fromstring(str(v))
+    return _json.dumps({root.tag: _xml_elem_to_obj(root)},
+                       sort_keys=True, separators=(",", ":"))
+
+
+# invalid XML → NULL via the codec seam's exception contract
+_parse_xml_json = _b64_codec_udf(_parse_xml_to_json)
 
 
 def _series_sum(arr: Column) -> Column:
@@ -1782,6 +1885,45 @@ _FUNC_MAP_SIMPLE = {
         _gzip_compress_b64(a[0].cast("string")),
     "gzip_decompress_from_base64_string": lambda a:
         _gzip_decompress_b64(a[0].cast("string")),
+    # RFC 3492 punycode quartet — same sanctioned codec seam; Kusto
+    # returns '' on codec failure (not null), the helpers match
+    "punycode_from_string": lambda a:
+        _punycode_from_string(a[0].cast("string")),
+    "punycode_to_string": lambda a:
+        _punycode_to_string(a[0].cast("string")),
+    "punycode_domain_from_string": lambda a:
+        _punycode_domain_from_string(a[0].cast("string")),
+    "punycode_domain_to_string": lambda a:
+        _punycode_domain_to_string(a[0].cast("string")),
+    # assert(cond[, msg]) — true, or fail the query (Kusto semantics);
+    # assert_true yields NULL on pass, so coalesce restores the bool
+    "assert": lambda a: F.coalesce(
+        F.assert_true(
+            a[0].cast("boolean"),
+            a[1] if len(a) > 1 else F.lit("assert failed"),
+        ).cast("boolean"),
+        F.lit(True)),
+    # has_any_index(source, values) — 0-based index of the first value
+    # that matches source as a whole TERM (`has` boundary regex,
+    # runtime-escaped), -1 when none match or the array is empty
+    "has_any_index": lambda a: F.when(
+        F.size(a[1]) > 0,
+        F.coalesce(
+            F.try_element_at(
+                F.filter(
+                    F.sequence(F.lit(0), F.size(a[1]) - 1),
+                    lambda i: F.regexp_like(
+                        a[0].cast("string"),
+                        F.concat(
+                            F.lit("(?i)(^|[^a-zA-Z0-9])"),
+                            F.regexp_replace(
+                                F.element_at(a[1], i.cast("int") + 1)
+                                .cast("string"),
+                                "([^a-zA-Z0-9])", r"\\$1"),
+                            F.lit("($|[^a-zA-Z0-9])")))),
+                F.lit(1)),
+            F.lit(-1))
+    ).otherwise(F.lit(-1)).cast("long"),
     "degrees": lambda a: F.degrees(a[0]),
     "radians": lambda a: F.radians(a[0]),
     "isnan": lambda a: F.isnan(a[0].cast("double")),
@@ -2336,6 +2478,7 @@ _AGG_MAP = {
     # nondeterministic, same as KQL)
     "take_any": lambda a: F.any_value(a[0], True),
     "take_anyif": lambda a: F.any_value(F.when(a[1], a[0]), True),
+    "anyif": lambda a: F.any_value(F.when(a[1], a[0]), True),
     "dcountif": lambda a: F.countDistinct(F.when(a[1], a[0])),
     # KQL dcount is approximate by design (HLL); the bare form above is
     # EXACT (cross-engine oracle hashability). dcount_approx opts into
@@ -3377,12 +3520,15 @@ class ExprParser:
             return KE(F.percentile(
                 args[0].col.cast("double"),
                 F.lit(float(args[1].lit) / 100.0)))
-        if lname == "rank_tdigest":
+        if lname in ("rank_tdigest", "percentrank_tdigest"):
             # relative rank of v in the digested values, as [0, 100]
+            # (percentrank_tdigest is Kusto's other spelling of the
+            # same percentage-of-set rank; exact under the lossless-
+            # digest subset)
             if len(args) != 2 or args[0].lit != "__tdigest__":
                 raise KqlError(
-                    "rank_tdigest must compose as "
-                    "rank_tdigest(tdigest(x), v)")
+                    f"{lname} must compose as "
+                    f"{lname}(tdigest(x), v)")
             col, v = args[0].col, args[1].col
             return KE(F.avg(
                 F.when(col.isNotNull() & (col <= v), 100.0)
@@ -3579,6 +3725,16 @@ class ExprParser:
             if len(args) != 1:
                 raise KqlError(f"{lname} needs (s)")
             return KE(F.parse_json(args[0].col), variant=True)
+        if lname == "parse_xml":
+            # XML → dynamic per Kusto's convention ('@attr' keys,
+            # '#text' mixed content, repeated tags → list). The XML→
+            # JSON step runs in the sanctioned codec seam (no XML
+            # reader in Catalyst expressions); invalid XML → NULL.
+            if len(args) != 1:
+                raise KqlError("parse_xml needs (s)")
+            return KE(
+                F.try_parse_json(_parse_xml_json(args[0].col.cast("string"))),
+                variant=True)
         if lname == "dynamic_to_json":
             # JSON text of a dynamic. Spark VARIANT stores object keys
             # sorted, so the parse_json path matches Kusto's sorted-key

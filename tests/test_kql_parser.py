@@ -1272,6 +1272,66 @@ def test_strategy_hints_applied(spark):
     assert {(r.k, r.m) for r in out4.collect()} == {("a", 4), ("b", 1)}
 
 
+def test_punycode_quartet(spark):
+    df = spark.createDataFrame(
+        [("München", "Mnchen-3ya", "académie-française.fr",
+          "xn--acadmie-franaise-npb1a.fr")],
+        "plain string, puny string, dom string, pdom string")
+    out = kql(
+        df,
+        "T | extend e = punycode_from_string(plain),"
+        " d = punycode_to_string(puny),"
+        " de = punycode_domain_from_string(dom),"
+        " dd = punycode_domain_to_string(pdom),"
+        " ascii_e = punycode_from_string('plain'),"
+        " bad = punycode_to_string('§ not punycode §')",
+    ).collect()[0]
+    assert out.e == "Mnchen-3ya"
+    assert out.d == "München"
+    assert out.de == "xn--acadmie-franaise-npb1a.fr"
+    assert out.dd == "académie-française.fr"
+    assert out.ascii_e == "plain-"   # all-basic: identity + delimiter
+    assert out.bad == ""             # Kusto: empty string on failure
+
+
+def test_parse_xml(spark):
+    df = spark.createDataFrame(
+        [(1, '<r a="1"><b>x</b><b>y</b><c>2</c>tail</r>'),
+         (2, "not xml"), (3, None)], "id int, x string")
+    rows = {r.id: r for r in kql(
+        df,
+        'T | extend p = parse_xml(x)'
+        ' | extend battr = tostring(p.r["@a"]), c = tostring(p.r.c),'
+        ' b0 = tostring(p.r.b[0]), b1 = tostring(p.r.b[1]),'
+        ' mixed = tostring(p.r["#text"])',
+    ).collect()}
+    r1 = rows[1]
+    assert (r1.battr, r1.c, r1.b0, r1.b1, r1.mixed) == (
+        "1", "2", "x", "y", "tail")
+    assert rows[2].battr is None and rows[3].battr is None
+
+
+def test_assert_anyif_has_any_index(spark):
+    df = spark.createDataFrame([("North America", 5)], "s string, v int")
+    out = kql(
+        df,
+        "T | extend ok = assert(v > 0, 'positive'),"
+        " i1 = has_any_index(s, pack_array('south', 'north')),"
+        " i2 = has_any_index(s, pack_array('orth', 'merica')),"
+        " i3 = has_any_index(s, dynamic([]))",
+    ).collect()[0]
+    assert out.ok is True and out.i1 == 1 and out.i2 == -1 and out.i3 == -1
+    with pytest.raises(Exception):
+        kql(df, "T | extend bad = assert(v < 0, 'neg')").collect()
+    df2 = spark.createDataFrame([(i,) for i in range(1, 11)], "v int")
+    agg = kql(
+        df2,
+        "T | summarize pr = percentrank_tdigest(tdigest(v), 3),"
+        " a = anyif(v, v == 7)",
+    ).collect()[0]
+    assert agg.pr == 30.0 and agg.a == 7
+
+
 def test_ipv6_is_in_range(spark):
     df = spark.createDataFrame(
         [("a1::1", "a1::/112", True),        # same /112 prefix

@@ -80,6 +80,10 @@ def test_gated_queries_are_jvm_side(plans):
         # compute, no shuffle/state; degradation + round-trip are
         # value-gated by the DuckDB oracle
         "kql_compress_roundtrip",
+        # same codec seam: RFC-3492 punycode (Python's punycode codec;
+        # no Catalyst twin) and parse_xml's XML→JSON step — per-value
+        # pure compute, value-gated by the DuckDB oracle
+        "kql_scalar_suite11",
     }
     python_ops = ("ArrowEvalPython", "FlatMapGroupsInPandas",
                   "MapInPandas", "BatchEvalPython")
