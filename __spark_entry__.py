@@ -1868,6 +1868,96 @@ def q_kql_geo_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# literal rings for kql_geo_polygon — shared by the KQL text and the
+# DuckDB oracle generator so both engines ray-cast the identical edges
+_PIP_OUTER = [(-120.03, -60.07), (120.11, -55.03), (100.07, 70.13),
+              (-40.03, 80.03), (-130.07, 20.11), (-120.03, -60.07)]
+_PIP_HOLE = [(-20.03, -10.07), (40.07, -15.03), (30.03, 30.11),
+             (-25.07, 25.03), (-20.03, -10.07)]
+
+
+def _pip_ring_sql(ring: list[tuple[float, float]],
+                  lon: str, lat: str) -> str:
+    """DuckDB twin of _geo_ring_contains for a LITERAL ring: the
+    even-odd toggle fold is the XOR of the per-edge crossing tests,
+    so the unrolled SQL is (sum of crossing ints) % 2 = 1 — the same
+    PNPOLY operand order as the Spark fold, term for term, so the
+    IEEE doubles compare identically in both engines."""
+    conds = []
+    for (xi, yi), (xj, yj) in zip(ring, ring[1:]):
+        conds.append(
+            f"CAST((({yi!r} > {lat}) <> ({yj!r} > {lat})) AND "
+            f"({lon} < ({xj!r} - ({xi!r})) * ({lat} - ({yi!r}))"
+            f" / ({yj!r} - ({yi!r})) + ({xi!r})) AS INT)")
+    return "((" + " + ".join(conds) + ") % 2 = 1)"
+
+
+def _pip_hav_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """DuckDB twin of the parser's _geo_distance, same term order."""
+    r = "0.017453292519943295"
+    return (
+        "2 * 6371010.0 * asin(sqrt("
+        f"pow(sin((({lat2}) - ({lat1})) * {r} / 2), 2) + "
+        f"cos(({lat1}) * {r}) * cos(({lat2}) * {r}) * "
+        f"pow(sin((({lon2}) - ({lon1})) * {r} / 2), 2)))")
+
+
+def _pip_oracle_sql() -> str:
+    """Oracle for kql_geo_polygon: unrolled even-odd ray cast (outer
+    ring AND NOT hole) + the two-segment haversine line length."""
+    outer = _pip_ring_sql(_PIP_OUTER, "lon", "lat")
+    hole = _pip_ring_sql(_PIP_HOLE, "lon", "lat")
+    seg = (f"round({_pip_hav_sql('lon', 'lat', '10.0', '20.0')}"
+           f" + {_pip_hav_sql('10.0', '20.0', '11.0', '21.0')}, 1)")
+    return (
+        "WITH c AS (SELECT event_type, "
+        "(user_id % 360) - 180 + value / 1000.0 AS lon, "
+        "(user_id % 170) - 85 + value / 2000.0 AS lat FROM events), "
+        f"d AS (SELECT event_type, ({outer} AND NOT {hole}) AS inp, "
+        f"{seg} AS seg FROM c) "
+        "SELECT event_type, "
+        "CAST(SUM(CASE WHEN inp THEN 1 ELSE 0 END) AS BIGINT) AS n_in, "
+        "MIN(seg) AS smin, MAX(seg) AS smax, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM d GROUP BY event_type ORDER BY event_type"
+    )
+
+
+def q_kql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_point_in_polygon (even-odd ray cast over a GeoJSON Polygon
+    with one hole — planar-edge subset, documented at the parser) and
+    geo_line_length (haversine fold over LineString vertices) over the
+    same deterministic event-derived coordinates as
+    q_kql_geo_functions. The polygon is a parse_json literal; the line
+    is built in-query with bag_pack/pack_array so the GeoJSON parse
+    path is exercised end-to-end. Lengths round to 0.1 m before
+    min/max so JVM-vs-DuckDB libm ULP noise cannot flip a hash; the
+    in/out bits are pure IEEE arithmetic, identical in both engines."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    poly = {"type": "Polygon",
+            "coordinates": [[list(v) for v in _PIP_OUTER],
+                            [list(v) for v in _PIP_HOLE]]}
+    import json as _json
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend lon = (user_id % 360) - 180 + value / 1000.0,"
+        " lat = (user_id % 170) - 85 + value / 2000.0"
+        " | extend inp = geo_point_in_polygon(lon, lat,"
+        f" parse_json('{_json.dumps(poly)}'))"
+        " | extend seg = round(geo_line_length(bag_pack("
+        "'type', 'LineString', 'coordinates',"
+        " pack_array(pack_array(lon, lat),"
+        " pack_array(10.0, 20.0), pack_array(11.0, 21.0)))), 1)"
+        " | summarize n_in = countif(inp), smin = min(seg),"
+        " smax = max(seg), n = count() by event_type"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_activity_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``evaluate activity_engagement(user_id, ts, 4h, 1d)`` — the
     DAU/MAU-style engagement ratio per 4-hour slot against the trailing
@@ -4082,6 +4172,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     # so they lead too, ahead of the judge-green r4 tail
     "kql_scalar_suite10", "kql_useragent", "kql_compress_roundtrip",
     "kql_ipv6_ranges", "kql_join_hints", "kql_scalar_suite11",
+    "kql_geo_polygon",
     # r4 registry tail — judge-green in r4, never driver-sampled
     "kql_series_anomalies", "kql_series_fir", "kql_series_iir",
     "kql_series_fit2", "dedup_substring_spans", "kql_basket3",
@@ -4253,6 +4344,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_scalar_suite5": q_kql_scalar_suite5,
         "kql_sequence_detect": q_kql_sequence_detect,
         "kql_geo_functions": q_kql_geo_functions,
+        "kql_geo_polygon": q_kql_geo_polygon,
         "kql_activity_engagement": q_kql_activity_engagement,
         "kql_activity_metrics": q_kql_activity_metrics,
         "kql_find_operator": q_kql_find_operator,
@@ -6283,6 +6375,7 @@ GROUP BY 1
             "round(CAST(i.di AS DOUBLE) / o.do_, 6) AS activity_ratio "
             "FROM i JOIN o ON i.slot = o.slot ORDER BY ts"
         ),
+        "kql_geo_polygon": _pip_oracle_sql(),
         "kql_geo_functions": (
             "WITH c AS (SELECT event_type, "
             "(user_id % 360) - 180 + value / 1000.0 AS lon, "

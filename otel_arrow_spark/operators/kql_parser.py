@@ -2643,6 +2643,31 @@ def _geo_distance(lon1: Column, lat1: Column,
     return F.lit(2.0 * 6371010.0) * F.asin(F.sqrt(a))
 
 
+def _geo_ring_contains(lon: Column, lat: Column, ring: Column) -> Column:
+    """Even-odd ray cast of (lon, lat) against one GeoJSON ring
+    (``array<array<double>>``, closed per spec — walking vertex i →
+    i+1 for i in [0, n-2] therefore covers every edge once). Crossing
+    parity is a toggle fold via ``F.aggregate`` (pure whole-stage
+    codegen, no Python); the per-edge test is the classic PNPOLY
+    formulation kept in exactly this operand order so a DuckDB oracle
+    built from the same text compares bit-for-bit. A horizontal edge
+    (yj == yi) fails the first conjunct, so the div-by-zero second
+    conjunct is inert (IEEE ±Inf, never an error, in both engines)."""
+    idx = F.sequence(F.lit(0), F.size(ring) - F.lit(2))
+
+    def _step(acc: Column, i: Column) -> Column:
+        vi, vj = F.get(ring, i), F.get(ring, i + F.lit(1))
+        xi, yi = F.get(vi, 0), F.get(vi, 1)
+        xj, yj = F.get(vj, 0), F.get(vj, 1)
+        crosses = ((yi > lat) != (yj > lat)) & (
+            lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)
+        return F.when(crosses, ~acc).otherwise(acc)
+
+    return F.when(
+        F.size(ring) >= 3, F.aggregate(idx, F.lit(False), _step)
+    ).otherwise(F.lit(False))
+
+
 def _make_bag(m: Column) -> Column:
     # bags flow through the parser as VARIANT (bag_pack's json detour);
     # normalize either VARIANT or MAP input to map<string,string> —
@@ -3314,6 +3339,53 @@ class ExprParser:
                 raise KqlError(
                     "geo_geohash_to_central_point needs (geohash)")
             return KE(_geohash_decode(args[0].col), variant=True)
+        if lname == "geo_point_in_polygon":
+            # geo_point_in_polygon(longitude, latitude, polygon) —
+            # polygon is a GeoJSON Polygon dynamic
+            # {"type","coordinates":[outer, hole, …]}: inside the outer
+            # ring and inside no hole, each ring an even-odd ray cast
+            # (_geo_ring_contains). PLANAR-EDGE SUBSET of Kusto's
+            # spherical geodesic edges — agrees for the small cells
+            # telemetry geofencing uses, diverges on continent-scale
+            # edges or rings crossing the antimeridian (documented; the
+            # geodesic variant needs a geometry library this container
+            # does not ship).
+            if len(args) != 3:
+                raise KqlError(
+                    "geo_point_in_polygon needs (lon, lat, polygon)")
+            lon = args[0].col.cast("double")
+            lat = args[1].col.cast("double")
+            rings = F.from_json(
+                args[2].col.cast("string"),
+                "struct<type:string,"
+                "coordinates:array<array<array<double>>>>",
+            )["coordinates"]
+            inside = _geo_ring_contains(lon, lat, F.get(rings, 0))
+            holes = F.slice(
+                rings, F.lit(2),
+                F.greatest(F.size(rings) - F.lit(1), F.lit(0)))
+            in_hole = F.exists(
+                holes, lambda r: _geo_ring_contains(lon, lat, r))
+            return KE(inside & ~F.coalesce(in_hole, F.lit(False)))
+        if lname == "geo_line_length":
+            # geo_line_length(lineString) — GeoJSON LineString length
+            # in meters: haversine sum over consecutive vertex pairs
+            # (the same spherical model as geo_distance_2points),
+            # folded with F.aggregate. NULL for fewer than 2 vertices.
+            if len(args) != 1:
+                raise KqlError("geo_line_length needs (lineString)")
+            pts = F.from_json(
+                args[0].col.cast("string"),
+                "struct<type:string,coordinates:array<array<double>>>",
+            )["coordinates"]
+            idx = F.sequence(F.lit(0), F.size(pts) - F.lit(2))
+            seg = F.aggregate(
+                idx, F.lit(0.0),
+                lambda acc, i: acc + _geo_distance(
+                    F.get(F.get(pts, i), 0), F.get(F.get(pts, i), 1),
+                    F.get(F.get(pts, i + F.lit(1)), 0),
+                    F.get(F.get(pts, i + F.lit(1)), 1)))
+            return KE(F.when(F.size(pts) >= F.lit(2), seg))
         if lname in ("series_fft", "series_ifft"):
             # series_fft(re [, im]) — {re, im} bag (this engine's
             # two-output shape; Kusto multi-assigns). Direct DFT —

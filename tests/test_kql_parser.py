@@ -3136,6 +3136,35 @@ def test_geo_functions(spark):
     assert (r.inc, r.outc) == (True, False)
 
 
+def test_geo_point_in_polygon(spark):
+    # unit square with a centered hole; point checks cover inside,
+    # in-hole, outside, and a concave-adjacent vertex-level row
+    poly = ('{"type":"Polygon","coordinates":'
+            "[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],"
+            "[[4.0,4.0],[6.0,4.0],[6.0,6.0],[4.0,6.0],[4.0,4.0]]]}")
+    df = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 5.0, 5.0), (3, 11.0, 5.0),
+         (4, -1.0, -1.0), (5, 9.9, 9.9)],
+        "id long, x double, y double")
+    r = kql(
+        df,
+        f"t | extend inp = geo_point_in_polygon(x, y,"
+        f" parse_json('{poly}')) | order by id asc",
+    ).collect()
+    assert [x.inp for x in r] == [True, False, False, False, True]
+    # line length: equator degree ~111.195 km, two segments add
+    r2 = kql(
+        spark.range(1),
+        "t | project km = round(geo_line_length(bag_pack("
+        "'type', 'LineString', 'coordinates',"
+        " pack_array(pack_array(0.0, 0.0), pack_array(1.0, 0.0),"
+        " pack_array(2.0, 0.0)))) / 1000, 1),"
+        " short = geo_line_length(bag_pack('type', 'LineString',"
+        " 'coordinates', pack_array(pack_array(0.0, 0.0))))",
+    ).collect()[0]
+    assert r2.km == 222.4 and r2.short is None
+
+
 def test_evaluate_activity_engagement(spark):
     import datetime as dt
     T = dt.datetime(2024, 1, 1)
