@@ -1909,15 +1909,30 @@ def _pip_oracle_sql() -> str:
     hole = _pip_ring_sql(_PIP_HOLE, "lon", "lat")
     seg = (f"round({_pip_hav_sql('lon', 'lat', '10.0', '20.0')}"
            f" + {_pip_hav_sql('10.0', '20.0', '11.0', '21.0')}, 1)")
+    # Chamberlain–Duquette area of the per-row triangle
+    # (lon,lat)→(lon+1,lat)→(lon,lat+1)→close, same term order as the
+    # parser's _geo_ring_area fold (x2 and y2 written as the SAME
+    # float expressions Spark materializes into the ring array)
+    r = "0.017453292519943295"
+    tri = [("lon", "lat"), ("(lon + 1.0)", "lat"),
+           ("lon", "(lat + 1.0)"), ("lon", "lat")]
+    terms = [
+        f"(({x2}) - ({x1})) * {r} * "
+        f"(2.0 + sin(({y1}) * {r}) + sin(({y2}) * {r}))"
+        for (x1, y1), (x2, y2) in zip(tri, tri[1:])
+    ]
+    akm = (f"round(abs({' + '.join(terms)})"
+           " * (6371010.0 * 6371010.0 / 2.0) / 1000000.0, 1)")
     return (
         "WITH c AS (SELECT event_type, "
         "(user_id % 360) - 180 + value / 1000.0 AS lon, "
         "(user_id % 170) - 85 + value / 2000.0 AS lat FROM events), "
         f"d AS (SELECT event_type, ({outer} AND NOT {hole}) AS inp, "
-        f"{seg} AS seg FROM c) "
+        f"{seg} AS seg, {akm} AS akm FROM c) "
         "SELECT event_type, "
         "CAST(SUM(CASE WHEN inp THEN 1 ELSE 0 END) AS BIGINT) AS n_in, "
         "MIN(seg) AS smin, MAX(seg) AS smax, "
+        "MIN(akm) AS amin, MAX(akm) AS amax, "
         "CAST(COUNT(*) AS BIGINT) AS n "
         "FROM d GROUP BY event_type ORDER BY event_type"
     )
@@ -1952,8 +1967,14 @@ def q_kql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'type', 'LineString', 'coordinates',"
         " pack_array(pack_array(lon, lat),"
         " pack_array(10.0, 20.0), pack_array(11.0, 21.0)))), 1)"
+        " | extend akm = round(geo_polygon_area(bag_pack("
+        "'type', 'Polygon', 'coordinates',"
+        " pack_array(pack_array(pack_array(lon, lat),"
+        " pack_array(lon + 1.0, lat), pack_array(lon, lat + 1.0),"
+        " pack_array(lon, lat))))) / 1000000.0, 1)"
         " | summarize n_in = countif(inp), smin = min(seg),"
-        " smax = max(seg), n = count() by event_type"
+        " smax = max(seg), amin = min(akm), amax = max(akm),"
+        " n = count() by event_type"
         " | order by event_type asc",
     )
 

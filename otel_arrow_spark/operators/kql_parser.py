@@ -2668,6 +2668,25 @@ def _geo_ring_contains(lon: Column, lat: Column, ring: Column) -> Column:
     ).otherwise(F.lit(False))
 
 
+def _geo_ring_area(ring: Column) -> Column:
+    """Spherical ring area in m² by the Chamberlain–Duquette formula
+    (the public Turf.js/geojson-area formulation): |Σ over edges of
+    (λ₂−λ₁)·(2 + sin φ₁ + sin φ₂)| · R²/2 on the R = 6371.01 km
+    sphere. A close approximation of the geodesic area for the
+    sub-continental rings telemetry uses; term order fixed for
+    cross-engine oracle parity."""
+    rad = F.lit(0.017453292519943295)
+    idx = F.sequence(F.lit(0), F.size(ring) - F.lit(2))
+    s = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, i: acc + (
+            (F.get(F.get(ring, i + F.lit(1)), 0)
+             - F.get(F.get(ring, i), 0)) * rad
+            * (F.lit(2.0) + F.sin(F.get(F.get(ring, i), 1) * rad)
+               + F.sin(F.get(F.get(ring, i + F.lit(1)), 1) * rad))))
+    return F.abs(s) * F.lit(6371010.0 * 6371010.0 / 2.0)
+
+
 def _make_bag(m: Column) -> Column:
     # bags flow through the parser as VARIANT (bag_pack's json detour);
     # normalize either VARIANT or MAP input to map<string,string> —
@@ -3367,6 +3386,27 @@ class ExprParser:
             in_hole = F.exists(
                 holes, lambda r: _geo_ring_contains(lon, lat, r))
             return KE(inside & ~F.coalesce(in_hole, F.lit(False)))
+        if lname == "geo_polygon_area":
+            # geo_polygon_area(polygon) — GeoJSON Polygon area in m²:
+            # outer-ring spherical area minus the holes
+            # (_geo_ring_area, the Chamberlain–Duquette approximation
+            # of Kusto's geodesic area — documented divergence for
+            # continent-scale rings).
+            if len(args) != 1:
+                raise KqlError("geo_polygon_area needs (polygon)")
+            rings = F.from_json(
+                args[0].col.cast("string"),
+                "struct<type:string,"
+                "coordinates:array<array<array<double>>>>",
+            )["coordinates"]
+            holes = F.slice(
+                rings, F.lit(2),
+                F.greatest(F.size(rings) - F.lit(1), F.lit(0)))
+            hole_sum = F.aggregate(
+                holes, F.lit(0.0),
+                lambda acc, r: acc + _geo_ring_area(r))
+            return KE(_geo_ring_area(F.get(rings, 0))
+                      - F.coalesce(hole_sum, F.lit(0.0)))
         if lname == "geo_line_length":
             # geo_line_length(lineString) — GeoJSON LineString length
             # in meters: haversine sum over consecutive vertex pairs

@@ -3160,9 +3160,20 @@ def test_geo_point_in_polygon(spark):
         " pack_array(pack_array(0.0, 0.0), pack_array(1.0, 0.0),"
         " pack_array(2.0, 0.0)))) / 1000, 1),"
         " short = geo_line_length(bag_pack('type', 'LineString',"
-        " 'coordinates', pack_array(pack_array(0.0, 0.0))))",
+        " 'coordinates', pack_array(pack_array(0.0, 0.0)))),"
+        " akm2 = round(geo_polygon_area(bag_pack('type', 'Polygon',"
+        " 'coordinates', pack_array(pack_array("
+        "pack_array(0.0, 0.0), pack_array(1.0, 0.0),"
+        " pack_array(1.0, 1.0), pack_array(0.0, 1.0),"
+        " pack_array(0.0, 0.0))))) / 1000000.0, 1)",
     ).collect()[0]
     assert r2.km == 222.4 and r2.short is None
+    # Chamberlain–Duquette area of the 1°×1° equator square
+    import math
+    rad = 0.017453292519943295
+    exp = abs(rad * (2.0 + 0.0 + 0.0) + (-rad) * (2.0 + 2 * math.sin(rad))
+              ) * 6371010.0 ** 2 / 2 / 1e6
+    assert r2.akm2 == round(exp, 1)  # ~12364 km²
 
 
 def test_evaluate_activity_engagement(spark):
