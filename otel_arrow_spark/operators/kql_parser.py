@@ -64,6 +64,9 @@ reflection), ``erf``/``erfc``, ``beta_cdf``/``beta_pdf``/``welch_test``
 (regularized incomplete beta — Horner-folded 2F1 series inside one
 ``F.aggregate``), the ``convert_*`` unit-conversion family,
 ``geo_point_to_geohash``/``geo_geohash_to_central_point``,
+``geo_point_in_polygon`` (even-odd ray-cast fold over GeoJSON rings,
+planar-edge subset) / ``geo_line_length`` (haversine vertex fold) /
+``geo_polygon_area`` (Chamberlain–Duquette spherical area),
 ``series_fft``/``series_ifft`` (direct DFT, {re,im} bag),
 ``series_stats_dynamic``, series trig, the hash round-out
 (``hash_md5/sha1/xxhash64/many/combine``), ``extract_json`` with
