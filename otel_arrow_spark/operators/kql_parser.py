@@ -3100,6 +3100,29 @@ class ExprParser:
             for i in range(2, len(args) - 1, 2):
                 c = c.when(args[i].col, args[i + 1].col)
             return KE(c.otherwise(args[-1].col))
+        if lname == "bin_auto":
+            # bin_auto(value) — bin()/bin_at() whose width (and
+            # optional anchor) come from the bound query properties
+            # `query_bin_auto_size` / `query_bin_auto_at`. Kusto binds
+            # them with `set`; this engine's `let` is the same
+            # constant-binding mechanism, so the properties are plain
+            # let statements. Falls through to the gated bin/bin_at
+            # compilation below.
+            if len(args) != 1:
+                raise KqlError("bin_auto needs (value)")
+            size = self.bindings.get("query_bin_auto_size")
+            if not isinstance(size, KE) or not size.is_lit:
+                raise KqlError(
+                    "bin_auto needs a literal"
+                    " `let query_bin_auto_size = …;` binding")
+            anchor = self.bindings.get("query_bin_auto_at")
+            if anchor is None:
+                lname, args = "bin", [args[0], size]
+            else:
+                if not isinstance(anchor, KE):
+                    raise KqlError(
+                        "query_bin_auto_at must be a scalar literal")
+                lname, args = "bin_at", [args[0], size, anchor]
         if lname == "bin":  # math bin (math_scalar_expression.rs:13)
             from otel_arrow_spark.operators.kql import bin_
 

@@ -3136,6 +3136,27 @@ def test_geo_functions(spark):
     assert (r.inc, r.outc) == (True, False)
 
 
+def test_bin_auto(spark):
+    df = spark.createDataFrame(
+        [(1, 7.0), (2, 23.0), (3, 52.0)], "id long, v double")
+    r = kql(
+        df,
+        "let query_bin_auto_size = 20.0;"
+        " t | summarize n = count() by b = bin_auto(v) | order by b asc",
+    ).collect()
+    assert [(x.b, x.n) for x in r] == [(0.0, 1), (20.0, 1), (40.0, 1)]
+    # anchored form
+    r2 = kql(
+        df,
+        "let query_bin_auto_size = 20.0;"
+        " let query_bin_auto_at = 5.0;"
+        " t | summarize n = count() by b = bin_auto(v) | order by b asc",
+    ).collect()
+    assert [(x.b, x.n) for x in r2] == [(5.0, 2), (45.0, 1)]
+    with pytest.raises(KqlError, match="query_bin_auto_size"):
+        kql(df, "t | extend b = bin_auto(v)")
+
+
 def test_geo_point_in_polygon(spark):
     # unit square with a centered hole; point checks cover inside,
     # in-hole, outside, and a concave-adjacent vertex-level row
