@@ -2123,6 +2123,69 @@ def q_kql_percentilesw_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_percentiles_plural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plural ``percentiles()`` / ``percentilesw()`` in summarize —
+    one exact array aggregate expanded to Kusto's auto-named columns
+    (``percentile_value_25`` …), plus tuple assignment and the
+    single-name single-percentile form. Oracle: DuckDB quantile_cont
+    (same linear interpolation as F.percentile) + the cumulative-
+    weight MIN(v) twin for the weighted form."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | summarize percentiles(value, 25, 50, 95),"
+        " (q10, q90) = percentiles(value, 10, 90),"
+        " pw50 = percentilesw(value, 1.0 + user_id % 3, 50),"
+        " n = count() by event_type"
+        " | project event_type, p25 = round(percentile_value_25, 4),"
+        " p50 = round(percentile_value_50, 4),"
+        " p95 = round(percentile_value_95, 4),"
+        " q10 = round(q10, 4), q90 = round(q90, 4),"
+        " pw50 = round(pw50, 4), n"
+        " | order by event_type asc",
+    )
+
+
+def q_kql_scalar_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``range(start, stop[, step])`` — inclusive numeric
+    series via an index transform over F.sequence (fractional and
+    negative steps). Element/size probes folded to sums so the DuckDB
+    oracle is pure closed-form arithmetic (n = floor((stop−start)/
+    step)+1; last = start+(n−1)·step)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | extend hi = 1 + event_id % 7"
+        " | extend r = range(1, hi, 2),"
+        " rr = range(todouble(hi), 1.0, -1.5)"
+        " | summarize n = count(), sn = sum(array_length(r)),"
+        " s0 = sum(todouble(r[0])),"
+        " sl = sum(todouble(r[array_length(r) - 1])),"
+        " snr = sum(array_length(rr)),"
+        " srl = round(sum(todouble(rr[array_length(rr) - 1])), 4)"
+        " by k = event_id % 7"
+        " | order by k asc",
+    )
+
+
+def q_kql_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``consume`` — evaluate the pipeline, return an empty result of
+    the same shape (Kusto's perf-harness sink; declaratively limit(0),
+    so Catalyst prunes the scan instead of paying it)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | where event_type == 'click'"
+        " | project event_id, user_id | consume",
+    )
+
+
 def q_kql_set_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jaccard_index / set_has_element over modular-arithmetic sets;
     oracle uses DuckDB list_intersect/list_distinct twins."""
@@ -4193,7 +4256,8 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     # so they lead too, ahead of the judge-green r4 tail
     "kql_scalar_suite10", "kql_useragent", "kql_compress_roundtrip",
     "kql_ipv6_ranges", "kql_join_hints", "kql_scalar_suite11",
-    "kql_geo_polygon",
+    "kql_geo_polygon", "kql_percentiles_plural", "kql_scalar_range",
+    "kql_consume",
     # r4 registry tail — judge-green in r4, never driver-sampled
     "kql_series_anomalies", "kql_series_fir", "kql_series_iir",
     "kql_series_fit2", "dedup_substring_spans", "kql_basket3",
@@ -4416,6 +4480,9 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_arg_max_star": q_kql_arg_max_star,
         "kql_set_functions": q_kql_set_functions,
         "kql_percentilesw_array": q_kql_percentilesw_array,
+        "kql_percentiles_plural": q_kql_percentiles_plural,
+        "kql_scalar_range": q_kql_scalar_range,
+        "kql_consume": q_kql_consume,
         "kql_bag_has_key": q_kql_bag_has_key,
         "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
@@ -5647,6 +5714,48 @@ GROUP BY 1
             "MAX(CASE WHEN p = 50 THEN pv END) AS p1, "
             "MAX(CASE WHEN p = 75 THEN pv END) AS p2 "
             "FROM sel GROUP BY et ORDER BY event_type"
+        ),
+        "kql_percentiles_plural": (
+            "WITH b AS (SELECT event_type AS et, value AS v, "
+            "1.0 + user_id % 3 AS w FROM events "
+            "WHERE value IS NOT NULL), "
+            "c AS (SELECT et, v, SUM(w) OVER (PARTITION BY et "
+            "ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum, "
+            "SUM(w) OVER (PARTITION BY et) AS tot FROM b), "
+            "wsel AS (SELECT et, MIN(v) AS pw FROM c "
+            "WHERE cum >= tot * 0.5 GROUP BY et), "
+            "q AS (SELECT event_type AS et, "
+            "round(quantile_cont(value, 0.25), 4) AS p25, "
+            "round(quantile_cont(value, 0.50), 4) AS p50, "
+            "round(quantile_cont(value, 0.95), 4) AS p95, "
+            "round(quantile_cont(value, 0.10), 4) AS q10, "
+            "round(quantile_cont(value, 0.90), 4) AS q90, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "GROUP BY event_type) "
+            "SELECT q.et AS event_type, p25, p50, p95, q10, q90, "
+            "round(w.pw, 4) AS pw50, n FROM q "
+            "JOIN wsel w ON q.et = w.et ORDER BY event_type"
+        ),
+        "kql_scalar_range": (
+            # closed-form twin: range(1, hi, 2) has floor((hi-1)/2)+1
+            # elements, last = 1+(n-1)*2; range(hi, 1, -1.5) has
+            # floor((hi-1)/1.5)+1, last = hi-(n-1)*1.5
+            "WITH b AS (SELECT event_id % 7 AS k, "
+            "1.0 + event_id % 7 AS hi FROM events), "
+            "c AS (SELECT k, hi, "
+            "CAST(floor((hi - 1.0) / 2.0) + 1 AS BIGINT) AS n1, "
+            "CAST(floor((hi - 1.0) / 1.5) + 1 AS BIGINT) AS n2 "
+            "FROM b) "
+            "SELECT k, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(n1) AS BIGINT) AS sn, "
+            "CAST(COUNT(*) AS DOUBLE) AS s0, "
+            "SUM(1.0 + (n1 - 1) * 2.0) AS sl, "
+            "CAST(SUM(n2) AS BIGINT) AS snr, "
+            "round(SUM(hi - (n2 - 1) * 1.5), 4) AS srl "
+            "FROM c GROUP BY k ORDER BY k"
+        ),
+        "kql_consume": (
+            "SELECT event_id, user_id FROM events WHERE FALSE"
         ),
         "kql_set_functions": (
             "WITH b AS (SELECT user_id % 3 AS k, "

@@ -82,7 +82,11 @@ RFC-3492 ``punycode_{from,to}_string`` / ``punycode_domain_*`` quartet
 and ``parse_xml`` (both via the sanctioned Arrow-batched codec seam),
 ``has_any_index``, ``assert``, ``anyif``, ``ipv6_is_in_range``/
 ``ipv6_is_in_any_range``, and APPLIED ``hint.strategy``/
-``hint.shufflekey`` on ``join``/``summarize``.
+``hint.shufflekey`` on ``join``/``summarize``. Closing batch: plural
+``percentiles()``/``percentilesw()`` in summarize (auto-named or
+tuple-assigned columns from ONE exact array aggregate), scalar
+``range()``, the ``consume`` operator, and 0-based computed array
+indexing ``arr[i]`` (try_element_at, null out-of-range).
 
 Implementation note: every parse result is a ``KE`` node — a Catalyst
 Column plus, when the expression is a literal, its Python value. Literal
@@ -923,6 +927,30 @@ def _series_periods(arr: Column, min_p: Column, max_p: Column) -> Column:
     return F.when(
         F.size(lags) > 0, F.array(best["lag"], best["score"])
     )
+
+
+def _scalar_range(a: list[Column]) -> Column:
+    """Kusto scalar ``range(start, stop[, step])`` → dynamic array of
+    start, start+step, … up to stop INCLUSIVE (numeric subset; Kusto
+    also accepts datetime+timespan). Built as an index transform over
+    F.sequence so fractional steps work (F.sequence alone is integral):
+    n = floor((stop−start)/step)+1 elements. NULL args or step=0 →
+    NULL (Kusto errors on step 0; NULL is this engine's no-throw
+    lane); an empty span (start past stop in step's direction) → [].
+    Values are doubles (one documented engine-wide numeric lane;
+    Kusto preserves long for integral inputs)."""
+    if len(a) not in (2, 3):
+        raise KqlError("range needs (start, stop[, step])")
+    start = a[0].cast("double")
+    stop = a[1].cast("double")
+    step = a[2].cast("double") if len(a) == 3 else F.lit(1.0)
+    step = F.when(step != 0, step)  # 0 → NULL, never a div-by-0
+    n = (F.floor((stop - start) / step) + 1).cast("bigint")
+    idx = (
+        F.when(n > 0, F.sequence(F.lit(0), n - 1))
+        .when(n <= 0, F.array().cast("array<bigint>"))
+    )  # n NULL (NULL arg / step 0) falls through to NULL
+    return F.transform(idx, lambda i: start + i.cast("double") * step)
 
 
 def _series_fill_forward(arr: Column) -> Column:
@@ -1820,6 +1848,8 @@ _FUNC_MAP_SIMPLE = {
     "real": lambda a: a[0].cast("double"),
     "double": lambda a: a[0].cast("double"),
     "bool": lambda a: a[0].cast("boolean"),
+    # scalar range(start, stop[, step]) — inclusive numeric series
+    "range": _scalar_range,
     # conditional (scalar_expressions.rs:26-38)
     "iff": lambda a: F.when(a[0], a[1]).otherwise(a[2]),
     "iif": lambda a: F.when(a[0], a[1]).otherwise(a[2]),
@@ -2946,7 +2976,17 @@ class ExprParser:
                 elif not isinstance(key, bool) and isinstance(key, (int, float)):
                     c = KE(c.col.getItem(int(key)))
                 else:
-                    c = KE(F.element_at(c.col, idx.col))
+                    # computed index — Kusto arrays are 0-based while
+                    # element_at is 1-based (and THROWS on 0), so shift
+                    # by one and null out negatives / out-of-range
+                    # (try_element_at). Computed keys on non-variant
+                    # maps aren't reachable here: bag columns are
+                    # VARIANT (the branch above) and literal string
+                    # keys take the getItem branch.
+                    i = idx.col.cast("bigint")
+                    c = KE(F.when(i >= 0,
+                                  F.try_element_at(c.col, (i + 1)
+                                                   .cast("int"))))
             elif t == ".":  # dotted path a.b (incl. resource./scope. scoping)
                 self.next()
                 field = self.next()
@@ -5515,7 +5555,64 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             aggs = {}
             # (kind, rank expr, cols-or-None-for-*)
             star_rows: list[tuple[str, str, list[str] | None]] = []
+            # internal array-agg column → per-element output names
+            # (plural percentiles/percentilesw expansion, below)
+            pctl_expand: list[tuple[str, list[str]]] = []
             for i, (name, expr) in enumerate(_parse_assignments(agg_part)):
+                # plural `percentiles(x, p1, p2, …)` / `percentilesw(x,
+                # w, p1, …)` — ONE exact array aggregate (the gated
+                # percentiles_array machinery), expanded to Kusto's
+                # auto-named columns (percentile_x_p, dots → _) after
+                # the groupBy. Tuple assignment `(a, b) = percentiles(
+                # x, 50, 95)` names them explicitly; a single-name
+                # assignment is allowed only for a single percentile.
+                mp = re.fullmatch(
+                    r"(?:\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)"
+                    r"\s*\)\s*=\s*)?percentiles(w?)\s*\((.+)\)",
+                    expr.strip(), re.S)
+                if mp:
+                    tuple_names, wtd, inner = mp.groups()
+                    parts = [p.strip() for p in _split_commas(inner)]
+                    nlead = 2 if wtd else 1
+                    try:
+                        ps = [float(p) for p in parts[nlead:]]
+                    except ValueError:
+                        raise KqlError(
+                            "percentiles needs literal percentile "
+                            f"values, got {parts[nlead:]!r}")
+                    if not ps:
+                        raise KqlError(
+                            "percentiles needs at least one percentile")
+                    arr = pe(("percentilesw_array(" if wtd
+                              else "percentiles_array(")
+                             + ", ".join(parts[:nlead])
+                             + "".join(f", {p}" for p in ps) + ")")
+                    if tuple_names:
+                        outs = [t.strip()
+                                for t in tuple_names.split(",")]
+                        if len(outs) != len(ps):
+                            raise KqlError(
+                                f"percentiles tuple names {len(outs)} "
+                                f"!= percentile count {len(ps)}")
+                    elif name is not None:
+                        if len(ps) != 1:
+                            raise KqlError(
+                                "a single name can only bind a single "
+                                "percentile — use (n1, n2, …) = "
+                                "percentiles(…)")
+                        outs = [name]
+                    else:
+                        vsan = re.sub(
+                            r"\W+", "_", parts[0]).strip("_")
+                        outs = [
+                            "percentile_" + vsan + "_"
+                            + ("%g" % p).replace(".", "_")
+                            .replace("-", "_")
+                            for p in ps]
+                    internal = f"__pctls_{i}"
+                    aggs[internal] = arr
+                    pctl_expand.append((internal, outs))
+                    continue
                 mstar = re.fullmatch(
                     r"arg_(max|min)\s*\((.+?),\s*(\*|[A-Za-z_]\w*"
                     r"(?:\s*,\s*[A-Za-z_]\w*)+)\s*\)", expr.strip(),
@@ -5622,6 +5719,18 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 df = df.groupBy(*keys).agg(
                     *[v.alias(k) for k, v in aggs.items()]
                 )
+            if pctl_expand:
+                # expand each internal percentile array in place, so
+                # column order matches the declaration order
+                expand = dict(pctl_expand)
+                sel: list[Column] = []
+                for c in df.columns:
+                    if c in expand:
+                        sel += [F.col(c)[j].alias(n)
+                                for j, n in enumerate(expand[c])]
+                    else:
+                        sel.append(F.col(c))
+                df = df.select(*sel)
         elif op in ("order", "sort"):
             rest = re.sub(r"^by\s+", "", rest)
             cols = []
@@ -5716,6 +5825,18 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 raise KqlError(f"take/limit needs an integer, got {rest!r}")
         elif op == "count":
             df = df.agg(F.count(F.lit(1)).alias("count_"))
+        elif op == "consume":
+            # Kusto `consume` evaluates the pipeline and returns an
+            # empty result (a perf-harness sink). Declaratively that is
+            # limit(0) over the same schema — Catalyst prunes the scan,
+            # which is the right batch-engine reading (the cost side of
+            # Kusto's consume is the interactive runtime's concern).
+            # `decodeblocks=…` is accepted and ignored.
+            if rest and not re.fullmatch(
+                    r"decodeblocks\s*=\s*(true|false)", rest.strip()):
+                raise KqlError(
+                    "consume takes no arguments (or decodeblocks=…)")
+            df = df.limit(0)
         elif op == "distinct":
             if rest == "*":
                 df = df.distinct()

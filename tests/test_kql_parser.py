@@ -973,6 +973,43 @@ def test_percentiles_array(spark):
     assert r.ps == [25.75, 50.5, 95.05]
 
 
+def test_percentiles_plural_and_range_and_consume(spark):
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "k string, v double")
+    # plural percentiles: Kusto auto-names, tuple assign, single-name
+    out = kql(df, "T | summarize percentiles(v, 25, 95),"
+                  " (lo, hi) = percentiles(v, 10, 90),"
+                  " p50 = percentiles(v, 50), n = count() by k")
+    assert out.columns == [
+        "k", "percentile_v_25", "percentile_v_95", "lo", "hi", "p50", "n"]
+    [r] = out.collect()
+    assert (r.percentile_v_25, r.percentile_v_95) == (25.75, 95.05)
+    assert (r.lo, round(r.hi, 6), r.p50, r.n) == (10.9, 90.1, 50.5, 100)
+    with pytest.raises(KqlError):  # tuple arity mismatch
+        kql(df, "T | summarize (a, b) = percentiles(v, 50) by k")
+    with pytest.raises(KqlError):  # single name, many percentiles
+        kql(df, "T | summarize p = percentiles(v, 50, 95) by k")
+    # scalar range(): inclusive, fractional/negative steps, null lanes
+    one = spark.range(1)
+    [r2] = kql(one, "T | project a = range(1, 9, 2), b = range(3, 1),"
+                    " c = range(1.0, 2.0, 0.5), d = range(5, 1, -2),"
+                    " e = range(1, 3, 0), f = range(int(null), 3)"
+               ).collect()
+    assert r2.a == [1.0, 3.0, 5.0, 7.0, 9.0]
+    assert r2.b == []
+    assert r2.c == [1.0, 1.5, 2.0]
+    assert r2.d == [5.0, 3.0, 1.0]
+    assert r2.e is None and r2.f is None
+    # computed array index is 0-based (Kusto), null when out of range
+    [r3] = kql(one, "T | extend arr = range(10, 30, 10), i = 2"
+                    " | project x = arr[i - 2], y = arr[i],"
+                    " z = arr[i + 5], w = arr[i - 9]").collect()
+    assert (r3.x, r3.y, r3.z, r3.w) == (10.0, 30.0, None, None)
+    # consume: evaluates to an empty result of the same shape
+    got = kql(df, "T | where v > 10 | consume")
+    assert got.columns == ["k", "v"] and got.count() == 0
+
+
 def test_scan_operator(spark):
     rows = [
         # u1: click view view purchase -> one complete match (4 rows)
