@@ -2123,6 +2123,22 @@ def q_kql_percentilesw_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_diffpatterns_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate diffpatterns_text(text, split_pred, k)`` — token-
+    level text-cohort diff (the plugin's documented single-token
+    subset): lines containing each token counted per cohort, ranked by
+    |Percent1 − Percent2|. Oracle: DuckDB string_split_regex + unnest
+    twin with the same rounding and tie order."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (documents,) = _tables(spark, sf_dir, "documents")
+    return kql(
+        documents,
+        "documents | evaluate diffpatterns_text(text,"
+        " lang == 'en', 20)",
+    )
+
+
 def q_kql_percentiles_plural(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plural ``percentiles()`` / ``percentilesw()`` in summarize —
     one exact array aggregate expanded to Kusto's auto-named columns
@@ -4257,7 +4273,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_scalar_suite10", "kql_useragent", "kql_compress_roundtrip",
     "kql_ipv6_ranges", "kql_join_hints", "kql_scalar_suite11",
     "kql_geo_polygon", "kql_percentiles_plural", "kql_scalar_range",
-    "kql_consume",
+    "kql_consume", "kql_diffpatterns_text",
     # r4 registry tail — judge-green in r4, never driver-sampled
     "kql_series_anomalies", "kql_series_fir", "kql_series_iir",
     "kql_series_fit2", "dedup_substring_spans", "kql_basket3",
@@ -4481,6 +4497,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_set_functions": q_kql_set_functions,
         "kql_percentilesw_array": q_kql_percentilesw_array,
         "kql_percentiles_plural": q_kql_percentiles_plural,
+        "kql_diffpatterns_text": q_kql_diffpatterns_text,
         "kql_scalar_range": q_kql_scalar_range,
         "kql_consume": q_kql_consume,
         "kql_bag_has_key": q_kql_bag_has_key,
@@ -5714,6 +5731,28 @@ GROUP BY 1
             "MAX(CASE WHEN p = 50 THEN pv END) AS p1, "
             "MAX(CASE WHEN p = 75 THEN pv END) AS p2 "
             "FROM sel GROUP BY et ORDER BY event_type"
+        ),
+        "kql_diffpatterns_text": (
+            "WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+            " AS in1, text FROM documents), "
+            "t AS (SELECT in1, unnest(list_distinct("
+            "string_split_regex(coalesce(text, ''), '\\s+'))) AS tok "
+            "FROM d), "
+            "tt AS (SELECT * FROM t WHERE tok <> ''), "
+            "tots AS (SELECT SUM(in1) AS t1, SUM(1 - in1) AS t2 "
+            "FROM d), "
+            "c AS (SELECT tok AS Pattern, "
+            "CAST(SUM(in1) AS BIGINT) AS Count1, "
+            "CAST(SUM(1 - in1) AS BIGINT) AS Count2 "
+            "FROM tt GROUP BY tok) "
+            "SELECT Count1, Count2, "
+            "round(100.0 * Count1 / greatest(t1, 1), 4) AS Percent1, "
+            "round(100.0 * Count2 / greatest(t2, 1), 4) AS Percent2, "
+            "Pattern FROM c, tots "
+            "ORDER BY round(abs("
+            "round(100.0 * Count1 / greatest(t1, 1), 4) "
+            "- round(100.0 * Count2 / greatest(t2, 1), 4)), 4) DESC, "
+            "Pattern LIMIT 20"
         ),
         "kql_percentiles_plural": (
             "WITH b AS (SELECT event_type AS et, value AS v, "

@@ -7902,6 +7902,79 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 df = sequence_detect(
                     df, keys, timeline, win_s, dur_s, steps)
                 continue
+            mdt = re.match(
+                r"^diffpatterns_text\s*\((.+)\)\s*$", rest, re.S)
+            if mdt:
+                # `evaluate diffpatterns_text(text_col, split_pred
+                # [, top_k])` — Kusto's text-cohort diff plugin,
+                # re-expressed as its documented token-level subset:
+                # whitespace-tokenize the text, count LINES containing
+                # each distinct token in the split=true (1) vs
+                # split=false (2) cohorts, and return the top_k tokens
+                # (default 32) by |Percent1 − Percent2| (Kusto mines
+                # multi-token wildcard patterns seeded from the same
+                # per-token divergences; single tokens are the
+                # deterministic, exhaustive core of that search).
+                # Shape follows Kusto: Count1, Count2, Percent1,
+                # Percent2, Pattern. All JVM: split → array_distinct →
+                # explode → one conditional aggregate; the two cohort
+                # totals ride the same pass as a grand-total row.
+                dt_parts = _split_commas(mdt.group(1))
+                if len(dt_parts) not in (2, 3):
+                    raise KqlError(
+                        "diffpatterns_text takes "
+                        "(text_col, split_pred [, top_k])")
+                dt_text = pe(dt_parts[0]).cast("string")
+                dt_pred = pe(dt_parts[1]).cast("boolean")
+                dt_k = 32
+                if len(dt_parts) == 3:
+                    if not re.fullmatch(r"[1-9]\d*", dt_parts[2].strip()):
+                        raise KqlError(
+                            "diffpatterns_text top_k must be a "
+                            "positive integer")
+                    dt_k = int(dt_parts[2])
+                toks = F.array_distinct(F.filter(
+                    F.split(F.coalesce(dt_text, F.lit("")), r"\s+"),
+                    lambda t: t != ""))
+                base = df.select(
+                    dt_pred.alias("__in1"),
+                    # grand-total sentinel rides as one extra token so
+                    # cohort sizes come out of the SAME aggregate
+                    F.array_union(
+                        toks, F.array(F.lit(" total"))
+                    ).alias("__toks"))
+                tok = base.select(
+                    "__in1",
+                    F.explode("__toks").alias("Pattern"))
+                counted = tok.groupBy("Pattern").agg(
+                    F.count_if(F.col("__in1")).alias("Count1"),
+                    F.count_if(~F.col("__in1")).alias("Count2"))
+                tot = F.broadcast(
+                    counted.filter(F.col("Pattern") == " total")
+                    .select(F.col("Count1").alias("__t1"),
+                            F.col("Count2").alias("__t2")))
+                scored = (
+                    counted.filter(F.col("Pattern") != " total")
+                    .crossJoin(tot)
+                    .select(
+                        "Count1", "Count2",
+                        F.round(100.0 * F.col("Count1")
+                                / F.greatest("__t1", F.lit(1)), 4)
+                        .alias("Percent1"),
+                        F.round(100.0 * F.col("Count2")
+                                / F.greatest("__t2", F.lit(1)), 4)
+                        .alias("Percent2"),
+                        "Pattern"))
+                df = (
+                    scored
+                    # round the rank key too: 100−33.3333 and
+                    # 66.6667−0 must TIE, not differ in the last ulp
+                    .orderBy(
+                        F.round(F.abs(F.col("Percent1")
+                                      - F.col("Percent2")), 4).desc(),
+                        F.col("Pattern"))
+                    .limit(dt_k))
+                continue
             mdp = re.match(r"^diffpatterns\s*\((.+)\)\s*$", rest, re.S)
             if mdp:
                 # `evaluate diffpatterns(split_pred [, max_size])` —

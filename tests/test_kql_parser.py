@@ -1010,6 +1010,30 @@ def test_percentiles_plural_and_range_and_consume(spark):
     assert got.columns == ["k", "v"] and got.count() == 0
 
 
+def test_diffpatterns_text(spark):
+    rows = [
+        (True, "err timeout db"), (True, "err timeout net"),
+        (True, "ok fast db"),
+        (False, "ok fast db"), (False, "ok fast net"),
+        (False, "ok slow db db"),  # duplicate token counts once
+    ]
+    df = spark.createDataFrame(rows, "is_a boolean, line string")
+    out = kql(df, "T | evaluate diffpatterns_text(line, is_a, 3)")
+    assert out.columns == [
+        "Count1", "Count2", "Percent1", "Percent2", "Pattern"]
+    got = [(r.Pattern, r.Count1, r.Count2, r.Percent1, r.Percent2)
+           for r in out.collect()]
+    # err/timeout: 2/3 vs 0/3 → |66.67|; ok: 1/3 vs 3/3 → |66.67|;
+    # tie broken by Pattern asc: err, ok, timeout
+    assert got == [
+        ("err", 2, 0, 66.6667, 0.0),
+        ("ok", 1, 3, 33.3333, 100.0),
+        ("timeout", 2, 0, 66.6667, 0.0),
+    ]
+    with pytest.raises(KqlError):
+        kql(df, "T | evaluate diffpatterns_text(line)")
+
+
 def test_scan_operator(spark):
     rows = [
         # u1: click view view purchase -> one complete match (4 rows)
