@@ -3480,6 +3480,36 @@ def test_array_split_property_vs_python(spark):
         assert got[i] == ref(arr, idxs), (i, arr, idxs, got[i])
 
 
+def test_scalar_range_property_vs_python(spark):
+    """scalar range() vs the Python reference (n = floor((stop−start)/
+    step)+1, inclusive stop, empty on inverted span) — 150 random
+    dyadic-valued cases in one job, so float arithmetic is exact on
+    both sides."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    steps = [1.0, 0.5, 2.0, 3.0, -1.0, -0.5, -2.0]
+    cases = []
+    for i in range(150):
+        start = rng.randrange(-20, 21) / 2.0
+        stop = rng.randrange(-20, 21) / 2.0
+        step = rng.choice(steps)
+        cases.append((i, start, stop, step))
+
+    def ref(start, stop, step):
+        n = math.floor((stop - start) / step) + 1
+        return [start + j * step for j in range(n)] if n > 0 else []
+
+    df = spark.createDataFrame(
+        cases, "i long, a double, b double, s double")
+    got = {r.i: r.r for r in
+           kql(df, "T | project i, r = range(a, b, s)").collect()}
+    for i, start, stop, step in cases:
+        assert got[i] == ref(start, stop, step), (
+            i, start, stop, step, got[i])
+
+
 def test_verbatim_strings(spark):
     """@"…" verbatim literals: backslashes are literal characters, no
     escape processing (Kusto string literals doc). The lexer normalizes
