@@ -3999,6 +3999,19 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ngram_spans(docs, n=8, min_count=2)
 
 
+def q_dedup_paragraph_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/block-level REMOVAL dedup (C4's repeated-line rule over
+    fixed 20-token blocks): corpus-wide block counting, first-occurrence
+    keeper election, per-doc removal stats + md5 digest of the
+    reconstructed kept text. One groupBy shuffle on block text (only
+    repeated blocks reach the join-back), AQE skew-split on hot
+    boilerplate; see paragraph_block_dedup for the 100 TB notes."""
+    from otel_arrow_spark.dataops.dedup import paragraph_block_dedup
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return paragraph_block_dedup(docs, blk=20, min_count=2)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otel_arrow_spark.dataops.dedup import simhash
 
@@ -4273,7 +4286,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_scalar_suite10", "kql_useragent", "kql_compress_roundtrip",
     "kql_ipv6_ranges", "kql_join_hints", "kql_scalar_suite11",
     "kql_geo_polygon", "kql_percentiles_plural", "kql_scalar_range",
-    "kql_consume", "kql_diffpatterns_text",
+    "kql_consume", "kql_diffpatterns_text", "dedup_paragraph_blocks",
     # r4 registry tail — judge-green in r4, never driver-sampled
     "kql_series_anomalies", "kql_series_fir", "kql_series_iir",
     "kql_series_fit2", "dedup_substring_spans", "kql_basket3",
@@ -4534,6 +4547,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_paragraph_blocks": q_dedup_paragraph_blocks,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
@@ -7176,6 +7190,9 @@ def _dataops_oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle_sql(),
         "dedup_substring_spans": dedup.duplicate_ngram_spans_oracle_sql(
             n=8, min_count=2
+        ),
+        "dedup_paragraph_blocks": dedup.paragraph_block_dedup_oracle_sql(
+            blk=20, min_count=2
         ),
         "dedup_simhash": dedup.simhash_oracle_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_oracle_sql(),

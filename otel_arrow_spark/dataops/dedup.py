@@ -1063,3 +1063,151 @@ SELECT doc_id,
         / MAX(nt), 6) AS dup_ratio
 FROM s GROUP BY doc_id
 """
+
+
+def paragraph_block_dedup(
+    docs: DataFrame, blk: int = 20, min_count: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph/block-level corpus dedup with first-occurrence keep
+    (the C4 "remove repeated lines" rule generalized to fixed
+    ``blk``-token blocks, since the fixture corpus has no newline
+    paragraph structure): chop each doc into NON-overlapping
+    ``blk``-token blocks, count each distinct block text corpus-wide,
+    and remove every occurrence of a block seen ≥ ``min_count`` times
+    EXCEPT its globally-first occurrence (ordered by
+    ``(doc_id, blk_idx)`` — the canonical keeper, so dedup output is
+    deterministic and exactly one copy of every repeated block
+    survives). Returns per-doc block/token removal stats plus an md5
+    digest of the reconstructed kept text, making the gate value-exact
+    on the surviving bytes without shipping the text column.
+
+    Differs from ``duplicate_ngram_spans`` (overlapping windows,
+    report-only): this is the REMOVAL op — non-overlapping blocks, a
+    keeper election, and a reconstruction digest.
+
+    100 TB shape: the block explode is linear (nt/blk rows per doc,
+    strictly fewer than the token count); block counting + keeper
+    election is ONE groupBy on the block text with map-side partial
+    ``count``/``min(struct)``; flagged blocks (only those with
+    n_occ ≥ min_count — the long unique tail never shuffles twice)
+    join back with one equi-join that AQE skew-splits on hot
+    boilerplate blocks; the final per-doc rollup groups on doc_id.
+    At scale, key on ``xxhash64(block)`` instead of the text so
+    shuffle rows carry 8 bytes (digest-key discipline of
+    ``exact_dup_groups``); text keys here keep the DuckDB twin
+    hash-free. Reference parity: the reference's resource/scope
+    content dedup (go/pkg/otel/common/arrow/resource.go) is the same
+    keep-one-copy-of-repeated-content discipline at attribute scope.
+    """
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+    ).withColumn("nt", F.size("w"))
+    nblk = F.greatest(
+        F.floor((F.col("nt") + blk - 1) / blk).cast("int"), F.lit(1)
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), nblk - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * blk + 1, blk)),
+    )
+    b = (
+        t.select("doc_id", "nt", F.posexplode(blocks).alias("blk_idx", "block"))
+        .withColumn(
+            "blk_tokens",
+            F.least(F.lit(blk), F.col("nt") - F.col("blk_idx") * blk),
+        )
+    )
+    # one shuffle: corpus-wide count + keeper election per block text;
+    # only repeated blocks (tiny vs the unique tail) flow to the join
+    keepers = (
+        b.groupBy("block")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "blk_idx")).alias("keeper"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+        .select("block", "keeper")
+    )
+    j = b.join(keepers, "block", "left")
+    removed = F.col("keeper").isNotNull() & ~(
+        (F.col("doc_id") == F.col("keeper.doc_id"))
+        & (F.col("blk_idx") == F.col("keeper.blk_idx"))
+    )
+    kept_struct = F.when(
+        ~removed, F.struct(F.col("blk_idx"), F.col("block"))
+    )
+    return (
+        j.withColumn("removed", removed)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.col("removed").cast("int")).cast("bigint")
+            .alias("removed_blocks"),
+            F.max("nt").cast("bigint").alias("total_tokens"),
+            F.sum(
+                F.when(~F.col("removed"), F.col("blk_tokens")).otherwise(0)
+            ).cast("bigint").alias("kept_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s.getField("block"),
+                    ),
+                )
+            ).alias("kept_digest"),
+        )
+        .withColumn(
+            "kept_ratio",
+            F.round(
+                F.col("kept_tokens").cast("double") / F.col("total_tokens"),
+                6,
+            ),
+        )
+    )
+
+
+def paragraph_block_dedup_oracle_sql(
+    blk: int = 20, min_count: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB twin of paragraph_block_dedup — identical block
+    chopping, keeper election (min (doc_id, blk_idx) per block text),
+    removal rule, and md5-of-reconstruction (COALESCE '' for the
+    everything-removed doc, matching concat_ws over an empty array)."""
+    return f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM {table}),
+tn AS (SELECT doc_id, w, len(w) AS nt FROM t),
+ps AS (SELECT doc_id, w, nt,
+              unnest(range(0, greatest((nt + {blk} - 1) // {blk}, 1)))
+                AS blk_idx
+       FROM tn),
+b AS (SELECT doc_id, nt, blk_idx,
+             array_to_string(
+               w[blk_idx * {blk} + 1 : blk_idx * {blk} + {blk}], ' ')
+               AS block,
+             LEAST({blk}, nt - blk_idx * {blk}) AS blk_tokens
+      FROM ps),
+k AS (SELECT block,
+             MIN(struct_pack(d := doc_id, i := blk_idx)) AS keeper
+      FROM b GROUP BY block HAVING COUNT(*) >= {min_count}),
+j AS (SELECT b.*,
+             k.block IS NOT NULL
+               AND NOT (b.doc_id = k.keeper.d
+                        AND b.blk_idx = k.keeper.i) AS removed
+      FROM b LEFT JOIN k USING (block))
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+  CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+    AS removed_blocks,
+  CAST(MAX(nt) AS BIGINT) AS total_tokens,
+  CAST(SUM(CASE WHEN removed THEN 0 ELSE blk_tokens END) AS BIGINT)
+    AS kept_tokens,
+  md5(COALESCE(
+    string_agg(block, ' ' ORDER BY blk_idx)
+      FILTER (WHERE NOT removed), '')) AS kept_digest,
+  ROUND(CAST(SUM(CASE WHEN removed THEN 0 ELSE blk_tokens END) AS DOUBLE)
+        / MAX(nt), 6) AS kept_ratio
+FROM j GROUP BY doc_id
+"""

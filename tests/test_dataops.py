@@ -914,3 +914,41 @@ def test_token_budget_select(spark):
     bigger = token_budget_select(
         docs, {"s0": 2000, "s1": 2000}).collect()
     assert {r.doc_id for r in kept} <= {r.doc_id for r in bigger}
+
+
+def test_paragraph_block_dedup_keeper_and_digest(spark):
+    import hashlib
+    from otel_arrow_spark.dataops.dedup import paragraph_block_dedup
+
+    blk_a = "a1 a2 a3 a4"   # repeated block text (4 tokens, blk=4)
+    blk_b = "b1 b2 b3 b4"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{blk_a} {blk_b}"),       # keeper of both blocks
+            (2, f"{blk_a} u1 u2 u3 u4"),   # dup of A + a unique block
+            (3, f"{blk_a}"),               # entirely removed
+            (4, "tail t2"),                # shorter than blk -> 1 block
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           paragraph_block_dedup(docs, blk=4, min_count=2).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 is the global first occurrence -> keeps everything
+    assert out[1].removed_blocks == 0 and out[1].kept_tokens == 8
+    assert out[1].kept_ratio == 1.0
+    # doc 2 loses the duplicate A-block, keeps its unique one
+    assert out[2].removed_blocks == 1
+    assert out[2].kept_tokens == 4 and out[2].total_tokens == 8
+    assert out[2].kept_digest == hashlib.md5(b"u1 u2 u3 u4").hexdigest()
+    # doc 3's only block is a dup of doc 1's -> fully removed,
+    # digest of the empty reconstruction (concat_ws over empty array)
+    assert out[3].removed_blocks == 1 and out[3].kept_tokens == 0
+    assert out[3].kept_digest == hashlib.md5(b"").hexdigest()
+    # doc 4 is shorter than blk: one partial block, kept
+    assert out[4].n_blocks == 1 and out[4].removed_blocks == 0
+    assert out[4].kept_tokens == 2 and out[4].total_tokens == 2
+    assert out[4].kept_digest == hashlib.md5(b"tail t2").hexdigest()
+    # reconstruction order: two kept blocks concat in blk_idx order
+    assert out[1].kept_digest == hashlib.md5(
+        f"{blk_a} {blk_b}".encode()).hexdigest()
