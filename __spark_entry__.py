@@ -1091,6 +1091,30 @@ def q_kql_text_serialize_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_row_cumsum_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_cumsum's 2-arg restart form (Kusto: accumulation resets AT
+    each row where the restart predicate fires, that row's term
+    included): per-user running spend in integer cents, restarting on
+    every purchase. Compiles to the closed form S − last(S−x when
+    restart, ignorenulls) sharing ONE Exchange+Sort with row_number —
+    no per-segment re-partition (the 100 TB shape; see
+    kql_parser row_cumsum)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        ' | extend cents = tolong(round(value * 100, 0)),'
+        ' rst = event_type == "purchase"'
+        " | sort by user_id asc, ts asc, event_id asc"
+        " | serialize by user_id"
+        " | extend rn = row_number(), cum = row_cumsum(cents, rst)"
+        " | where rn <= 4"
+        " | project user_id, event_id, rn, cum",
+    )
+
+
 def q_kql_text_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate bag_unpack` with an explicit typed key list: VARIANT
     path extraction is one narrow projection (no discovery job), then a
@@ -4287,6 +4311,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_ipv6_ranges", "kql_join_hints", "kql_scalar_suite11",
     "kql_geo_polygon", "kql_percentiles_plural", "kql_scalar_range",
     "kql_consume", "kql_diffpatterns_text", "dedup_paragraph_blocks",
+    "kql_row_cumsum_restart",
     # r4 registry tail — judge-green in r4, never driver-sampled
     "kql_series_anomalies", "kql_series_fir", "kql_series_iir",
     "kql_series_fit2", "dedup_substring_spans", "kql_basket3",
@@ -4415,6 +4440,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_text_pivot": q_kql_text_pivot,
         "kql_text_mv_apply": q_kql_text_mv_apply,
         "kql_text_serialize_windows": q_kql_text_serialize_windows,
+        "kql_row_cumsum_restart": q_kql_row_cumsum_restart,
         "kql_text_serialize_global": q_kql_text_serialize_global,
         "funnel_conversion": q_funnel_conversion,
         "session_stats": q_session_stats,
@@ -5080,6 +5106,21 @@ GROUP BY 1, 2, 3, 4, 5
             "FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
             "WHERE rn <= 3"
+        ),
+        "kql_row_cumsum_restart": (
+            "WITH b AS (SELECT user_id, event_id, ts, "
+            "CAST(round(value * 100, 0) AS BIGINT) AS cents, "
+            "(event_type = 'purchase') AS rst FROM events), "
+            "s AS (SELECT user_id, event_id, ts, cents, "
+            "CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn, "
+            "SUM(CASE WHEN rst THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS seg "
+            "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, event_id, rn, "
+            "CAST(SUM(cents) OVER (PARTITION BY user_id, seg "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS cum FROM s QUALIFY rn <= 4"
         ),
         "kql_text_facet": (
             "SELECT 'event_type' AS facet_column, "

@@ -3999,13 +3999,28 @@ class ExprParser:
             if lname == "row_rank_dense":
                 return KE(F.dense_rank().over(w))
             if lname == "row_cumsum":
-                if len(args) != 1:
-                    raise KqlError(
-                        "row_cumsum needs (x) (restart arg unsupported)"
-                    )
-                return KE(F.sum(args[0].col).over(
-                    w.rowsBetween(Window.unboundedPreceding,
-                                  Window.currentRow)))
+                if len(args) not in (1, 2):
+                    raise KqlError("row_cumsum needs (x [, restart])")
+                upto = w.rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow)
+                running = F.sum(args[0].col).over(upto)
+                if len(args) == 1:
+                    return KE(running)
+                # restart form: the accumulation resets AT each row
+                # where `restart` is true (that row's term included,
+                # Kusto row_cumsum). Closed form sharing the SAME
+                # Exchange+Sort as the plain running sum: with
+                # S = running total, the latest restart row r at or
+                # before the current row contributes base S_r − x_r
+                # (carried by last(…, ignorenulls) over the serialized
+                # window), and the result is S − coalesce(base, 0) —
+                # no per-segment re-partitioning, still one Window op
+                # chain over the serialize spec.
+                base = F.last(
+                    F.when(args[1].col, running - args[0].col),
+                    ignorenulls=True,
+                ).over(upto)
+                return KE(running - F.coalesce(base, F.lit(0)))
             if lname == "row_window_session":
                 # row_window_session(ts, MaxDistanceFromFirst,
                 # MaxDistanceBetweenNeighbors) — the session-START

@@ -4196,3 +4196,36 @@ def test_stdevif_varianceif(spark):
     assert abs(r.s - statistics.stdev(evens)) < 1e-9
     assert abs(r.va - statistics.variance(evens)) < 1e-9
     assert r.sn is None  # empty predicate set, like stdev of no rows
+
+
+def test_row_cumsum_restart(spark):
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    # negative terms exercise the non-monotone closed form (base is the
+    # LATEST restart row's prefix, not a max); restart on the first
+    # row, mid-stream, and on consecutive rows all reset correctly,
+    # and the restart row's own term is included (Kusto semantics)
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10, False),
+            ("a", 2, -5, False),
+            ("a", 3, 7, True),    # reset -> 7
+            ("a", 4, 1, False),   # 8
+            ("a", 5, 2, True),    # reset -> 2
+            ("a", 6, 3, True),    # consecutive reset -> 3
+            ("b", 1, 4, True),    # first-row reset -> 4
+            ("b", 2, 6, False),   # 10
+        ],
+        "g string, idx int, v long, rst boolean",
+    )
+    out = kql(
+        df,
+        "T | sort by g asc, idx asc | serialize by g"
+        " | extend cum = row_cumsum(v, rst)"
+        " | project g, idx, cum",
+    )
+    rows = {(r.g, r.idx): r.cum for r in out.collect()}
+    assert rows == {
+        ("a", 1): 10, ("a", 2): 5, ("a", 3): 7, ("a", 4): 8,
+        ("a", 5): 2, ("a", 6): 3, ("b", 1): 4, ("b", 2): 10,
+    }
