@@ -3401,6 +3401,46 @@ def q_kql_series_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_series_seasonal_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_seasonal(n, -1)`` — Kusto's auto-detect period path:
+    series_periods_detect over lags [2, n/2] with the 0.7 acceptance
+    threshold picks the period per series (zero seasonal component when
+    nothing clears it). Both branches are exercised: the raw hourly
+    count series is noise (scores ≈0.3 → zero fallback), while adding a
+    period-12 integer sawtooth (built from scalar range() + series_*
+    elementwise ops, all dyadic-exact — no trig, so detection scores
+    are bit-identical across engines) makes the detector fire. The
+    oracle re-runs the identical detection (pairwise pearson per lag,
+    tie → smaller lag) in SQL and branches the phase medians on the
+    same threshold."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | make-series n = count() default = 0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 1h"
+        " by event_type"
+        " | extend idx = range(0, 47, 1)"
+        " | extend saw = series_subtract(idx, series_multiply("
+        "series_floor(series_divide(idx, repeat(12, 48))),"
+        " repeat(12, 48)))"
+        " | extend s2 = series_add(n, series_multiply(saw,"
+        " repeat(10, 48)))"
+        " | extend p = series_periods_detect(n, 2, 24),"
+        " se = series_seasonal(n, -1),"
+        " p2 = series_periods_detect(s2, 2, 24),"
+        " se2 = series_seasonal(s2, -1)"
+        " | project event_type, se0 = se[0], se7 = se[7],"
+        " s_sum = series_sum(se),"
+        " period = iff(todouble(p[1]) >= 0.7, todouble(p[0]), 0.0),"
+        " score = round(todouble(p[1]), 6),"
+        " se2_0 = se2[0], se2_7 = se2[7], s2_sum = series_sum(se2),"
+        " period2 = iff(todouble(p2[1]) >= 0.7, todouble(p2[0]), 0.0),"
+        " score2 = round(todouble(p2[1]), 6)",
+    )
+
+
 def q_kql_series_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``series_decompose_forecast(n, 24, 12)`` over the two-day hourly
     grid: seasonal + trend trained on the first 36 bins, probes in both
@@ -4311,7 +4351,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_ipv6_ranges", "kql_join_hints", "kql_scalar_suite11",
     "kql_geo_polygon", "kql_percentiles_plural", "kql_scalar_range",
     "kql_consume", "kql_diffpatterns_text", "dedup_paragraph_blocks",
-    "kql_row_cumsum_restart",
+    "kql_row_cumsum_restart", "kql_series_seasonal_auto",
     # r4 registry tail — judge-green in r4, never driver-sampled
     "kql_series_anomalies", "kql_series_fir", "kql_series_iir",
     "kql_series_fit2", "dedup_substring_spans", "kql_basket3",
@@ -4334,6 +4374,84 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_has_any_all", "kql_activity_counts", "kql_new_activity_metrics",
     "dedup_clusters_star", "text_tfidf_keywords",
 )
+
+
+def _seasonal_auto_oracle() -> str:
+    """DuckDB twin of q_kql_series_seasonal_auto: one detection +
+    threshold-branched phase-median template instantiated twice — over
+    the raw hourly counts (zero-fallback branch) and over counts + a
+    period-12 integer sawtooth (detected branch). Mirrors the engine's
+    series_periods_detect arithmetic (pairwise pearson per lag, tie →
+    smaller lag, −2.0 null sentinel); all inputs integer-exact in
+    double, so scores hash bit-identically."""
+
+    def leg(tag: str, vexpr: str) -> str:
+        # per-leg detection → best lag → threshold-branched medians →
+        # full seasonal vector
+        return (
+            f"f{tag} AS (SELECT event_type, i, {vexpr} AS v FROM f0), "
+            f"pairs{tag} AS (SELECT f1.event_type, lg.L, f1.v AS xv, "
+            f"f2.v AS yv FROM lg CROSS JOIN f{tag} f1 "
+            f"JOIN f{tag} f2 ON f2.event_type = f1.event_type "
+            "AND f2.i = f1.i + lg.L), "
+            f"st{tag} AS (SELECT event_type, L, "
+            "CAST(COUNT(*) AS DOUBLE) AS nn, SUM(xv) AS sx, "
+            "SUM(yv) AS sy, SUM(xv * xv) AS sxx, SUM(yv * yv) AS syy, "
+            f"SUM(xv * yv) AS sxy FROM pairs{tag} GROUP BY 1, 2), "
+            f"sc{tag} AS (SELECT event_type, L, "
+            "CASE WHEN (nn * sxx - sx * sx) > 0 "
+            "AND (nn * syy - sy * sy) > 0 "
+            "THEN (nn * sxy - sx * sy) / "
+            "sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)) END "
+            f"AS score FROM st{tag}), "
+            f"best{tag} AS (SELECT event_type, L, score FROM sc{tag} "
+            "QUALIFY row_number() OVER (PARTITION BY event_type "
+            "ORDER BY COALESCE(score, -2.0) DESC, L) = 1), "
+            f"m{tag} AS (SELECT f.event_type, f.i % b.L AS ph, "
+            f"quantile_cont(f.v, 0.5) AS med FROM f{tag} f "
+            f"JOIN best{tag} b USING (event_type) "
+            "WHERE b.score >= 0.7 GROUP BY 1, 2), "
+            f"se{tag} AS (SELECT f.event_type, f.i, "
+            "CASE WHEN b.score >= 0.7 THEN m.med ELSE 0.0 END AS s, "
+            "b.L AS L, b.score AS score "
+            f"FROM f{tag} f JOIN best{tag} b USING (event_type) "
+            f"LEFT JOIN m{tag} m ON m.event_type = f.event_type "
+            "AND m.ph = f.i % b.L)"
+        )
+
+    return (
+        "WITH r AS (SELECT event_type, ts FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-01' "
+        "AND ts < TIMESTAMP '2024-01-03'), "
+        "b AS (SELECT event_type, "
+        "CAST(floor(epoch(ts - TIMESTAMP '2024-01-01') / 3600) AS INT)"
+        " AS i, COUNT(*) AS v FROM r GROUP BY 1, 2), "
+        "k AS (SELECT DISTINCT event_type FROM r), "
+        "g AS (SELECT k.event_type, gs.i FROM k CROSS JOIN "
+        "(SELECT unnest(range(0, 48)) AS i) gs), "
+        "f0 AS (SELECT g.event_type, g.i AS i, "
+        "CAST(COALESCE(b.v, 0) AS DOUBLE) AS v "
+        "FROM g LEFT JOIN b ON g.event_type = b.event_type "
+        "AND g.i = b.i), "
+        "lg AS (SELECT unnest(range(2, 25)) AS L), "
+        + leg("a", "v") + ", "
+        + leg("c", "v + 10.0 * (i % 12)") + " "
+        "SELECT a.event_type, "
+        "MAX(CASE WHEN a.i = 0 THEN a.s END) AS se0, "
+        "MAX(CASE WHEN a.i = 7 THEN a.s END) AS se7, "
+        "CAST(SUM(a.s) AS DOUBLE) AS s_sum, "
+        "MAX(CASE WHEN a.score >= 0.7 THEN CAST(a.L AS DOUBLE) "
+        "ELSE 0.0 END) AS period, "
+        "ROUND(MAX(a.score), 6) AS score, "
+        "MAX(CASE WHEN c.i = 0 THEN c.s END) AS se2_0, "
+        "MAX(CASE WHEN c.i = 7 THEN c.s END) AS se2_7, "
+        "CAST(SUM(c.s) AS DOUBLE) AS s2_sum, "
+        "MAX(CASE WHEN c.score >= 0.7 THEN CAST(c.L AS DOUBLE) "
+        "ELSE 0.0 END) AS period2, "
+        "ROUND(MAX(c.score), 6) AS score2 "
+        "FROM sea a JOIN sec c ON a.event_type = c.event_type "
+        "AND a.i = c.i GROUP BY a.event_type"
+    )
 
 
 def _geohash_oracle_cte() -> str:
@@ -4475,6 +4593,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_series_periods": q_kql_series_periods,
         "kql_series_fill": q_kql_series_fill,
         "kql_series_seasonal": q_kql_series_seasonal,
+        "kql_series_seasonal_auto": q_kql_series_seasonal_auto,
         "kql_narrow": q_kql_narrow,
         "kql_sketch_aggs": q_kql_sketch_aggs,
         "kql_bag_collect": q_kql_bag_collect,
@@ -6795,6 +6914,7 @@ GROUP BY 1
             "CAST(SUM(med) * 2 AS DOUBLE) AS s_sum "
             "FROM m GROUP BY event_type"
         ),
+        "kql_series_seasonal_auto": _seasonal_auto_oracle(),
         "kql_array_ops": (
             "SELECT event_id, "
             "value * 2 AS sl, "

@@ -1029,33 +1029,63 @@ def _series_fill_linear(arr: Column) -> Column:
     )
 
 
+def _series_auto_period(arr: Column) -> Column:
+    """Auto-detected seasonality period (Kusto's ``period = -1``
+    contract for ``series_seasonal`` / ``series_decompose``):
+    ``series_periods_detect`` over lags [2, n/2], accepting the best
+    lag only when its autocorrelation score clears Kusto's 0.7
+    threshold — else 0 (no seasonality → zero seasonal component).
+    Deterministic: the detection is the same tie-to-smaller-lag argmax
+    fold as the standalone function, evaluated per row with no extra
+    shuffle."""
+    best = _series_periods(arr, F.lit(2), F.size(arr) / 2)
+    return F.when(
+        best.isNotNull()
+        & (F.coalesce(F.element_at(best, 2), F.lit(-2.0)) >= 0.7),
+        F.element_at(best, 1).cast("int"),
+    ).otherwise(F.lit(0))
+
+
 def _series_seasonal(arr: Column, p: Column) -> Column:
-    """Kusto ``series_seasonal`` (explicit period): element i takes the
-    median of all values at the same phase (i mod period). The period's
-    phase-median array computes ONCE per row (it rides an
-    ``array_repeat`` — the _series_outliers materialize-once rule, never
-    recomputed per element); each phase median is the _arr_median of an
-    index-filtered slice. O(p · n log n) per row, narrow, zero shuffle.
-    Auto-detection (period = -1) is deliberately not supported — pass
-    the period from ``series_periods_detect`` so plans stay
-    deterministic."""
-    pi = p.cast("int")
-    n = F.size(arr)
-    ph_meds = F.transform(
-        F.sequence(F.lit(0), pi - 1),
-        lambda ph: _arr_median(
-            F.filter(arr, lambda x, i: i % pi == ph)
-        ),
-    )
-    reps = F.array_repeat(F.struct(ph_meds.alias("m")), n)
-    idx = F.sequence(F.lit(0), n - 1)
-    return F.when(pi <= 0, F.lit(None).cast("array<double>")).when(
-        n > 0,
-        F.zip_with(
-            idx, reps,
-            lambda i, r: F.try_element_at(r["m"], (i % pi) + 1),
-        ),
-    ).otherwise(F.array().cast("array<double>"))
+    """Kusto ``series_seasonal``: element i takes the median of all
+    values at the same phase (i mod period). The period's phase-median
+    array computes ONCE per row (it rides an ``array_repeat`` — the
+    _series_outliers materialize-once rule, never recomputed per
+    element); each phase median is the _arr_median of an index-filtered
+    slice. O(p · n log n) per row, narrow, zero shuffle. Period −1 (the
+    Kusto default) auto-detects via ``_series_auto_period``; when
+    detection finds no period ≥ the 0.7 threshold the result is the
+    all-zero series (Kusto's contract), while an explicit non-positive
+    period keeps returning NULL."""
+    praw = p.cast("int")
+    pi_once = F.when(praw == -1, _series_auto_period(arr)).otherwise(praw)
+
+    def _body(pi: Column) -> Column:
+        # `pi` is a lambda variable here, so the (possibly O(n²)
+        # detection) period expression evaluates ONCE per row — the
+        # phase filter / zip_with lambdas below reference the bound
+        # value, never re-running the detection per element
+        n = F.size(arr)
+        ph_meds = F.transform(
+            F.sequence(F.lit(0), pi - 1),
+            lambda ph: _arr_median(
+                F.filter(arr, lambda x, i: i % pi == ph)
+            ),
+        )
+        reps = F.array_repeat(F.struct(ph_meds.alias("m")), n)
+        idx = F.sequence(F.lit(0), n - 1)
+        zeros = F.array_repeat(F.lit(0.0), n)
+        return F.when(
+            (praw == -1) & (pi <= 0), zeros
+        ).when(pi <= 0, F.lit(None).cast("array<double>")).when(
+            n > 0,
+            F.zip_with(
+                idx, reps,
+                lambda i, r: F.try_element_at(r["m"], (i % pi) + 1),
+            ),
+        ).otherwise(F.array().cast("array<double>"))
+
+    return F.element_at(F.transform(F.array(pi_once), _body), 1)
 
 
 def _series_decompose_part(arr: Column, p: Column, part: str) -> Column:
@@ -2187,16 +2217,19 @@ _FUNC_MAP_SIMPLE = {
     "series_equals": lambda a: F.zip_with(a[0], a[1], lambda x, y: x == y),
     "series_not_equals": lambda a: F.zip_with(
         a[0], a[1], lambda x, y: x != y),
-    # seasonal component (explicit period — see helper docstring)
-    "series_seasonal": lambda a: _series_seasonal(a[0], a[1]),
+    # seasonal component (explicit period, or -1/omitted = Kusto's
+    # auto-detect via series_periods_detect @ 0.7 — see helper)
+    "series_seasonal": lambda a: _series_seasonal(
+        a[0], a[1] if len(a) > 1 else F.lit(-1)),
     # series_decompose components (seasonal medians + linefit trend on
-    # the deseasonalized series — see _series_decompose_part)
+    # the deseasonalized series — see _series_decompose_part; period
+    # defaults to -1 auto-detect like Kusto's series_decompose)
     "series_decompose_trend": lambda a: _series_decompose_part(
-        a[0], a[1], "trend"),
+        a[0], a[1] if len(a) > 1 else F.lit(-1), "trend"),
     "series_decompose_baseline": lambda a: _series_decompose_part(
-        a[0], a[1], "baseline"),
+        a[0], a[1] if len(a) > 1 else F.lit(-1), "baseline"),
     "series_decompose_residual": lambda a: _series_decompose_part(
-        a[0], a[1], "residual"),
+        a[0], a[1] if len(a) > 1 else F.lit(-1), "residual"),
     # vector ops (the embedding-column staples, shared with dataops ANN)
     "series_dot_product": lambda a: _series_dot(a[0], a[1]),
     "series_magnitude": lambda a: F.sqrt(_series_dot(a[0], a[0])),

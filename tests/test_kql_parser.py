@@ -4229,3 +4229,33 @@ def test_row_cumsum_restart(spark):
         ("a", 1): 10, ("a", 2): 5, ("a", 3): 7, ("a", 4): 8,
         ("a", 5): 2, ("a", 6): 3, ("b", 1): 4, ("b", 2): 10,
     }
+
+
+def test_series_seasonal_auto_detect(spark):
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    # period-4 integer pattern repeated 4x -> detection fires at lag 4
+    # and the seasonal component reproduces the pattern exactly;
+    # a flat noise-free constant series has zero-variance windows
+    # (pearson undefined -> no period) -> zero fallback
+    df = spark.createDataFrame(
+        [
+            ("per", [1.0, 5.0, 2.0, 8.0] * 4),
+            ("flat", [3.0] * 16),
+        ],
+        "g string, s array<double>",
+    )
+    out = {r.g: r for r in kql(
+        df,
+        "T | extend se = series_seasonal(s, -1), se1 = series_seasonal(s)"
+        " | project g, se, se1",
+    ).collect()}
+    assert out["per"].se == [1.0, 5.0, 2.0, 8.0] * 4
+    assert out["flat"].se == [0.0] * 16
+    # 1-arg form defaults to -1 (Kusto default)
+    assert out["per"].se1 == out["per"].se
+    # explicit non-positive period still returns NULL (not zeros)
+    out2 = {r.g: r for r in kql(
+        df, "T | extend se = series_seasonal(s, 0) | project g, se"
+    ).collect()}
+    assert out2["per"].se is None
