@@ -86,7 +86,12 @@ and ``parse_xml`` (both via the sanctioned Arrow-batched codec seam),
 ``percentiles()``/``percentilesw()`` in summarize (auto-named or
 tuple-assigned columns from ONE exact array aggregate), scalar
 ``range()``, the ``consume`` operator, and 0-based computed array
-indexing ``arr[i]`` (try_element_at, null out-of-range).
+indexing ``arr[i]`` (try_element_at, null out-of-range). Final batch:
+``row_cumsum(x, restart)`` (closed-form segment reset sharing the
+serialize window's one Exchange+Sort) and ``series_seasonal`` /
+``series_decompose_*`` period −1/omitted auto-detect
+(series_periods_detect @ 0.7, zero-series fallback, detection
+materialized once per row via a transform-bound lambda variable).
 
 Implementation note: every parse result is a ``KE`` node — a Catalyst
 Column plus, when the expression is a literal, its Python value. Literal
