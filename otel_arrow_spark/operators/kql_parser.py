@@ -7043,23 +7043,31 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 continue
             mae = re.match(
                 r"^activity_engagement\s*\(\s*([A-Za-z_]\w*)\s*,"
-                r"\s*([A-Za-z_]\w*)\s*,\s*([\w.]+)\s*,\s*([\w.]+)"
+                r"\s*([A-Za-z_]\w*)\s*,"
+                r"(?:\s*datetime\(([^)]*)\)\s*,\s*datetime\(([^)]*)\)"
+                r"\s*,)?"
+                r"\s*([\w.]+)\s*,\s*([\w.]+)"
                 r"\s*\)\s*$", rest)
             if mae:
-                # `evaluate activity_engagement(id, timeline, inner,
-                # outer)` — the Kusto DAU/MAU plugin: per inner-window
-                # slot, the ratio of distinct ids active in that slot
-                # to distinct ids active in the TRAILING outer window
-                # ending at it. Shape for scale: activity first
-                # collapses to DISTINCT (id, slot) — the only relation
-                # the rest touches — then the trailing membership is a
-                # bounded explode of k = outer/inner slot ids per
-                # activity row (k is a query constant, e.g. 7 or 28),
-                # never a range self-join. Slots with no inner activity
-                # are not emitted (documented subset; Kusto emits them
-                # only when given explicit Start/End bounds, which this
-                # engine doesn't take).
-                idc, tc, inner_src, outer_src = mae.groups()
+                # `evaluate activity_engagement(id, timeline,
+                # [datetime(start), datetime(end),] inner, outer)` —
+                # the Kusto DAU/MAU plugin: per inner-window slot, the
+                # ratio of distinct ids active in that slot to distinct
+                # ids active in the TRAILING outer window ending at it.
+                # Shape for scale: activity first collapses to DISTINCT
+                # (id, slot) — the only relation the rest touches —
+                # then the trailing membership is a bounded explode of
+                # k = outer/inner slot ids per activity row (k is a
+                # query constant, e.g. 7 or 28), never a range
+                # self-join. Without bounds, slots with no inner
+                # activity are not emitted (Kusto behavior); WITH
+                # explicit Start/End bounds every slot in
+                # [start//inner, end//inner] is emitted via a
+                # driver-range slot spine left-join (zero dcounts, null
+                # ratio when the outer window is empty), and records
+                # outside [start, end] are filtered first.
+                (idc, tc, ae_st, ae_en,
+                 inner_src, outer_src) = mae.groups()
                 for c in (idc, tc):
                     if c not in df.columns:
                         raise KqlError(
@@ -7076,12 +7084,18 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 from otel_arrow_spark.dataops.dedup import (
                     persist_registered,
                 )
+                src = df
+                if ae_st is not None:
+                    ae_t0 = _plugin_epoch(ae_st)
+                    ae_t1 = _plugin_epoch(ae_en)
+                    ep = F.col(tc).cast("timestamp").cast("double")
+                    src = df.filter((ep >= ae_t0) & (ep <= ae_t1))
                 slot = F.floor(
                     F.col(tc).cast("timestamp").cast("double")
                     / F.lit(float(inner_s))).cast("long")
                 # act feeds both dcounts — persist so the distinct
                 # shuffle runs once, not per consumer
-                act = persist_registered(df.select(
+                act = persist_registered(src.select(
                     F.col(idc).alias("_id"), slot.alias("_slot")
                 ).distinct())
                 inner_d = act.groupBy("_slot").agg(
@@ -7100,16 +7114,37 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     .agg(F.count_distinct("_id").alias(
                         "dcount_activities_outer"))
                 )
-                joined = inner_d.join(outer_d, "_slot", "inner")
+                if ae_st is not None:
+                    spine = df.sparkSession.range(
+                        int(ae_t0 // inner_s), int(ae_t1 // inner_s) + 1
+                    ).select(F.col("id").alias("_slot"))
+                    joined = (
+                        spine.join(inner_d, "_slot", "left")
+                        .join(outer_d, "_slot", "left")
+                        .select(
+                            "_slot",
+                            F.coalesce(
+                                "dcount_activities_inner", F.lit(0)
+                            ).alias("dcount_activities_inner"),
+                            F.coalesce(
+                                "dcount_activities_outer", F.lit(0)
+                            ).alias("dcount_activities_outer"),
+                        )
+                    )
+                else:
+                    joined = inner_d.join(outer_d, "_slot", "inner")
                 df = joined.select(
                     F.timestamp_seconds(
                         F.col("_slot") * F.lit(float(inner_s))
                     ).cast("timestamp_ntz").alias(tc),
                     "dcount_activities_inner",
                     "dcount_activities_outer",
-                    F.round(
-                        F.col("dcount_activities_inner")
-                        / F.col("dcount_activities_outer"), 6
+                    F.when(
+                        F.col("dcount_activities_outer") > 0,
+                        F.round(
+                            F.col("dcount_activities_inner")
+                            / F.col("dcount_activities_outer"), 6
+                        ),
                     ).alias("activity_ratio"),
                 )
                 continue
