@@ -6627,30 +6627,32 @@ GROUP BY 1
             "CAST(floor(epoch(ts) / 14400.0) AS BIGINT) AS s "
             "FROM events), "
             "sp AS (SELECT event_type, v, s + g AS t "
-            "FROM ev CROSS JOIN range(0, 6) r(g)), "
-            "pr AS (SELECT DISTINCT s AS t FROM ev) "
+            "FROM ev CROSS JOIN range(0, 6) r(g)) "
             "SELECT epoch_ms(sp.t * 14400 * 1000) AS ts, "
             "sp.event_type, "
             "quantile_cont(v, 0.5) AS rolling_6_percentile_value_50 "
-            "FROM sp JOIN pr ON sp.t = pr.t "
+            "FROM sp "
             "GROUP BY sp.t, sp.event_type ORDER BY ts, sp.event_type"
         ),
         "kql_sliding_window_counts": (
             # bin = 4h = 14400s; slots: 2024-01-02 → 118344,
-            # 2024-01-05 → 118362; lookback k = 6 bins
+            # 2024-01-05 → 118362; lookback k = 6 bins; rows in the
+            # pre-start lookback tail (slot ≥ 118344 − 5) seed the
+            # first bins but never emit their own pre-start bins
             "WITH ev AS (SELECT event_type, user_id AS id, "
             "CAST(floor(epoch(ts) / 14400.0) AS BIGINT) AS s "
-            "FROM events WHERE epoch(ts) >= 1704153600 "
-            "AND epoch(ts) <= 1704412800), "
+            "FROM events WHERE epoch(ts) <= 1704412800 "
+            "AND CAST(floor(epoch(ts) / 14400.0) AS BIGINT) "
+            ">= 118344 - 5), "
             "c AS (SELECT event_type, s + g AS t, "
             "CAST(COUNT(*) AS BIGINT) AS cnt "
             "FROM ev CROSS JOIN range(0, 6) r(g) "
-            "WHERE s + g <= 118362 GROUP BY 1, 2), "
+            "WHERE s + g BETWEEN 118344 AND 118362 GROUP BY 1, 2), "
             "d AS (SELECT event_type, s + g AS t, "
             "CAST(COUNT(DISTINCT id) AS BIGINT) AS dc "
             "FROM (SELECT DISTINCT event_type, id, s FROM ev) e "
             "CROSS JOIN range(0, 6) r(g) "
-            "WHERE s + g <= 118362 GROUP BY 1, 2), "
+            "WHERE s + g BETWEEN 118344 AND 118362 GROUP BY 1, 2), "
             "sp AS (SELECT r.range AS t, dm.event_type "
             "FROM range(118344, 118363) r "
             "CROSS JOIN (SELECT DISTINCT event_type FROM ev) dm) "

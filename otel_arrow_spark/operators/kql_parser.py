@@ -7305,10 +7305,13 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 # lookback/bin target bins by a bounded explode (k is a
                 # query constant) — never a range self-join. The bin
                 # spine (range × distinct dims — both small by plugin
-                # contract) left-joins so empty bins emit zeros. Records
-                # outside [start, end] are ignored (documented subset:
-                # Kusto also seeds the first bins from pre-start
-                # lookback data).
+                # contract) left-joins so empty bins emit zeros.
+                # Records in the pre-start lookback tail
+                # [start − lookback + bin, start) seed the first bins
+                # (full Kusto semantics): the slot filter keeps
+                # slot ≥ s0 − k + 1, and the target sequence clamps
+                # to [s0, e0] so pre-start rows contribute without
+                # emitting pre-start bins.
                 idc, tc, st_src, en_src, look_src, bin_src, dim_tail = \
                     mswc.groups()
                 dims = [d.strip() for d in dim_tail.split(",")
@@ -7333,15 +7336,19 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     persist_registered,
                 )
                 epoch = F.col(tc).cast("timestamp").cast("double")
+                slot_raw = F.floor(
+                    epoch / F.lit(float(bin_s))).cast("long")
                 # ev feeds both the count and the distinct-id legs —
-                # persist so the filtered scan runs once
+                # persist so the filtered scan runs once; the lower
+                # bound admits the pre-start lookback tail
                 ev = persist_registered(
-                    df.filter((epoch >= t0) & (epoch <= t1)).select(
+                    df.filter(
+                        (epoch <= t1) & (slot_raw >= s0 - k + 1)
+                    ).select(
                         *dims, F.col(idc).alias("_id"),
-                        F.floor(epoch / F.lit(float(bin_s)))
-                        .cast("long").alias("_s")))
+                        slot_raw.alias("_s")))
                 tgt = F.explode(F.sequence(
-                    F.col("_s"),
+                    F.greatest(F.col("_s"), F.lit(s0)),
                     F.least(F.col("_s") + F.lit(k - 1), F.lit(e0)),
                 )).alias("_t")
                 cnts = (
@@ -7388,10 +7395,10 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 # shape: each row spreads to its W target bins by a
                 # bounded explode (W is a query constant), then ONE
                 # hash aggregate per (bin, dims) — no range self-join,
-                # no per-row window. Emitted bins are those with ≥1
-                # source row of their own (documented subset: Kusto
-                # also emits trailing bins that only inherit lookback
-                # rows).
+                # no per-row window. Every bin the spread reaches is
+                # emitted (full Kusto semantics): trailing and gap bins
+                # that only inherit lookback rows get their percentile
+                # from the inherited window.
                 vc, pct_src, ic, bin_src, w_src, dim_tail = mrp.groups()
                 dims = [d.strip() for d in dim_tail.split(",")
                         if d.strip()]
@@ -7412,24 +7419,16 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     bin_s = float(bin_src)
                     idx = F.col(ic).cast("double")
                 slot = F.floor(idx / F.lit(bin_s)).cast("long")
-                from otel_arrow_spark.dataops.dedup import (
-                    persist_registered,
-                )
-                # ev feeds the spread AND the present-bins semi-join
-                ev = persist_registered(df.select(
-                    *dims, F.col(vc).alias("_v"), slot.alias("_s")))
-                spread = ev.select(
-                    *dims, "_v",
+                spread = df.select(
+                    *dims, F.col(vc).alias("_v"),
                     F.explode(F.sequence(
-                        F.col("_s"), F.col("_s") + F.lit(w - 1)
+                        slot, slot + F.lit(w - 1)
                     )).alias("_t"))
-                present = ev.select(F.col("_s").alias("_t")).distinct()
                 out_name = (
                     f"rolling_{w}_percentile_{vc}_"
                     + (f"{pct:g}".replace(".", "_")))
                 agg = (
-                    spread.join(present, "_t", "left_semi")
-                    .groupBy(*dims, "_t")
+                    spread.groupBy(*dims, "_t")
                     .agg(F.percentile("_v", F.lit(pct / 100.0))
                          .alias(out_name))
                 )

@@ -2720,8 +2720,9 @@ def test_rolling_percentile(spark):
         " | order by t asc")
     rows = [(r.t.hour, r.rolling_2_percentile_v_50)
             for r in got.collect()]
-    # bins without source rows of their own (h2, h4) are not emitted
-    assert rows == [(0, 2.0), (1, 3.0), (3, 7.0)]
+    # bins that only inherit lookback rows ARE emitted (full Kusto
+    # semantics): h2 inherits h1's 5.0, h4 inherits h3's 7.0
+    assert rows == [(0, 2.0), (1, 3.0), (2, 5.0), (3, 7.0), (4, 7.0)]
     # numeric index column + per-dim grouping
     df2 = spark.createDataFrame(
         [(0, "a", 10.0), (5, "a", 20.0), (12, "a", 30.0),
@@ -2733,8 +2734,10 @@ def test_rolling_percentile(spark):
         " | order by i asc, g asc")
     rows2 = [(r.i, r.g, r.rolling_2_percentile_v_100)
              for r in got2.collect()]
+    # trailing inherited bins (i=20) now emit per dim too
     assert rows2 == [
         (0.0, "a", 20.0), (10.0, "a", 30.0), (10.0, "b", 100.0),
+        (20.0, "a", 30.0), (20.0, "b", 100.0),
     ]
 
 
@@ -4259,3 +4262,22 @@ def test_series_seasonal_auto_detect(spark):
         df, "T | extend se = series_seasonal(s, 0) | project g, se"
     ).collect()}
     assert out2["per"].se is None
+
+
+def test_sliding_window_counts_prestart_seed(spark):
+    # a record in the pre-start lookback tail (23:30, within the 2h
+    # lookback of start) seeds bin 0 but emits no pre-start bin
+    df = spark.createDataFrame(
+        [("D", "2023-12-31 23:30:00"), ("E", "2023-12-31 20:00:00"),
+         ("A", "2024-01-01 00:30:00")],
+        "uid string, t string",
+    ).select("uid", F.col("t").cast("timestamp_ntz").alias("t"))
+    got = kql(
+        df,
+        "T | evaluate sliding_window_counts(uid, t,"
+        " datetime(2024-01-01 00:00:00), datetime(2024-01-01 02:00:00),"
+        " 2h, 1h) | order by t asc")
+    rows = [(r.t.hour, r.count_, r.dcount) for r in got.collect()]
+    # E (20:00) is beyond the lookback tail -> never contributes;
+    # D (23:30) inherits into bin 0 only (k=2: bins -1 and 0)
+    assert rows == [(0, 2, 2), (1, 1, 1), (2, 0, 0)]
