@@ -3280,6 +3280,25 @@ def q_kql_new_activity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_new_activity_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate new_activity_metrics(user_id, ts, start, end, 1d,
+    event_type)`` — the *dim variant: every stage (activity collapse,
+    first-activity cohorting, retained counts, and the from≤to spine)
+    carries the dim tuple, so each event_type gets its own cohort
+    retention matrix; silent (dim, cohort) cells emit zeros with null
+    rates."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate new_activity_metrics(user_id, ts,"
+        " datetime(2024-01-02 00:00:00), datetime(2024-01-06 00:00:00),"
+        " 1d, event_type)"
+        " | order by from_ts asc, to_ts asc, event_type asc",
+    )
+
+
 def q_kql_bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-manipulation scalars (binary_and/or/xor/not, shifts,
     bitset_count_ones) — 64-bit per-row codegen; exact long sums per
@@ -4373,7 +4392,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_geo_polygon", "kql_percentiles_plural", "kql_scalar_range",
     "kql_consume", "kql_diffpatterns_text", "dedup_paragraph_blocks",
     "kql_row_cumsum_restart", "kql_series_seasonal_auto",
-    "kql_activity_engagement_bounds",
+    "kql_activity_engagement_bounds", "kql_new_activity_dims",
     # r4 registry tail — judge-green in r4, never driver-sampled
     "kql_series_anomalies", "kql_series_fir", "kql_series_iir",
     "kql_series_fit2", "dedup_substring_spans", "kql_basket3",
@@ -4685,6 +4704,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_has_any_all": q_kql_has_any_all,
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
+        "kql_new_activity_dims": q_kql_new_activity_dims,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -6717,6 +6737,42 @@ GROUP BY 1
             "FROM sp LEFT JOIN cn ON sp.f_ = cn.f_ "
             "LEFT JOIN r ON sp.f_ = r.f_ AND sp.t_ = r.t_ "
             "ORDER BY from_ts, to_ts"
+        ),
+        "kql_new_activity_dims": (
+            # the *dim variant of kql_new_activity_metrics: every CTE
+            # carries event_type; spine = day-grid x distinct dims
+            "WITH act AS (SELECT DISTINCT event_type AS d, "
+            "user_id AS id, "
+            "CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS s "
+            "FROM events WHERE epoch(ts) >= 1704153600 "
+            "AND epoch(ts) <= 1704499200), "
+            "f AS (SELECT d, id, MIN(s) AS f_ FROM act GROUP BY 1, 2), "
+            "cn AS (SELECT d, f_, CAST(COUNT(*) AS BIGINT) AS nn "
+            "FROM f GROUP BY 1, 2), "
+            "r AS (SELECT f.d, f.f_, a.s AS t_, "
+            "CAST(COUNT(*) AS BIGINT) AS ret "
+            "FROM act a JOIN f ON a.id = f.id AND a.d = f.d "
+            "GROUP BY 1, 2, 3), "
+            "sp AS (SELECT a.range AS f_, b.range AS t_, dm.d "
+            "FROM range(19724, 19729) a CROSS JOIN "
+            "range(19724, 19729) b "
+            "CROSS JOIN (SELECT DISTINCT d FROM act) dm "
+            "WHERE b.range >= a.range) "
+            "SELECT epoch_ms(sp.f_ * 86400 * 1000) AS from_ts, "
+            "epoch_ms(sp.t_ * 86400 * 1000) AS to_ts, "
+            "sp.d AS event_type, "
+            "COALESCE(cn.nn, 0) AS new_dcount, "
+            "COALESCE(r.ret, 0) AS retained_dcount, "
+            "CASE WHEN cn.nn IS NOT NULL THEN "
+            "round(CAST(COALESCE(r.ret, 0) AS DOUBLE) / cn.nn, 6) END "
+            "AS retention_rate, "
+            "CASE WHEN cn.nn IS NOT NULL THEN round(1 - "
+            "CAST(COALESCE(r.ret, 0) AS DOUBLE) / cn.nn, 6) END "
+            "AS churn_rate "
+            "FROM sp LEFT JOIN cn ON sp.f_ = cn.f_ AND sp.d = cn.d "
+            "LEFT JOIN r ON sp.f_ = r.f_ AND sp.t_ = r.t_ "
+            "AND sp.d = r.d "
+            "ORDER BY from_ts, to_ts, event_type"
         ),
         "kql_rows_near": (
             "WITH s AS (SELECT user_id, event_id, event_type, ts, "

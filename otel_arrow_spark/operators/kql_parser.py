@@ -7568,7 +7568,8 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
             mnam = re.match(
                 r"^new_activity_metrics\s*\(\s*([A-Za-z_]\w*)\s*,"
                 r"\s*([A-Za-z_]\w*)\s*,\s*datetime\(([^)]*)\)\s*,"
-                r"\s*datetime\(([^)]*)\)\s*,\s*([\w.]+)\s*\)\s*$", rest)
+                r"\s*datetime\(([^)]*)\)\s*,\s*([\w.]+)\s*"
+                r"((?:,\s*[A-Za-z_]\w*)*)\s*\)\s*$", rest)
             if mnam:
                 # `evaluate new_activity_metrics(id, timeline,
                 # datetime(start), datetime(end), window)` — cohort
@@ -7579,10 +7580,16 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 # rates. Shape: first-activity aggregate → cohort join
                 # back on id → one (cohort, slot) count; the (from, to)
                 # spine is range×range (bins², small) left-joined so
-                # silent-cohort bins emit zeros. Kusto's *dim variant
-                # is not taken (documented subset).
-                idc, tc, st_src, en_src, win_src = mnam.groups()
-                for c in (idc, tc):
+                # silent-cohort bins emit zeros. Trailing bare column
+                # names are split dimensions (Kusto's *dim variant):
+                # activity, cohorting, and the spine all carry the dim
+                # tuple, so each dim combination gets its own cohort
+                # matrix.
+                (idc, tc, st_src, en_src, win_src,
+                 nam_dim_tail) = mnam.groups()
+                nam_dims = [d.strip() for d in nam_dim_tail.split(",")
+                            if d.strip()]
+                for c in (idc, tc, *nam_dims):
                     if c not in df.columns:
                         raise KqlError(
                             f"new_activity_metrics: no column {c!r}")
@@ -7596,16 +7603,18 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 epoch = F.col(tc).cast("timestamp").cast("double")
                 act = persist_registered(
                     df.filter((epoch >= t0) & (epoch <= t1)).select(
+                        *nam_dims,
                         F.col(idc).alias("_id"),
                         F.floor(epoch / F.lit(float(win_s)))
                         .cast("long").alias("_s")).distinct())
-                firsts = act.groupBy("_id").agg(
+                firsts = act.groupBy(*nam_dims, "_id").agg(
                     F.min("_s").alias("_from"))
-                cohort_n = firsts.groupBy("_from").agg(
+                cohort_n = firsts.groupBy(*nam_dims, "_from").agg(
                     F.count(F.lit(1)).alias("new_dcount"))
                 ret = (
-                    act.join(firsts, "_id")
-                    .groupBy("_from", F.col("_s").alias("_to"))
+                    act.join(firsts, [*nam_dims, "_id"])
+                    .groupBy(*nam_dims, "_from",
+                             F.col("_s").alias("_to"))
                     .agg(F.count(F.lit(1)).alias("retained_dcount"))
                 )
                 sess = df.sparkSession
@@ -7616,10 +7625,14 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         F.col("id").alias("_to")))
                     .filter(F.col("_to") >= F.col("_from"))
                 )
+                if nam_dims:
+                    spine = spine.crossJoin(
+                        act.select(*nam_dims).distinct())
                 df = (
                     spine
-                    .join(F.broadcast(cohort_n), "_from", "left")
-                    .join(ret, ["_from", "_to"], "left")
+                    .join(F.broadcast(cohort_n),
+                          [*nam_dims, "_from"], "left")
+                    .join(ret, [*nam_dims, "_from", "_to"], "left")
                     .select(
                         F.timestamp_seconds(
                             F.col("_from") * F.lit(float(win_s))
@@ -7627,6 +7640,7 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         F.timestamp_seconds(
                             F.col("_to") * F.lit(float(win_s))
                         ).cast("timestamp_ntz").alias("to_" + tc),
+                        *nam_dims,
                         F.coalesce("new_dcount", F.lit(0))
                         .alias("new_dcount"),
                         F.coalesce("retained_dcount", F.lit(0))

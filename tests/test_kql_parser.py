@@ -4281,3 +4281,38 @@ def test_sliding_window_counts_prestart_seed(spark):
     # E (20:00) is beyond the lookback tail -> never contributes;
     # D (23:30) inherits into bin 0 only (k=2: bins -1 and 0)
     assert rows == [(0, 2, 2), (1, 1, 1), (2, 0, 0)]
+
+
+def test_new_activity_metrics_dims(spark):
+    # two dims: within "x", u1 cohorts at day 0 and is retained day 1;
+    # u2 is new at day 1. Within "y", u1 cohorts independently at
+    # day 1 (per-dim first activity, not global)
+    df = spark.createDataFrame(
+        [("u1", "x", "2024-01-01 01:00:00"),
+         ("u1", "x", "2024-01-02 01:00:00"),
+         ("u2", "x", "2024-01-02 02:00:00"),
+         ("u1", "y", "2024-01-02 03:00:00")],
+        "uid string, g string, t string",
+    ).select("uid", "g", F.col("t").cast("timestamp_ntz").alias("t"))
+    got = kql(
+        df,
+        "T | evaluate new_activity_metrics(uid, t,"
+        " datetime(2024-01-01 00:00:00), datetime(2024-01-03 00:00:00),"
+        " 1d, g) | order by from_t asc, to_t asc, g asc")
+    rows = [(r.from_t.day, r.to_t.day, r.g, r.new_dcount,
+             r.retained_dcount, r.retention_rate)
+            for r in got.collect()]
+    assert rows == [
+        (1, 1, "x", 1, 1, 1.0),   # u1 cohort day1 in x
+        (1, 1, "y", 0, 0, None),  # y has no day-1 cohort
+        (1, 2, "x", 1, 1, 1.0),   # u1 retained day2 in x
+        (1, 2, "y", 0, 0, None),
+        (1, 3, "x", 1, 0, 0.0),
+        (1, 3, "y", 0, 0, None),
+        (2, 2, "x", 1, 1, 1.0),   # u2 new day2 in x
+        (2, 2, "y", 1, 1, 1.0),   # u1 cohorts at day2 in y
+        (2, 3, "x", 1, 0, 0.0),
+        (2, 3, "y", 1, 0, 0.0),
+        (3, 3, "x", 0, 0, None),
+        (3, 3, "y", 0, 0, None),
+    ]
