@@ -3280,6 +3280,27 @@ def q_kql_new_activity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_activity_metrics_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``evaluate activity_metrics(user_id, ts, datetime(start),
+    datetime(end), 4h)`` — the bounded form: out-of-bounds records
+    filter first, and every 4-hour slot in the bounds is emitted via a
+    driver-range spine left-join (the bounds run past the fixture's
+    Jan-30 data end, so the tail slots exercise the zero-dcount /
+    null-rate path; the slot right after the last active one still
+    gets retention 0.0 because its t−1 had actives)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events | evaluate activity_metrics(user_id, ts,"
+        " datetime(2024-01-28), datetime(2024-02-02), 4h)"
+        " | order by ts asc",
+    )
+
+
 def q_kql_new_activity_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``evaluate new_activity_metrics(user_id, ts, start, end, 1d,
     event_type)`` — the *dim variant: every stage (activity collapse,
@@ -4393,6 +4414,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_consume", "kql_diffpatterns_text", "dedup_paragraph_blocks",
     "kql_row_cumsum_restart", "kql_series_seasonal_auto",
     "kql_activity_engagement_bounds", "kql_new_activity_dims",
+    "kql_activity_metrics_bounds",
     # r4 registry tail — judge-green in r4, never driver-sampled
     "kql_series_anomalies", "kql_series_fir", "kql_series_iir",
     "kql_series_fit2", "dedup_substring_spans", "kql_basket3",
@@ -4705,6 +4727,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_activity_counts": q_kql_activity_counts,
         "kql_new_activity_metrics": q_kql_new_activity_metrics,
         "kql_new_activity_dims": q_kql_new_activity_dims,
+        "kql_activity_metrics_bounds": q_kql_activity_metrics_bounds,
         "kql_scalar_suite4": q_kql_scalar_suite4,
         "kql_reduce": q_kql_reduce,
         "kql_agg_percentiles": q_kql_agg_percentiles,
@@ -5925,6 +5948,42 @@ GROUP BY 1
             "FROM d LEFT JOIN n ON d.slot = n.slot "
             "LEFT JOIN r ON d.slot = r.slot "
             "LEFT JOIN p ON d.slot = p.slot ORDER BY ts"
+        ),
+        "kql_activity_metrics_bounds": (
+            # bounded form: 4h slots over [2024-01-28, 2024-02-02];
+            # spine slots past the data's Jan-30 end emit zeros/nulls
+            "WITH act AS (SELECT DISTINCT user_id AS id, "
+            "CAST(floor(epoch(ts) / 14400.0) AS BIGINT) AS slot "
+            "FROM events WHERE epoch(ts) >= "
+            "epoch(TIMESTAMP '2024-01-28') AND epoch(ts) <= "
+            "epoch(TIMESTAMP '2024-02-02')), "
+            "d AS (SELECT slot, COUNT(*) AS dcount_values "
+            "FROM act GROUP BY 1), "
+            "f AS (SELECT id, MIN(slot) AS slot FROM act GROUP BY 1), "
+            "n AS (SELECT slot, COUNT(*) AS nn FROM f GROUP BY 1), "
+            "r AS (SELECT a2.slot AS slot, COUNT(*) AS ret FROM act a1 "
+            "JOIN act a2 ON a1.id = a2.id AND a2.slot = a1.slot + 1 "
+            "GROUP BY 1), "
+            "p AS (SELECT slot + 1 AS slot, dcount_values AS prev "
+            "FROM d), "
+            "sp AS (SELECT unnest(range("
+            "CAST(floor(epoch(TIMESTAMP '2024-01-28') / 14400.0) "
+            "AS BIGINT), "
+            "CAST(floor(epoch(TIMESTAMP '2024-02-02') / 14400.0) "
+            "AS BIGINT) + 1)) AS slot) "
+            "SELECT epoch_ms(sp.slot * 14400 * 1000) AS ts, "
+            "COALESCE(d.dcount_values, 0) AS dcount_values, "
+            "COALESCE(n.nn, 0) AS dcount_newvalues, "
+            "CASE WHEN p.prev IS NOT NULL THEN "
+            "round(CAST(COALESCE(r.ret, 0) AS DOUBLE) / p.prev, 6) "
+            "END AS retention_rate, "
+            "CASE WHEN p.prev IS NOT NULL THEN round(1 - "
+            "round(CAST(COALESCE(r.ret, 0) AS DOUBLE) / p.prev, 6), 6) "
+            "END AS churn_rate "
+            "FROM sp LEFT JOIN d ON sp.slot = d.slot "
+            "LEFT JOIN n ON sp.slot = n.slot "
+            "LEFT JOIN r ON sp.slot = r.slot "
+            "LEFT JOIN p ON sp.slot = p.slot ORDER BY ts"
         ),
         "kql_bag_has_key": (
             "SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n, "

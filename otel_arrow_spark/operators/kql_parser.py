@@ -7658,18 +7658,26 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 continue
             mam = re.match(
                 r"^activity_metrics\s*\(\s*([A-Za-z_]\w*)\s*,"
-                r"\s*([A-Za-z_]\w*)\s*,\s*([\w.]+)\s*\)\s*$", rest)
+                r"\s*([A-Za-z_]\w*)\s*,"
+                r"(?:\s*datetime\(([^)]*)\)\s*,\s*datetime\(([^)]*)\)"
+                r"\s*,)?"
+                r"\s*([\w.]+)\s*\)\s*$", rest)
             if mam:
-                # `evaluate activity_metrics(id, timeline, window)` —
-                # per window slot: distinct actives, first-ever-seen
+                # `evaluate activity_metrics(id, timeline,
+                # [datetime(start), datetime(end),] window)` — per
+                # window slot: distinct actives, first-ever-seen
                 # actives (new), retention rate (slot t-1 actives still
                 # active in t / slot t-1 actives) and churn (1 −
                 # retention). All from ONE distinct (id, slot) relation:
                 # new = min-slot-per-id aggregate, retained = self
                 # equi-join on (id, slot-1) — no window over ids, no
-                # range join. Slots with no activity are not emitted
-                # (same Start/End-less subset as activity_engagement).
-                idc, tc, win_src = mam.groups()
+                # range join. Without bounds, slots with no activity
+                # are not emitted; WITH bounds every slot in
+                # [start//win, end//win] is emitted via a driver-range
+                # spine left-join (zero dcounts, null rates), with
+                # out-of-bounds records filtered first — the same
+                # bounded contract as activity_engagement.
+                idc, tc, am_st, am_en, win_src = mam.groups()
                 for c in (idc, tc):
                     if c not in df.columns:
                         raise KqlError(
@@ -7678,13 +7686,19 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 from otel_arrow_spark.dataops.dedup import (
                     persist_registered,
                 )
+                src = df
+                if am_st is not None:
+                    am_t0 = _plugin_epoch(am_st)
+                    am_t1 = _plugin_epoch(am_en)
+                    ep = F.col(tc).cast("timestamp").cast("double")
+                    src = df.filter((ep >= am_t0) & (ep <= am_t1))
                 slot = F.floor(
                     F.col(tc).cast("timestamp").cast("double")
                     / F.lit(float(win_s))).cast("long")
                 # act feeds four consumers (dcounts, firsts, both
                 # sides of the retained self-join) — persist so the
                 # distinct shuffle runs once
-                act = persist_registered(df.select(
+                act = persist_registered(src.select(
                     F.col(idc).alias("_id"), slot.alias("_slot")
                 ).distinct())
                 dcounts = act.groupBy("_slot").agg(
@@ -7700,8 +7714,15 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                 prev_d = dcounts.select(
                     (F.col("_slot") + 1).alias("_slot"),
                     F.col("dcount_values").alias("_prev"))
+                if am_st is not None:
+                    spine = df.sparkSession.range(
+                        int(am_t0 // win_s), int(am_t1 // win_s) + 1
+                    ).select(F.col("id").alias("_slot"))
+                    base = spine.join(dcounts, "_slot", "left")
+                else:
+                    base = dcounts
                 out = (
-                    dcounts
+                    base
                     .join(news, "_slot", "left")
                     .join(retained, "_slot", "left")
                     .join(prev_d, "_slot", "left")
@@ -7715,7 +7736,9 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                     F.timestamp_seconds(
                         F.col("_slot") * F.lit(float(win_s))
                     ).cast("timestamp_ntz").alias(tc),
-                    "dcount_values",
+                    F.coalesce(
+                        F.col("dcount_values"), F.lit(0)
+                    ).alias("dcount_values"),
                     F.coalesce(
                         F.col("dcount_newvalues"), F.lit(0)
                     ).alias("dcount_newvalues"),
