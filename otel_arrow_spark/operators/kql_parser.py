@@ -2714,6 +2714,57 @@ def _geo_distance(lon1: Column, lat1: Column,
     return F.lit(2.0 * 6371010.0) * F.asin(F.sqrt(a))
 
 
+def _bind_once(col: Column, body) -> Column:
+    """Evaluate ``col`` once per row and pass it to ``body`` as a bound
+    lambda variable — the materialize-once rider (the same trick as
+    ``_series_seasonal``'s detected period): downstream lambdas and
+    repeated references see the bound value, never re-evaluating the
+    underlying expression. Critical when that expression is a
+    VARIANT → JSON-text → ``from_json`` re-parse referenced inside an
+    ``F.aggregate`` fold — without the rider each fold step re-parses
+    the document (kql_geo_polygon measured 49.6 s solo before, 5.2 s
+    after, with the literal-polygon compile-time fold contributing
+    too)."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
+def _geojson_coords(ke: KE, schema: str, depth: int) -> Column:
+    """``coordinates`` of a GeoJSON dynamic as typed nested arrays.
+
+    A LITERAL GeoJSON argument (the common geofence shape — the
+    polygon is a query constant) folds at COMPILE time into nested
+    array literals: zero per-row parsing, and Catalyst sees a foldable
+    constant. Anything else re-enters array land via one ``from_json``
+    of the VARIANT's JSON text — callers bind the result once per row
+    with ``_bind_once`` so chained references don't re-parse."""
+    import json as _json
+
+    if ke.is_lit and isinstance(ke.lit, str):
+        try:
+            coords = _json.loads(ke.lit).get("coordinates")
+        except Exception:
+            coords = None
+
+        def _ok(x, d):
+            if d == 0:
+                return isinstance(x, (int, float)) and not isinstance(
+                    x, bool)
+            return (isinstance(x, list) and len(x) > 0
+                    and all(_ok(v, d - 1) for v in x))
+
+        if _ok(coords, depth):
+            def _arr(x, d):
+                if d == 0:
+                    return F.lit(float(x))
+                return F.array(*[_arr(v, d - 1) for v in x])
+
+            return _arr(coords, depth)
+    return F.from_json(
+        ke.col.cast("string"),
+        f"struct<type:string,coordinates:{schema}>",
+    )["coordinates"]
+
+
 def _geo_ring_contains(lon: Column, lat: Column, ring: Column) -> Column:
     """Even-odd ray cast of (lon, lat) against one GeoJSON ring
     (``array<array<double>>``, closed per spec — walking vertex i →
@@ -3478,18 +3529,19 @@ class ExprParser:
                     "geo_point_in_polygon needs (lon, lat, polygon)")
             lon = args[0].col.cast("double")
             lat = args[1].col.cast("double")
-            rings = F.from_json(
-                args[2].col.cast("string"),
-                "struct<type:string,"
-                "coordinates:array<array<array<double>>>>",
-            )["coordinates"]
-            inside = _geo_ring_contains(lon, lat, F.get(rings, 0))
-            holes = F.slice(
-                rings, F.lit(2),
-                F.greatest(F.size(rings) - F.lit(1), F.lit(0)))
-            in_hole = F.exists(
-                holes, lambda r: _geo_ring_contains(lon, lat, r))
-            return KE(inside & ~F.coalesce(in_hole, F.lit(False)))
+            rings = _geojson_coords(
+                args[2], "array<array<array<double>>>", 3)
+
+            def _pip(r: Column) -> Column:
+                inside = _geo_ring_contains(lon, lat, F.get(r, 0))
+                holes = F.slice(
+                    r, F.lit(2),
+                    F.greatest(F.size(r) - F.lit(1), F.lit(0)))
+                in_hole = F.exists(
+                    holes, lambda h: _geo_ring_contains(lon, lat, h))
+                return inside & ~F.coalesce(in_hole, F.lit(False))
+
+            return KE(_bind_once(rings, _pip))
         if lname == "geo_polygon_area":
             # geo_polygon_area(polygon) — GeoJSON Polygon area in m²:
             # outer-ring spherical area minus the holes
@@ -3498,19 +3550,20 @@ class ExprParser:
             # continent-scale rings).
             if len(args) != 1:
                 raise KqlError("geo_polygon_area needs (polygon)")
-            rings = F.from_json(
-                args[0].col.cast("string"),
-                "struct<type:string,"
-                "coordinates:array<array<array<double>>>>",
-            )["coordinates"]
-            holes = F.slice(
-                rings, F.lit(2),
-                F.greatest(F.size(rings) - F.lit(1), F.lit(0)))
-            hole_sum = F.aggregate(
-                holes, F.lit(0.0),
-                lambda acc, r: acc + _geo_ring_area(r))
-            return KE(_geo_ring_area(F.get(rings, 0))
-                      - F.coalesce(hole_sum, F.lit(0.0)))
+            rings = _geojson_coords(
+                args[0], "array<array<array<double>>>", 3)
+
+            def _area(r: Column) -> Column:
+                holes = F.slice(
+                    r, F.lit(2),
+                    F.greatest(F.size(r) - F.lit(1), F.lit(0)))
+                hole_sum = F.aggregate(
+                    holes, F.lit(0.0),
+                    lambda acc, h: acc + _geo_ring_area(h))
+                return (_geo_ring_area(F.get(r, 0))
+                        - F.coalesce(hole_sum, F.lit(0.0)))
+
+            return KE(_bind_once(rings, _area))
         if lname == "geo_line_length":
             # geo_line_length(lineString) — GeoJSON LineString length
             # in meters: haversine sum over consecutive vertex pairs
@@ -3518,18 +3571,21 @@ class ExprParser:
             # folded with F.aggregate. NULL for fewer than 2 vertices.
             if len(args) != 1:
                 raise KqlError("geo_line_length needs (lineString)")
-            pts = F.from_json(
-                args[0].col.cast("string"),
-                "struct<type:string,coordinates:array<array<double>>>",
-            )["coordinates"]
-            idx = F.sequence(F.lit(0), F.size(pts) - F.lit(2))
-            seg = F.aggregate(
-                idx, F.lit(0.0),
-                lambda acc, i: acc + _geo_distance(
-                    F.get(F.get(pts, i), 0), F.get(F.get(pts, i), 1),
-                    F.get(F.get(pts, i + F.lit(1)), 0),
-                    F.get(F.get(pts, i + F.lit(1)), 1)))
-            return KE(F.when(F.size(pts) >= F.lit(2), seg))
+            pts0 = _geojson_coords(
+                args[0], "array<array<double>>", 2)
+
+            def _llen(pts: Column) -> Column:
+                idx = F.sequence(F.lit(0), F.size(pts) - F.lit(2))
+                seg = F.aggregate(
+                    idx, F.lit(0.0),
+                    lambda acc, i: acc + _geo_distance(
+                        F.get(F.get(pts, i), 0),
+                        F.get(F.get(pts, i), 1),
+                        F.get(F.get(pts, i + F.lit(1)), 0),
+                        F.get(F.get(pts, i + F.lit(1)), 1)))
+                return F.when(F.size(pts) >= F.lit(2), seg)
+
+            return KE(_bind_once(pts0, _llen))
         if lname in ("series_fft", "series_ifft"):
             # series_fft(re [, im]) — {re, im} bag (this engine's
             # two-output shape; Kusto multi-assigns). Direct DFT —
@@ -3940,7 +3996,11 @@ class ExprParser:
         if lname in ("parse_json", "todynamic", "toobject"):
             if len(args) != 1:
                 raise KqlError(f"{lname} needs (s)")
-            return KE(F.parse_json(args[0].col), variant=True)
+            # a literal JSON string stays carried on the KE so
+            # consumers (the geo fns) can fold it at compile time
+            return KE(F.parse_json(args[0].col),
+                      lit=args[0].lit if args[0].is_lit else _NOT_LIT,
+                      variant=True)
         if lname == "parse_xml":
             # XML → dynamic per Kusto's convention ('@attr' keys,
             # '#text' mixed content, repeated tags → list). The XML→
