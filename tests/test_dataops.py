@@ -952,3 +952,49 @@ def test_paragraph_block_dedup_keeper_and_digest(spark):
     # reconstruction order: two kept blocks concat in blk_idx order
     assert out[1].kept_digest == hashlib.md5(
         f"{blk_a} {blk_b}".encode()).hexdigest()
+
+
+def test_paragraph_block_dedup_property_vs_python(spark):
+    """paragraph_block_dedup vs a Python reference of the whole rule
+    (chop into blk-token blocks, count block texts corpus-wide, keep
+    only the globally-first occurrence of each repeated block) — 60
+    random docs over a tiny vocabulary so collisions are common."""
+    import hashlib
+    import random
+
+    from otel_arrow_spark.dataops.dedup import paragraph_block_dedup
+
+    rng = random.Random(37)
+    vocab = ["a", "b", "c"]
+    blk = 3
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(1, 12))))
+            for i in range(60)]
+
+    def blocks(text):
+        w = text.split()
+        return [" ".join(w[j:j + blk]) for j in range(0, len(w), blk)]
+
+    counts: dict[str, int] = {}
+    first: dict[str, tuple] = {}
+    for did, text in docs:
+        for bi, b in enumerate(blocks(text)):
+            counts[b] = counts.get(b, 0) + 1
+            first.setdefault(b, (did, bi))
+    exp = {}
+    for did, text in docs:
+        bl = blocks(text)
+        kept = [b for bi, b in enumerate(bl)
+                if counts[b] < 2 or first[b] == (did, bi)]
+        nt = len(text.split())
+        kept_tokens = sum(len(b.split()) for b in kept)
+        exp[did] = (len(bl), len(bl) - len(kept), nt, kept_tokens,
+                    hashlib.md5(" ".join(kept).encode()).hexdigest())
+
+    out = paragraph_block_dedup(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        blk=blk, min_count=2)
+    got = {r.doc_id: (r.n_blocks, r.removed_blocks, r.total_tokens,
+                      r.kept_tokens, r.kept_digest)
+           for r in out.collect()}
+    assert got == exp

@@ -4316,3 +4316,33 @@ def test_new_activity_metrics_dims(spark):
         (3, 3, "x", 0, 0, None),
         (3, 3, "y", 0, 0, None),
     ]
+
+
+def test_row_cumsum_restart_property_vs_python(spark):
+    """row_cumsum(x, restart) vs the Python reference (running sum
+    resetting AT each restart row, the restart row's term included) —
+    120 random rows across 6 groups with negative terms and random
+    restart flags, one job."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for g in range(6):
+        for i in range(20):
+            rows.append((f"g{g}", i, rng.randrange(-50, 51),
+                         rng.random() < 0.25))
+    df = spark.createDataFrame(rows, "g string, i int, v long, r boolean")
+    got = {(x.g, x.i): x.c for x in kql(
+        df,
+        "T | sort by g asc, i asc | serialize by g"
+        " | extend c = row_cumsum(v, r) | project g, i, c",
+    ).collect()}
+    by_g: dict[str, list] = {}
+    for g, i, v, r in rows:
+        by_g.setdefault(g, []).append((i, v, r))
+    for g, seq in by_g.items():
+        acc = 0
+        for i, v, r in sorted(seq):
+            acc = v if r else acc + v
+            assert got[(g, i)] == acc, (g, i, acc, got[(g, i)])
+
