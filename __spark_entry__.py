@@ -3413,6 +3413,38 @@ def q_kql_ipv4_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_ipv6_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate ipv6_lookup(nets, ip, network)`` — the IPv6 LPM twin
+    of ipv4_lookup: each distinct IP parses its 16-bit groups once and
+    derives one masked-canonical candidate per mask length in the
+    table; broadcast equi-join + longest-mask rank + join-back. The
+    lookup table mixes ``::``-compressed forms; source IPs are built
+    in full canonical form with group-aligned masks so the DuckDB
+    oracle's LPM is a pure prefix-string CASE (non-aligned masks are
+    pytest-covered via ipv6_is_match equivalence)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    (events,) = _tables(spark, sf_dir, "events")
+    h4 = lambda c: F.lpad(F.lower(F.hex(c)), 4, "0")  # noqa: E731
+    src = events.select(
+        F.concat(
+            F.lit("2001:0db8:"), h4(F.col("user_id") % 4),
+            F.lit(":"), h4(F.col("user_id") % 200),
+            F.lit(":0000:0000:0000:"), h4(F.col("event_id") % 250),
+        ).alias("ip"))
+    nets = spark.createDataFrame(
+        [("2001:db8::/32", "corp"), ("2001:db8:1::/48", "teamA"),
+         ("2001:db8:2:42::/64", "dmz"), ("2001:db8:3:7::/64", "lab")],
+        "network string, zone string")
+    return kql(
+        src,
+        "t | evaluate ipv6_lookup(nets, ip, network)"
+        " | summarize n = count(), ips = dcount(ip) by zone, network"
+        " | order by zone asc, network asc",
+        tables={"nets": nets},
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -4414,7 +4446,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_consume", "kql_diffpatterns_text", "dedup_paragraph_blocks",
     "kql_row_cumsum_restart", "kql_series_seasonal_auto",
     "kql_activity_engagement_bounds", "kql_new_activity_dims",
-    "kql_activity_metrics_bounds",
+    "kql_activity_metrics_bounds", "kql_ipv6_lookup",
     # r4 registry tail — judge-green in r4, never driver-sampled
     "kql_series_anomalies", "kql_series_fir", "kql_series_iir",
     "kql_series_fit2", "dedup_substring_spans", "kql_basket3",
@@ -4675,6 +4707,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kql_bit_functions": q_kql_bit_functions,
         "graph_shortest_paths": q_graph_shortest_paths,
         "kql_ipv4_lookup": q_kql_ipv4_lookup,
+        "kql_ipv6_lookup": q_kql_ipv6_lookup,
         "kql_series_forecast": q_kql_series_forecast,
         "kql_rows_near": q_kql_rows_near,
         "kql_sliding_window_counts": q_kql_sliding_window_counts,
@@ -6937,6 +6970,34 @@ GROUP BY 1
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM s GROUP BY event_type, enc, dec, ir, pv, ft, ft2 "
             "ORDER BY event_type, pv, ft2"
+        ),
+        "kql_ipv6_lookup": (
+            # group-aligned masks -> LPM is a prefix-string CASE over
+            # the full canonical form (19 chars = 4 groups for /64,
+            # 14 = 3 groups for /48, 9 = 2 groups for /32)
+            "WITH src AS (SELECT concat('2001:0db8:', "
+            "lpad(lower(hex(user_id % 4)), 4, '0'), ':', "
+            "lpad(lower(hex(user_id % 200)), 4, '0'), "
+            "':0000:0000:0000:', "
+            "lpad(lower(hex(event_id % 250)), 4, '0')) AS ip "
+            "FROM events), "
+            "z AS (SELECT ip, "
+            "CASE WHEN substr(ip, 1, 19) = '2001:0db8:0002:0042' "
+            "THEN 'dmz' "
+            "WHEN substr(ip, 1, 19) = '2001:0db8:0003:0007' "
+            "THEN 'lab' "
+            "WHEN substr(ip, 1, 14) = '2001:0db8:0001' THEN 'teamA' "
+            "ELSE 'corp' END AS zone, "
+            "CASE WHEN substr(ip, 1, 19) = '2001:0db8:0002:0042' "
+            "THEN '2001:db8:2:42::/64' "
+            "WHEN substr(ip, 1, 19) = '2001:0db8:0003:0007' "
+            "THEN '2001:db8:3:7::/64' "
+            "WHEN substr(ip, 1, 14) = '2001:0db8:0001' "
+            "THEN '2001:db8:1::/48' "
+            "ELSE '2001:db8::/32' END AS network FROM src) "
+            "SELECT zone, network, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(DISTINCT ip) AS BIGINT) AS ips "
+            "FROM z GROUP BY 1, 2 ORDER BY zone, network"
         ),
         "kql_ipv4_lookup": (
             "WITH src AS (SELECT '10.' || CAST(user_id % 4 AS VARCHAR)"

@@ -1778,16 +1778,17 @@ def _ipv6_group_vals(s: Column) -> Column:
         parse)
 
 
-def _parse_ipv6_masked(s: Column, prefix: Column) -> Column:
-    """Canonical 8-group zero-padded lowercase form with host bits
-    below ``prefix`` cleared (Kusto parse_ipv6 / parse_ipv6_mask).
-    Masking is group-wise: group i keeps clamp(prefix − 16i, 0, 16)
-    leading bits — ``g - g % 2^(16-keep)`` with the block size bound
-    once per element."""
-    pi = prefix.cast("int")
-    canon = F.array_join(
+def _ipv6_canon_from_groups(groups: Column, pi: Column) -> Column:
+    """Canonical 8-group zero-padded lowercase text from 16-bit group
+    values with host bits below ``pi`` cleared. Masking is group-wise:
+    group i keeps clamp(pi − 16i, 0, 16) leading bits —
+    ``g - g % 2^(16-keep)`` with the block size bound once per
+    element. Shared by ``parse_ipv6[_mask]`` and the ``ipv6_lookup``
+    plugin (which parses each distinct IP's groups ONCE and derives
+    every mask-length candidate from them)."""
+    return F.array_join(
         F.transform(
-            _ipv6_group_vals(s),
+            groups,
             lambda g, i: _let(
                 F.pow(
                     F.lit(2.0),
@@ -1795,6 +1796,13 @@ def _parse_ipv6_masked(s: Column, prefix: Column) -> Column:
                                     F.lit(0))).cast("bigint"),
                 lambda blk: F.lower(F.lpad(F.hex(g - g % blk), 4, "0")))),
         ":")
+
+
+def _parse_ipv6_masked(s: Column, prefix: Column) -> Column:
+    """Canonical 8-group zero-padded lowercase form with host bits
+    below ``prefix`` cleared (Kusto parse_ipv6 / parse_ipv6_mask)."""
+    pi = prefix.cast("int")
+    canon = _ipv6_canon_from_groups(_ipv6_group_vals(s), pi)
     return F.when(pi.between(0, 128), canon)
 
 
@@ -7279,6 +7287,84 @@ def _apply_stages(df: DataFrame, stages: list[str], bindings: dict,
                         "__r", F.row_number().over(wip))
                     .filter(F.col("__r") == 1)
                     .drop("__m", "__pref", "__r", "__ipl")
+                )
+                for c in best.columns:
+                    if c != "__ip" and c in df.columns:
+                        best = best.withColumnRenamed(c, c + "1")
+                how = "left" if (unmatched or "false") == "true" \
+                    else "inner"
+                df = df.join(
+                    best, df[ipc] == best["__ip"], how
+                ).drop("__ip")
+                continue
+            mi6 = re.match(
+                r"^ipv6_lookup\s*\(\s*([A-Za-z_]\w*)\s*,"
+                r"\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*"
+                r"(?:,\s*(?:return_unmatched\s*=\s*)?(true|false)\s*)?"
+                r"\)\s*$", rest)
+            if mi6:
+                # `evaluate ipv6_lookup(LookupTable, SourceIPColumn,
+                # IPNetworkColumn[, return_unmatched])` — the IPv6 twin
+                # of ipv4_lookup's distributed LPM: the lookup table
+                # derives (mask m, masked canonical prefix) per
+                # network; each DISTINCT source IP parses its 16-bit
+                # groups ONCE (`_ipv6_group_vals`) and derives one
+                # candidate canonical per mask length PRESENT in the
+                # table (≤129 by construction — the one bounded driver
+                # collect), equi-joins the broadcast lookup, and a
+                # per-IP rank keeps the longest mask (ties on the
+                # network string). Enriched rows join back on the IP
+                # key — never a theta join on the big side.
+                lutname, ipc, netc, unmatched = mi6.groups()
+                if not tables or lutname not in tables:
+                    raise KqlError(
+                        f"ipv6_lookup: unknown table {lutname!r} — "
+                        "pass it via kql(..., tables={...})")
+                if ipc not in df.columns:
+                    raise KqlError(f"ipv6_lookup: no column {ipc!r}")
+                lut = tables[lutname]
+                if netc not in lut.columns:
+                    raise KqlError(
+                        f"ipv6_lookup: lookup table has no column "
+                        f"{netc!r}")
+                netp = F.split(F.col(netc), "/")
+                mlen6 = F.coalesce(
+                    F.try_element_at(netp, F.lit(2)).try_cast("int"),
+                    F.lit(128))
+                lut2 = lut.withColumns({
+                    "__m": mlen6,
+                    "__pref": _parse_ipv6_masked(
+                        F.try_element_at(netp, F.lit(1)), mlen6),
+                })
+                masks = sorted(
+                    r[0] for r in
+                    lut2.select("__m").distinct().collect()
+                    if r[0] is not None)
+                if not masks:
+                    raise KqlError("ipv6_lookup: empty lookup table")
+                ips = (
+                    df.select(F.col(ipc).alias("__ip")).distinct()
+                    .withColumn("__g", _ipv6_group_vals(F.col("__ip")))
+                )
+                cand = ips.select(
+                    "__ip",
+                    F.explode(F.array(*[
+                        F.struct(
+                            F.lit(m).alias("__m"),
+                            _ipv6_canon_from_groups(
+                                F.col("__g"), F.lit(m)
+                            ).alias("__pref"))
+                        for m in masks])).alias("__c"),
+                ).select("__ip", "__c.__m", "__c.__pref")
+                matched = cand.join(
+                    F.broadcast(lut2), ["__m", "__pref"], "inner")
+                wip = Window.partitionBy("__ip").orderBy(
+                    F.col("__m").desc(), F.col(netc).asc())
+                best = (
+                    matched.withColumn(
+                        "__r", F.row_number().over(wip))
+                    .filter(F.col("__r") == 1)
+                    .drop("__m", "__pref", "__r")
                 )
                 for c in best.columns:
                     if c != "__ip" and c in df.columns:

@@ -4346,3 +4346,32 @@ def test_row_cumsum_restart_property_vs_python(spark):
             acc = v if r else acc + v
             assert got[(g, i)] == acc, (g, i, acc, got[(g, i)])
 
+
+
+def test_ipv6_lookup_non_aligned_and_unmatched(spark):
+    """ipv6_lookup with NON-group-aligned masks (/36, /104), compressed
+    and embedded-IPv4 forms, longest-mask-wins, and the
+    return_unmatched flag (the gate query covers the group-aligned
+    prefix shapes the oracle can mirror)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    src = spark.createDataFrame(
+        [("2001:db8:1000::1",), ("2001:db8:1fff::2",),
+         ("2001:db8:2000::3",), ("::ffff:10.0.0.1",), ("fe80::9",)],
+        "ip string")
+    nets = spark.createDataFrame(
+        [("2001:db8:1000::/36", "A"), ("2001:db8::/32", "B"),
+         ("::ffff:10.0.0.0/104", "V4")],
+        "network string, zone string")
+    got = {r.ip: r.zone for r in kql(
+        src, "t | evaluate ipv6_lookup(nets, ip, network)",
+        tables={"nets": nets}).collect()}
+    # /36 keeps the top nibble of group 3: 1000-1fff -> A, 2000 -> B
+    assert got == {
+        "2001:db8:1000::1": "A", "2001:db8:1fff::2": "A",
+        "2001:db8:2000::3": "B", "::ffff:10.0.0.1": "V4",
+    }  # fe80::9 matches nothing -> dropped (inner)
+    got2 = {r.ip: r.zone for r in kql(
+        src, "t | evaluate ipv6_lookup(nets, ip, network, true)",
+        tables={"nets": nets}).collect()}
+    assert got2["fe80::9"] is None and len(got2) == 5
