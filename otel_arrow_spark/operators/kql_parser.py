@@ -51,7 +51,8 @@ semantics): ``join``/``lookup`` (equi-join flavors), ``union``
 state), ``evaluate`` plugins (pivot/bag_unpack/narrow/basket/
 autocluster/diffpatterns/rows_near/dcount_intersect, the activity
 family incl. sliding_window_counts/rolling_percentile/session_count,
-funnel_sequence[_completion], sequence_detect, ipv4_lookup),
+funnel_sequence[_completion], sequence_detect, ipv4_lookup,
+ipv6_lookup),
 ``mv-apply``, ``mv-expand`` (incl. ``with_itemindex``), ``partition``,
 ``sample``, ``top-nested``, ``facet``, ``find``, ``reduce by``, the
 graph family (``make-graph``/``graph-match``/``graph-shortest-paths``/
