@@ -2605,10 +2605,12 @@ def q_kql_scalar_suite10(spark: SparkSession, sf_dir: str) -> DataFrame:
         " h2 = has_ipv4(txt, '8.8.8.8'),"
         " hp = has_ipv4_prefix(txt, strcat(tostring(o1), '.')),"
         " ha = has_any_ipv4(txt, '9.9.9.9', ip),"
+        " hap = has_any_ipv4_prefix(txt, '9.', '10.'),"
         " ac = round(acos((event_id % 200 - 100) / 100.0), 6),"
         " asn = round(asin((event_id % 200 - 100) / 100.0), 6)"
         " | summarize n = count(), ch1 = countif(h1),"
         " ch2 = countif(h2), chp = countif(hp), cha = countif(ha),"
+        " chap = countif(hap),"
         " sac = round(sum(ac), 2), sas = round(sum(asn), 2),"
         " sv = round(stdevif(value, event_id % 2 == 0), 4),"
         " vv = round(varianceif(value, event_id % 3 == 0), 4)"
@@ -6364,6 +6366,8 @@ GROUP BY 1
             "AS chp, "
             "CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) "
             "AS cha, "
+            "CAST(SUM(CASE WHEN valid AND (event_id % 300) IN (9, 10) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS chap, "
             "round(SUM(ac), 2) AS sac, round(SUM(asn), 2) AS sas, "
             "round(stddev_samp(CASE WHEN event_id % 2 = 0 "
             "THEN value END), 4) AS sv, "

@@ -1952,6 +1952,11 @@ _FUNC_MAP_SIMPLE = {
         _ipv4_tokens(a[0]),
         lambda t: reduce(lambda acc, ip: acc | (t == ip.cast("string")),
                          a[2:], t == a[1].cast("string"))),
+    "has_any_ipv4_prefix": lambda a: F.exists(
+        _ipv4_tokens(a[0]),
+        lambda t: reduce(
+            lambda acc, p: acc | F.startswith(t, p.cast("string")),
+            a[2:], F.startswith(t, a[1].cast("string")))),
     # zlib/gzip ↔ base64 codec quartet (Arrow-batched seam, see
     # _b64_codec_udf)
     "zlib_compress_to_base64_string": lambda a:

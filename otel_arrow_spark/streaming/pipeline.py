@@ -679,3 +679,88 @@ def assemble_series(
             ).alias("ts_series"),
         )
     )
+
+
+def streaming_sliding_counts(
+    stream: DataFrame,
+    start: str,
+    end: str,
+    lookback_sec: int,
+    bin_sec: int,
+    id_col: str = "conv_id",
+    on: str = "ts",
+):
+    """Streaming twin of ``evaluate sliding_window_counts`` — per bin
+    in [start, end], the trailing-lookback record count and distinct-id
+    count, as TWO incremental legs sharing the batch operator's exact
+    scale shape (bounded k = lookback/bin target-bin explode, never a
+    range join; pre-start lookback rows seed the first bins, clamped so
+    pre-start bins never emit):
+
+    - counts leg: explode → one running aggregate per target bin;
+    - dcounts leg: ``dropDuplicates([id, bin])`` → per-bin count (the
+      distinct-(id, source-slot) spread of the batch plugin collapses
+      to exactly this after the explode).
+
+    Gaps/empty bins are filled at read time by
+    :func:`assemble_sliding_counts` (the :func:`assemble_series`
+    convention: incremental emission + read-time spine, the same
+    incremental/final split as the reference's batch exporter). In
+    production both legs run with a watermark (state bounded by
+    lookback + delay; use ``dropDuplicatesWithinWatermark`` on the
+    dedup leg); the parity test drives them complete-mode under
+    ``availableNow`` where the single pass never advances the
+    watermark (same convention as the make-series twin above)."""
+    from datetime import datetime as _dt
+
+    t0 = _dt.fromisoformat(start).timestamp()
+    t1 = _dt.fromisoformat(end).timestamp()
+    s0, e0 = int(t0 // bin_sec), int(t1 // bin_sec)
+    k = lookback_sec // bin_sec
+    ep = F.col(on).cast("timestamp").cast("double")
+    slot = F.floor(ep / float(bin_sec)).cast("long")
+    rows = (
+        stream.filter((ep <= F.lit(t1)) & (slot >= F.lit(s0 - k + 1)))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.sequence(
+                F.greatest(slot, F.lit(s0)),
+                F.least(slot + F.lit(k - 1), F.lit(e0)),
+            )).alias("_t"),
+        )
+    )
+    counts = rows.groupBy("_t").agg(F.count(F.lit(1)).alias("count_"))
+    dcounts = (
+        rows.dropDuplicates(["_id", "_t"])
+        .groupBy("_t").agg(F.count(F.lit(1)).alias("dcount"))
+    )
+    return counts, dcounts
+
+
+def assemble_sliding_counts(
+    spark,
+    counts: DataFrame,
+    dcounts: DataFrame,
+    start: str,
+    end: str,
+    bin_sec: int,
+) -> DataFrame:
+    """Read-time assembly for :func:`streaming_sliding_counts`: the
+    [start, end] bin spine left-joins both incremental legs (zeros for
+    silent bins), producing exactly the batch plugin's output shape."""
+    from datetime import datetime as _dt
+
+    s0 = int(_dt.fromisoformat(start).timestamp() // bin_sec)
+    e0 = int(_dt.fromisoformat(end).timestamp() // bin_sec)
+    spine = spark.range(s0, e0 + 1).select(F.col("id").alias("_t"))
+    return (
+        spine.join(counts, "_t", "left")
+        .join(dcounts, "_t", "left")
+        .select(
+            F.timestamp_seconds(
+                F.col("_t") * F.lit(float(bin_sec))
+            ).cast("timestamp_ntz").alias("ts"),
+            F.coalesce("count_", F.lit(0)).alias("count_"),
+            F.coalesce("dcount", F.lit(0)).alias("dcount"),
+        )
+    )

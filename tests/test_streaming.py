@@ -597,3 +597,51 @@ def test_streaming_enrich_equals_batch(spark, tmp_path):
     assert got.filter(
         (F.col("tool") == "mystery_tool")
         & F.col("tool_kind").isNull()).count() == 24
+
+
+def test_streaming_sliding_counts_equals_batch(spark, stream_dirs):
+    """Streaming sliding_window_counts twin: two incremental legs
+    (counts + dedup-dcounts) + read-time spine assembly must equal the
+    batch `evaluate sliding_window_counts` output exactly — including
+    the pre-start lookback seeding (start is mid-stream) and trailing
+    empty bins."""
+    from otel_arrow_spark.operators.kql_parser import kql
+    from otel_arrow_spark.streaming import read_transcript_stream
+    from otel_arrow_spark.streaming.pipeline import (
+        assemble_sliding_counts, streaming_sliding_counts,
+    )
+
+    start, end = "2026-08-16 02:00:00", "2026-08-16 06:00:00"
+    in_dir, _out, _ckpt = stream_dirs
+    counts, dcounts = streaming_sliding_counts(
+        read_transcript_stream(spark, in_dir),
+        start, end, lookback_sec=7200, bin_sec=3600,
+    )
+    qs = []
+    for name, leg in (("swc_counts", counts), ("swc_dcounts", dcounts)):
+        qs.append(
+            leg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start())
+    for q in qs:
+        q.awaitTermination(300)
+    got = {
+        str(r.ts): (r.count_, r.dcount)
+        for r in assemble_sliding_counts(
+            spark,
+            spark.sql("SELECT * FROM swc_counts"),
+            spark.sql("SELECT * FROM swc_dcounts"),
+            start, end, bin_sec=3600,
+        ).collect()
+    }
+
+    batch = kql(
+        spark.read.parquet(in_dir),
+        "T | evaluate sliding_window_counts(conv_id, ts,"
+        f" datetime({start}), datetime({end}), 2h, 1h)",
+    )
+    exp = {str(r.ts): (r.count_, r.dcount) for r in batch.collect()}
+    assert got == exp
+    assert len(exp) == 5  # 02:00 .. 06:00 inclusive
+    # pre-start seeding is actually exercised: the first bin inherits
+    # rows from 01:00 (before start)
+    assert exp[min(exp)][0] > 0
