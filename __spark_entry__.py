@@ -3447,6 +3447,33 @@ def q_kql_ipv6_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_geo_point_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance_point_to_line over the deterministic event-derived
+    coordinates vs a literal 2-segment LineString: min over segments of
+    the spherical cross-track/endpoint-clamped distance. The literal
+    line folds at compile time (zero per-row JSON); distances round to
+    0.1 m before min/max so libm ULP noise cannot flip the hash."""
+    import json as _json
+
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    line = _json.dumps(
+        {"type": "LineString", "coordinates": _P2L_LINE})
+    (events,) = _tables(spark, sf_dir, "events")
+    return kql(
+        events,
+        "events"
+        " | extend lon = (user_id % 360) - 180 + value / 1000.0,"
+        " lat = (user_id % 170) - 85 + value / 2000.0"
+        " | extend d = round(geo_distance_point_to_line(lon, lat,"
+        f" parse_json('{line}')), 1)"
+        " | summarize n = count(), dmin = min(d), dmax = max(d),"
+        " nc = countif(d <= 3000000.0)"
+        " by event_type"
+        " | order by event_type asc",
+    )
+
+
 def q_kql_bag_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make_bag / make_set_if / make_list_if collection aggregates.
     The bag packs per-hour counts under unique keys (deterministic
@@ -4449,6 +4476,7 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_row_cumsum_restart", "kql_series_seasonal_auto",
     "kql_activity_engagement_bounds", "kql_new_activity_dims",
     "kql_activity_metrics_bounds", "kql_ipv6_lookup",
+    "kql_geo_point_line",
     # r4 registry tail — judge-green in r4, never driver-sampled
     "kql_series_anomalies", "kql_series_fir", "kql_series_iir",
     "kql_series_fit2", "dedup_substring_spans", "kql_basket3",
@@ -4471,6 +4499,69 @@ _DRIVER_GATE_FIRST: tuple[str, ...] = (
     "kql_has_any_all", "kql_activity_counts", "kql_new_activity_metrics",
     "dedup_clusters_star", "text_tfidf_keywords",
 )
+
+
+_P2L_LINE = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]]
+
+
+def _p2l_oracle_sql() -> str:
+    """DuckDB twin of q_kql_geo_point_line: the point-to-segment
+    spherical distance formula mirrored text-for-text from
+    kql_parser._geo_seg_point_dist (haversine + bearing + clamped
+    acos along-track test), one expression per literal segment,
+    LEAST over segments. Branch flips at the along-track boundary are
+    value-continuous, so the 0.1 m rounding absorbs libm ULP noise."""
+    rad = "0.017453292519943295"
+
+    def dist(ax, ay, bx, by):
+        return (
+            f"(2 * 6371010.0 * asin(sqrt(pow(sin((({by}) - ({ay})) * "
+            f"{rad} / 2), 2) + cos(({ay}) * {rad}) * cos(({by}) * "
+            f"{rad}) * pow(sin((({bx}) - ({ax})) * {rad} / 2), 2))))"
+        )
+
+    def bearing(ax, ay, bx, by):
+        dl = f"((({bx}) - ({ax})) * {rad})"
+        return (
+            f"atan2(sin({dl}) * cos(({by}) * {rad}), "
+            f"cos(({ay}) * {rad}) * sin(({by}) * {rad}) - "
+            f"sin(({ay}) * {rad}) * cos(({by}) * {rad}) * cos({dl}))"
+        )
+
+    def seg(x1, y1, x2, y2):
+        d13 = dist(x1, y1, "lon", "lat")
+        d23 = dist(x2, y2, "lon", "lat")
+        d12 = dist(x1, y1, x2, y2)
+        b13 = bearing(x1, y1, "lon", "lat")
+        b12 = bearing(x1, y1, x2, y2)
+        a13 = f"({d13} / 6371010.0)"
+        dxt = f"asin(sin({a13}) * sin({b13} - {b12}))"
+        ratio = (f"greatest(least(cos({a13}) / cos({dxt}), 1.0), "
+                 "-1.0)")
+        return (
+            f"(CASE WHEN {d12} = 0 THEN least({d13}, {d23}) "
+            f"WHEN cos({b13} - {b12}) >= 0 "
+            f"AND acos({ratio}) <= {d12} / 6371010.0 "
+            f"THEN abs({dxt}) * 6371010.0 "
+            f"ELSE least({d13}, {d23}) END)"
+        )
+
+    segs = [
+        seg(repr(a[0]), repr(a[1]), repr(b[0]), repr(b[1]))
+        for a, b in zip(_P2L_LINE, _P2L_LINE[1:])
+    ]
+    return (
+        "WITH c AS (SELECT event_type, "
+        "(user_id % 360) - 180 + value / 1000.0 AS lon, "
+        "(user_id % 170) - 85 + value / 2000.0 AS lat FROM events), "
+        f"d AS (SELECT event_type, round(least({', '.join(segs)}), 1) "
+        "AS d FROM c) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "MIN(d) AS dmin, MAX(d) AS dmax, "
+        "CAST(SUM(CASE WHEN d <= 3000000.0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS nc "
+        "FROM d GROUP BY event_type ORDER BY event_type"
+    )
 
 
 def _seasonal_auto_oracle() -> str:
@@ -4710,6 +4801,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_shortest_paths": q_graph_shortest_paths,
         "kql_ipv4_lookup": q_kql_ipv4_lookup,
         "kql_ipv6_lookup": q_kql_ipv6_lookup,
+        "kql_geo_point_line": q_kql_geo_point_line,
         "kql_series_forecast": q_kql_series_forecast,
         "kql_rows_near": q_kql_rows_near,
         "kql_sliding_window_counts": q_kql_sliding_window_counts,
@@ -6921,6 +7013,7 @@ GROUP BY 1
             "LEFT JOIN o ON sp.slot = o.slot ORDER BY ts"
         ),
         "kql_geo_polygon": _pip_oracle_sql(),
+        "kql_geo_point_line": _p2l_oracle_sql(),
         "kql_geo_functions": (
             "WITH c AS (SELECT event_type, "
             "(user_id % 360) - 180 + value / 1000.0 AS lon, "

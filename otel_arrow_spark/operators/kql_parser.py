@@ -2728,6 +2728,45 @@ def _geo_distance(lon1: Column, lat1: Column,
     return F.lit(2.0 * 6371010.0) * F.asin(F.sqrt(a))
 
 
+def _geo_bearing(lon1: Column, lat1: Column,
+                 lon2: Column, lat2: Column) -> Column:
+    """Initial great-circle bearing (radians, from north) — the
+    standard atan2 formulation, term order fixed for oracle parity."""
+    rad = F.lit(0.017453292519943295)
+    dl = (lon2 - lon1) * rad
+    y = F.sin(dl) * F.cos(lat2 * rad)
+    x = (F.cos(lat1 * rad) * F.sin(lat2 * rad)
+         - F.sin(lat1 * rad) * F.cos(lat2 * rad) * F.cos(dl))
+    return F.atan2(y, x)
+
+
+def _geo_seg_point_dist(lon: Column, lat: Column,
+                        x1: Column, y1: Column,
+                        x2: Column, y2: Column) -> Column:
+    """Spherical point-to-segment distance in meters: cross-track
+    distance when the along-track projection falls on the segment,
+    else the nearer endpoint (the classic aviation-formulary shapes on
+    the 6371.01 km sphere). The acos ratio is clamped to [−1, 1]
+    before use so ULP overshoot never NaNs; a degenerate zero-length
+    segment falls back to the endpoint distance."""
+    R = F.lit(6371010.0)
+    d13 = _geo_distance(x1, y1, lon, lat)
+    d23 = _geo_distance(x2, y2, lon, lat)
+    d12 = _geo_distance(x1, y1, x2, y2)
+    a13 = d13 / R
+    b13 = _geo_bearing(x1, y1, lon, lat)
+    b12 = _geo_bearing(x1, y1, x2, y2)
+    dxt = F.asin(F.sin(a13) * F.sin(b13 - b12))
+    ratio = F.greatest(
+        F.least(F.cos(a13) / F.cos(dxt), F.lit(1.0)), F.lit(-1.0))
+    dat = F.acos(ratio)
+    endpoint = F.least(d13, d23)
+    return F.when(d12 == 0, endpoint).when(
+        (F.cos(b13 - b12) >= 0) & (dat <= d12 / R),
+        F.abs(dxt) * R,
+    ).otherwise(endpoint)
+
+
 def _bind_once(col: Column, body) -> Column:
     """Evaluate ``col`` once per row and pass it to ``body`` as a bound
     lambda variable — the materialize-once rider (the same trick as
@@ -3578,6 +3617,37 @@ class ExprParser:
                         - F.coalesce(hole_sum, F.lit(0.0)))
 
             return KE(_bind_once(rings, _area))
+        if lname == "geo_distance_point_to_line":
+            # geo_distance_point_to_line(longitude, latitude, line) —
+            # minimum spherical distance (m) from the point to a
+            # GeoJSON LineString: min over segments of the
+            # cross-track/endpoint-clamped distance
+            # (_geo_seg_point_dist). Same planar-edge caveats as the
+            # other geo fns (documented); literal lines fold at
+            # compile time, data-dependent ones parse once per row via
+            # the _bind_once rider. NULL for fewer than 2 vertices.
+            if len(args) != 3:
+                raise KqlError(
+                    "geo_distance_point_to_line needs (lon, lat, line)")
+            lon = args[0].col.cast("double")
+            lat = args[1].col.cast("double")
+            pts0 = _geojson_coords(args[2], "array<array<double>>", 2)
+
+            def _p2l(pts: Column) -> Column:
+                idx = F.sequence(F.lit(0), F.size(pts) - F.lit(2))
+                return F.when(
+                    F.size(pts) >= F.lit(2),
+                    F.array_min(F.transform(
+                        idx,
+                        lambda i: _geo_seg_point_dist(
+                            lon, lat,
+                            F.get(F.get(pts, i), 0),
+                            F.get(F.get(pts, i), 1),
+                            F.get(F.get(pts, i + F.lit(1)), 0),
+                            F.get(F.get(pts, i + F.lit(1)), 1)))),
+                )
+
+            return KE(_bind_once(pts0, _p2l))
         if lname == "geo_line_length":
             # geo_line_length(lineString) — GeoJSON LineString length
             # in meters: haversine sum over consecutive vertex pairs

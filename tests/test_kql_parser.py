@@ -4375,3 +4375,64 @@ def test_ipv6_lookup_non_aligned_and_unmatched(spark):
         src, "t | evaluate ipv6_lookup(nets, ip, network, true)",
         tables={"nets": nets}).collect()}
     assert got2["fe80::9"] is None and len(got2) == 5
+
+
+def test_geo_distance_point_to_line(spark):
+    import math
+
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    R = 6371010.0
+    rad = math.pi / 180.0
+
+    def hav(ax, ay, bx, by):
+        a = (math.sin((by - ay) * rad / 2) ** 2
+             + math.cos(ay * rad) * math.cos(by * rad)
+             * math.sin((bx - ax) * rad / 2) ** 2)
+        return 2 * R * math.asin(math.sqrt(a))
+
+    def brg(ax, ay, bx, by):
+        dl = (bx - ax) * rad
+        return math.atan2(
+            math.sin(dl) * math.cos(by * rad),
+            math.cos(ay * rad) * math.sin(by * rad)
+            - math.sin(ay * rad) * math.cos(by * rad) * math.cos(dl))
+
+    def seg(px, py, x1, y1, x2, y2):
+        d13, d23 = hav(x1, y1, px, py), hav(x2, y2, px, py)
+        d12 = hav(x1, y1, x2, y2)
+        if d12 == 0:
+            return min(d13, d23)
+        dxt = math.asin(math.sin(d13 / R)
+                        * math.sin(brg(x1, y1, px, py)
+                                   - brg(x1, y1, x2, y2)))
+        ratio = max(min(math.cos(d13 / R) / math.cos(dxt), 1.0), -1.0)
+        if (math.cos(brg(x1, y1, px, py) - brg(x1, y1, x2, y2)) >= 0
+                and math.acos(ratio) <= d12 / R):
+            return abs(dxt) * R
+        return min(d13, d23)
+
+    line = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]]
+    pts = [(5.0, 0.0),    # on the first segment -> 0
+           (20.0, 0.0),   # past the corner -> endpoint (10, 0)
+           (12.0, 5.0),   # abeam the meridian segment -> cross-track
+           (-3.0, 4.0)]   # before the start -> endpoint (0, 0)
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "i long, px double, py double")
+    got = {r.i: r.d for r in kql(
+        df,
+        "T | extend d = geo_distance_point_to_line(px, py,"
+        " parse_json('{\"type\":\"LineString\",\"coordinates\":"
+        "[[0.0,0.0],[10.0,0.0],[10.0,10.0]]}'))"
+        " | project i, d").collect()}
+    for i, (px, py) in enumerate(pts):
+        exp = min(seg(px, py, *a, *b) for a, b in zip(line, line[1:]))
+        assert abs(got[i] - exp) < 0.5, (i, got[i], exp)
+    assert got[0] < 0.5  # on-line point is ~zero
+    # fewer than 2 vertices -> NULL
+    r = kql(df.limit(1),
+            "T | project d = geo_distance_point_to_line(px, py,"
+            " parse_json('{\"type\":\"LineString\",\"coordinates\":"
+            "[[1.0,1.0]]}'))").collect()[0]
+    assert r.d is None
