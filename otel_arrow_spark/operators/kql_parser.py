@@ -2331,7 +2331,10 @@ _FUNC_MAP_SIMPLE = {
     "array_sum": lambda a: _series_sum(a[0]),
     "array_avg": lambda a: _series_sum(a[0])
     / F.greatest(F.size(a[0]), F.lit(1)),
-    "array_sort_asc": lambda a: F.sort_array(a[0]),
+    # Kusto places null elements LAST in both directions (nulls_last
+    # defaults true): F.array_sort does that ascending; descending,
+    # sort_array(asc=False) already ends with nulls
+    "array_sort_asc": lambda a: F.array_sort(a[0]),
     "array_sort_desc": lambda a: F.sort_array(a[0], asc=False),
     # array shape/manipulation round-out (Kusto dynamic helpers) — all
     # narrow slice/concat arithmetic, see the helper docstrings

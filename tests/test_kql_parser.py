@@ -4436,3 +4436,17 @@ def test_geo_distance_point_to_line(spark):
             " parse_json('{\"type\":\"LineString\",\"coordinates\":"
             "[[1.0,1.0]]}'))").collect()[0]
     assert r.d is None
+
+
+def test_array_sort_nulls_last(spark):
+    """Kusto array_sort_asc/desc place null elements LAST in both
+    directions (nulls_last defaults true) — Spark's sort_array(asc)
+    would put them first."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    df = spark.createDataFrame(
+        [([3.0, None, 1.0, 2.0],)], "a array<double>")
+    r = kql(df, "T | project up = array_sort_asc(a),"
+                " dn = array_sort_desc(a)").collect()[0]
+    assert r.up == [1.0, 2.0, 3.0, None]
+    assert r.dn == [3.0, 2.0, 1.0, None]
