@@ -3353,9 +3353,22 @@ class ExprParser:
             return KE(F.regexp_extract(args[2].col, _lit_str(args[0]),
                                        _lit_int(args[1])))
         if lname == "split":
-            if len(args) != 2:
-                raise KqlError("split needs (s, delim)")
-            return KE(F.split(args[0].col, _lit_str(args[1])))
+            if len(args) not in (2, 3):
+                raise KqlError("split needs (s, delim[, requestedIndex])")
+            d = _lit_str(args[1])
+            # Kusto's delimiter is a PLAIN string; Spark's is a regex.
+            # Literal-quote with \Q…\E (embedded \E spliced out, same
+            # discipline as _countof_overlapping) so metachar
+            # delimiters ('.', '|', '+', …) split literally.
+            quoted = "\\Q" + d.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+            parts = F.split(args[0].col, quoted)
+            if len(args) == 2:
+                return KE(parts)
+            # requestedIndex (0-based): single-element array with that
+            # substring; EMPTY array when out of range (Kusto)
+            idx = args[2].col.cast("int")
+            return KE(F.array_compact(
+                F.array(F.try_element_at(parts, idx + 1))))
         if lname == "array_join":
             if len(args) != 2:
                 raise KqlError("array_join needs (arr, delim)")

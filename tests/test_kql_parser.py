@@ -4450,3 +4450,26 @@ def test_array_sort_nulls_last(spark):
                 " dn = array_sort_desc(a)").collect()[0]
     assert r.up == [1.0, 2.0, 3.0, None]
     assert r.dn == [3.0, 2.0, 1.0, None]
+
+
+def test_split_plain_delimiter_and_requested_index(spark):
+    """Kusto split: the delimiter is a PLAIN string (a '.' or '|'
+    splits literally, never as a regex), trailing empties are kept,
+    and the 3-arg requestedIndex form returns a single-element array
+    (empty array when out of range)."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    df = spark.createDataFrame([("a.b.c", "x||y|", "1+2=3")],
+                               "s1 string, s2 string, s3 string")
+    r = kql(
+        df,
+        'T | project p1 = split(s1, "."), p2 = split(s2, "|"),'
+        ' p3 = split(s3, "+"), one = split(s1, ".", 1),'
+        ' oob = split(s1, ".", 9), emp = split(s2, "|", 1)',
+    ).collect()[0]
+    assert r.p1 == ["a", "b", "c"]
+    assert r.p2 == ["x", "", "y", ""]   # empties kept, incl. trailing
+    assert r.p3 == ["1", "2=3"]
+    assert r.one == ["b"]
+    assert r.oob == []
+    assert r.emp == [""]                # requested element IS empty
