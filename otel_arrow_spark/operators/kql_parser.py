@@ -3981,6 +3981,14 @@ class ExprParser:
             pat = _lit_str(args[0])
             anchored = f"^(?:{pat})" if lname == "trim_start" else f"(?:{pat})$"
             return KE(F.regexp_replace(args[1].col, anchored, ""))
+        if lname == "trim" and len(args) == 2:
+            # trim(regex, s) — strip one leading AND one trailing
+            # match (Kusto). The 1-arg whitespace form (an engine
+            # convenience) stays on the function table.
+            pat = _lit_str(args[0])
+            return KE(F.regexp_replace(
+                F.regexp_replace(args[1].col, f"^(?:{pat})", ""),
+                f"(?:{pat})$", ""))
         if lname == "translate":
             # translate(searchList, replacementList, source)
             if len(args) != 3:

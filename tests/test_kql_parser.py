@@ -4473,3 +4473,18 @@ def test_split_plain_delimiter_and_requested_index(spark):
     assert r.one == ["b"]
     assert r.oob == []
     assert r.emp == [""]                # requested element IS empty
+
+
+def test_trim_regex_both_ends(spark):
+    """Kusto trim(regex, text) strips one leading AND one trailing
+    match; the previous table entry silently whitespace-trimmed and
+    ignored the regex. 1-arg whitespace form unchanged."""
+    from otel_arrow_spark.operators.kql_parser import kql
+
+    df = spark.createDataFrame([("--ab--", "  x  ", "aXa")],
+                               "a string, b string, c string")
+    r = kql(df, 'T | project t2 = trim("-+", a), t1 = trim(b),'
+                ' tc = trim("a", c)').collect()[0]
+    assert r.t2 == "ab"
+    assert r.t1 == "x"
+    assert r.tc == "X"
